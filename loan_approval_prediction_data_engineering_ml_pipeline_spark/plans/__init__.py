@@ -1,0 +1,2 @@
+from .registry import QUERIES, QuerySpec, query  # noqa: F401
+from . import relational  # noqa: F401  (registers queries on import)

@@ -1,0 +1,592 @@
+"""Relational named queries (SURVEY.md §2.2-2.6) over the TPC-H-ish
+fixtures, each with a DuckDB oracle twin.
+
+Every query here generalizes a concrete reference operator (file:line
+cited per query) onto the driver's star schema — e.g. the reference's
+3-way loan-table merge (LP.ipynb:376-379) becomes the customer⋈nation⋈
+region star join; its ``value_counts(normalize=True)`` (LP.ipynb:667-669)
+becomes the orders-priority share query.
+
+Scale notes apply to every query: dims are broadcast, aggregates are
+partial (map-side combine), filters/projections push to the parquet scan,
+and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from ..operators import relational as ops
+from ..sources.loaders import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: J1 star join + A4 grouped frequency (LP.ipynb:376-379, 667-669)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "star_join_agg",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT)        AS n_customers,
+           round(avg(c_acctbal), 6)        AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    description="J1+A4: 3-way star join then grouped count/avg "
+    "(reference: applicant⋈financial⋈loan merge, LP.ipynb:376-379)",
+)
+def star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / audits (§2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "projection_drop",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+    description="P1/P2/P4: column-list projection / drop "
+    "(reference: df.drop('Loan_ID'), LP.ipynb:378)",
+)
+def projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Express as drop (the reference's idiom); Catalyst's ColumnPruning
+    # rewrites it to a 3-column parquet scan (ReadSchema shows only these).
+    return _t(spark, sf_dir, "customer").drop("c_nationkey", "c_mktsegment")
+
+
+@query(
+    "null_audit",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            CAST(sum(CASE WHEN l_orderkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey,
+            CAST(sum(CASE WHEN l_partkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey,
+            CAST(sum(CASE WHEN l_suppkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_suppkey,
+            CAST(sum(CASE WHEN l_quantity   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity,
+            CAST(sum(CASE WHEN l_discount   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount,
+            CAST(sum(CASE WHEN l_shipdate   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate
+        FROM lineitem
+    )
+    SELECT column_name, n_nulls
+    FROM agg UNPIVOT (n_nulls FOR column_name IN (
+        l_orderkey, l_partkey, l_suppkey, l_quantity, l_discount, l_shipdate))
+    ORDER BY n_nulls DESC, column_name
+    """,
+    description="P6/A2: per-column null-count audit, sorted desc "
+    "(reference: df.isnull().sum().sort_values, LP.ipynb:625-626)",
+)
+def null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount", "l_shipdate"]
+    return ops.null_audit(_t(spark, sf_dir, "lineitem"), cols)
+
+
+@query(
+    "duplicate_count",
+    oracle="""
+    SELECT CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+           AS BIGINT) AS n_duplicates
+    FROM lineitem
+    """,
+    description="A3: full-tuple duplicate count "
+    "(reference: df.duplicated().sum(), LP.ipynb:646-647)",
+)
+def duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.duplicate_count(_t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_counts_norm",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS proportion
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY n DESC, o_orderpriority
+    """,
+    description="A4: normalized value_counts via window-over-total "
+    "(reference: Loan_Status value_counts(normalize=True), LP.ipynb:667-669)",
+)
+def value_counts_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.value_counts(_t(spark, sf_dir, "orders"), "o_orderpriority", normalize=True)
+
+
+@query(
+    "grouped_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(l_quantity) AS BIGINT) AS n,
+           round(avg(l_quantity), 6)         AS mean,
+           round(stddev_samp(l_quantity), 6) AS stddev,
+           round(median(l_quantity), 6)      AS median,
+           round(min(l_quantity), 6)         AS min,
+           round(max(l_quantity), 6)         AS max
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="A6/A7/A8: fit-time aggregation family — mean/stddev/exact "
+    "median/min/max per group (reference: SimpleImputer median + "
+    "StandardScaler mu/sigma, LP.ipynb:748-755)",
+)
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.grouped_stats(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity")
+
+
+@query(
+    "distinct_categories",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    description="A9: distinct-category collection "
+    "(reference: OneHotEncoder.fit category dict, LP.ipynb:756)",
+)
+def distinct_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.distinct_values(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                       AS sum_qty,
+           round(sum(l_extendedprice), 4)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           CAST(count(*) AS BIGINT)                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="A1/A8 generalization: TPC-H Q1-shaped pricing summary — "
+    "filtered scan, 8 partial aggs, two-key group",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "derived_arithmetic",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+    description="F4: derived-column arithmetic under a pushed-down filter "
+    "(reference: Total_Income = ApplicantIncome + CoapplicantIncome, "
+    "app.py:50); TPC-H Q6 shape",
+)
+def derived_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount").between(0.04, 0.06)) & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_k_acctbal",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+    description="O1/O2: global sort + limit, executed as per-partition top-K "
+    "merge (reference: sort_values + head, LP.ipynb:625-626, MY.ipynb:182)",
+)
+def top_k_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conditional_rewrite",
+    oracle="""
+    SELECT CASE WHEN lang = 'zh' THEN 'zh-cn' ELSE lang END AS lang_norm,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang_norm
+    ORDER BY lang_norm
+    """,
+    description="F1: conditional string domain rewrite "
+    "(reference: Dependents '3+' -> '3', LP.ipynb:679)",
+)
+def conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lang_norm = F.when(F.col("lang") == "zh", "zh-cn").otherwise(F.col("lang"))
+    return (
+        docs.select(lang_norm.alias("lang_norm"))
+        .groupBy("lang_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_norm")
+    )
+
+
+@query(
+    "json_extract_cast",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="F2/F5: JSON scalar extract + cast-with-null-fallback "
+    "(reference: astype(float) + clean_dependents_input, LP.ipynb:680, "
+    "app.py:42-48; Spark cast yields null on bad input like the app path)",
+)
+def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "label_encode",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="F3: dict-map label encode then aggregate "
+    "(reference: Loan_Status map({'Y':1,'N':0}), LP.ipynb:814)",
+)
+def label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        ev.select("user_id", is_purchase.alias("is_purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_purchase").cast("long").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join shapes (§2.3 — J1 plus the how= variants the engine exposes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_join_histogram",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+    description="J1 variant: left outer join preserving zero-order customers, "
+    "two-level aggregate (order-count histogram)",
+)
+def left_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("n_orders")
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="J1 variant: left-semi join (EXISTS) — customers with >=1 order",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    description="J1 variant: left-anti join (NOT EXISTS) — customers with "
+    "no urgent order (predicate keeps the result non-empty at every sf)",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "multi_star_join",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    description="J1 at depth: 6-table star join with region filter "
+    "(TPC-H Q5 shape) — dims broadcast, fact scans filtered",
+)
+def multi_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / set ops / having (§2.5 — engine extensions, W1/U1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    ORDER BY o_custkey
+    """,
+    description="W1 extension: top-1-per-group via row_number window "
+    "(each customer's largest order)",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    description="U1 extension: UNION (distinct) of two key sets",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "group_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    ORDER BY n_orders DESC, o_custkey
+    """,
+    description="A5 extension: grouped count with HAVING post-filter",
+)
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time batch analytics (events table; batch twins of streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="Tumbling-window aggregate (batch twin of the streaming "
+    "windowed agg in streaming/events.py)",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, epoch_us(ts))
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    description="Gap-based sessionization (30-min inactivity) via lag + "
+    "running sum — batch twin of streaming session_window",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is the
+    # identity wall-clock mapping and unix_micros matches duckdb epoch_us.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000) | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max(us) - F.min(us)) / 1_000_000.0, 3).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )

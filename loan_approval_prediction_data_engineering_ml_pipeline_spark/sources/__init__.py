@@ -1,0 +1,2 @@
+from .loaders import load_table, load_tables, register_views  # noqa: F401
+from .schemas import TABLE_SCHEMAS, LOAN_SCHEMAS  # noqa: F401

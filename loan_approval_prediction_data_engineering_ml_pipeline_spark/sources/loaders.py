@@ -1,0 +1,127 @@
+"""Readers and writers.
+
+Reference surface covered here (SURVEY.md §2.1):
+- S1 JSON-lines scan  (MY.ipynb:24-28 cell 1)   → read_jsonlines
+- S2 SQL table scan   (LP.ipynb:51-55 cell 2)   → load_table / load_tables
+- S4/S5 DDL           (MY.ipynb:411-504)        → register_views / save_as_table
+- S6 batched upsert   (MY.ipynb:513-527 cell 13)→ upsert_parquet (REPLACE INTO
+  semantics = PK-dedupe + overwrite; Spark-native, no row loop)
+- S9 literal 1-row source (app.py:52-67)        → single_row_frame
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from .schemas import TABLE_SCHEMAS
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = True) -> DataFrame:
+    """Read one fixture table from parquet.
+
+    Parquet carries its own schema (no inference drift possible), so we
+    *validate* against the declared StructType instead of overriding —
+    catching silent upstream changes, which is the failure mode the
+    reference hit with pandas dtype inference (SURVEY.md §1.3).
+    """
+    # The driver calls queries() with its own SparkSession; pin UTC so
+    # timestamp semantics match the DuckDB oracle regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # parquet reader rejects outright. Read nanos as raw INT64 and
+        # truncate to microseconds — the same ns→us truncation DuckDB
+        # applies — keeping NTZ semantics (session tz is pinned UTC).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if validate and name in TABLE_SCHEMAS:
+        expected = {f.name: f.dataType for f in TABLE_SCHEMAS[name].fields}
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        if expected != actual:
+            raise ValueError(
+                f"schema drift in {name}: expected {expected}, got {actual}"
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_SCHEMAS)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Expose fixture tables to spark.sql() — the engine's 'CREATE DATABASE /
+    USE' analog (MY.ipynb:411-414 cell 9) without a persistent metastore."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_jsonlines(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1: NDJSON scan with a declared schema (no inference).
+
+    The reference infers (pd.read_json(lines=True), MY.ipynb:24-28); we
+    pass the StructType so types are stable and the reader can prune
+    columns at scan time.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    *,
+    order_col: str | None = None,
+) -> None:
+    """S6: idempotent PK upsert — Spark-native `REPLACE INTO` semantics.
+
+    The reference hand-rolls this with a NaN scrub + row loop +
+    `REPLACE INTO ... executemany` (MY.ipynb:513-527). Here: union the
+    incoming batch with the existing store, keep one row per key
+    (newest wins when ``order_col`` given), overwrite. Distributed,
+    no driver loop; NaN→NULL scrubbing is unnecessary because Spark
+    has single null semantics (SURVEY.md §2.6 F6).
+
+    At 100 TB you'd use Delta `MERGE INTO` or partition-overwrite to
+    avoid rewriting cold partitions; plain parquet (this container) has
+    no transactional merge, so full overwrite is the honest primitive.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        merged = df.unionByName(existing, allowMissingColumns=False)
+    except Exception:  # first write: nothing to merge
+        merged = df
+    if order_col:
+        w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        deduped = merged.dropDuplicates(key_cols)
+    # Parquet can't atomically overwrite a path it is reading: stage then move.
+    staged = path.rstrip("/") + "__staging"
+    deduped.write.mode("overwrite").parquet(staged)
+    final = spark.read.parquet(staged)
+    final.write.mode("overwrite").parquet(path)
+
+
+def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> None:
+    """S5 analog: persist + register. Parquet-backed, schema from the frame."""
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def single_row_frame(spark: SparkSession, row: dict, schema: T.StructType) -> DataFrame:
+    """S9: 1-row DataFrame from a dict (the app.py:52-67 inference record)."""
+    return spark.createDataFrame([row], schema=schema)
