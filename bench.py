@@ -1,0 +1,76 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via the noop sink — full computation, zero
+driver-side collection — so the measured time is plan execution, not
+result transfer. One untimed warm-up of the flagship query absorbs
+JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import QUERIES  # noqa: E402
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: the queries whose shape dominates at 100 TB — wide-agg
+# scan, deep star join, window/sessionization, and (as they land) the
+# dedup / similarity / text-analysis extensions.
+HEADLINE = [
+    "star_join_agg",
+    "pricing_summary",
+    "derived_arithmetic",
+    "multi_star_join",
+    "window_rank",
+    "left_join_histogram",
+    "events_hourly",
+    "sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # untimed warm-up: JVM classloading + codegen compile
+    QUERIES[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
