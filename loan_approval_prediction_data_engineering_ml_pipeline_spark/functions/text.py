@@ -1,0 +1,138 @@
+"""Text-analysis expressions — all pure ``pyspark.sql.functions`` column
+expressions (JVM-side, codegen'd, no Python in the hot path), designed so a
+DuckDB oracle can compute byte-identical values.
+
+These power the LLM-training-data operators (dedup, language ID, quality
+scoring, token counting, fingerprinting) over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker stopword lists for the n-gram/stopword language-ID heuristic.
+# Deliberately tiny and hard-coded: the heuristic must be a pure
+# deterministic function so the oracle can replicate it.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus): split(trim(text), ' ')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), " ")
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    """Sorted distinct token set — the canonical set representation used by
+    jaccard / minhash so Spark and the oracle agree element-for-element."""
+    return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: alternating alpha / digit runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit("[a-z]+|[A-Z]+|[0-9]+"), F.lit(0)))
+
+
+def token_hash(seed: int, tok: Column) -> Column:
+    """Deterministic 60-bit hash of a token under a seed, identical in
+    DuckDB: int(hex(md5(seed || ':' || token))[:15]).
+
+    15 hex digits = 60 bits, always positive, exact in BIGINT on both
+    engines (no sign/overflow divergence).
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(col: Column | str, k: int = 16) -> Column:
+    """k-permutation MinHash signature of the token *set* as array<long>.
+
+    sig_i = min over tokens of h_i(token) — computed entirely with
+    ``transform`` + ``array_min`` per row: no explode, no shuffle, no UDF.
+    At 100 TB this is the property that matters: signature computation is
+    embarrassingly parallel map work; only the band-bucket join shuffles,
+    and it shuffles k·8-byte signatures, not documents.
+    """
+    toks = distinct_tokens(col)
+
+    def hasher(seed: int):
+        # NB: must be a unary lambda — pyspark treats a 2-arg lambda as
+        # (element, index) and would shadow the seed with the array index.
+        return lambda t: token_hash(seed, t)
+
+    return F.array(*[F.array_min(F.transform(toks, hasher(i))) for i in range(k)])
+
+
+def jaccard(a_set: Column, b_set: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (unigram shingle sets)."""
+    inter = F.size(F.array_intersect(a_set, b_set))
+    union = F.size(F.array_union(a_set, b_set))
+    return inter / union
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """n-gram word shingles via sequence+transform+slice — built-ins only."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Occurrence count (not distinct) of marker words among tokens."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(wl, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-profile language ID: argmax of marker-hit counts with a
+    deterministic tie-break (CASE order en > de > fr)."""
+    en = stopword_hits(col, LANG_MARKERS["en"])
+    de = stopword_hits(col, LANG_MARKERS["de"])
+    fr = stopword_hits(col, LANG_MARKERS["fr"])
+    return (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return total / F.size(toks)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, ~1]: rewards prose-like
+    token length, alphabetic content, and stopword presence; penalizes
+    extreme repetition (low distinct-token ratio)."""
+    toks = tokens(col)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    stop_ratio = stopword_hits(col, STOPWORDS) / F.size(toks)
+    return (
+        F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0)) * 0.3
+        + alpha_ratio(col) * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+        + distinct_ratio * 0.2
+    )
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of lower(trim(text)) — identical in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))

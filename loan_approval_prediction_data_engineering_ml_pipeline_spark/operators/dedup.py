@@ -1,0 +1,235 @@
+"""Deduplication operators over a documents-shaped table — the
+LLM-training-data core: exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the point of every function here):
+
+- Signatures (minhash/simhash/md5) are computed per-row with map-only
+  expressions — no shuffle until the data is reduced to ids + small
+  signatures.
+- Candidate generation shuffles ``(band_key, id)`` pairs, never document
+  text. Band width trades recall vs candidate volume (classic banding
+  theory: P[candidate] = 1 - (1 - j^r)^b).
+- Verification joins candidate *ids* back to token sets — at 100 TB the
+  candidate set is orders of magnitude smaller than the corpus, so the
+  expensive exact-Jaccard check touches a sliver of the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by raw content hash-groupBy: one row per distinct text
+    with the kept id (min id — deterministic), copy count and md5
+    fingerprint. Shuffle key is the text itself; for very long documents
+    pre-hash to md5 and group on that (collision-negligible)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "keeper_id",
+            "n_copies",
+            X.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        )
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+    """Attach `sig` (array<long> length k): per-row map-only minhash.
+
+    Tokenization is projected into its own step: inlining it inside each
+    of the k hash lambdas makes codegen re-tokenize k times (measured 2x+
+    slower at k=16). CollapseProject keeps the split because the
+    expression is expensive and multiply-referenced."""
+    def hasher(seed: int):
+        return lambda t: X.token_hash(seed, t)
+
+    toked = df.select("*", X.distinct_tokens(text_col).alias("__toks"))
+    return toked.select(
+        *df.columns,
+        F.array(
+            *[F.array_min(F.transform(F.col("__toks"), hasher(i))) for i in range(k)]
+        ).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
+
+    Rows explode to ``bands`` (band_id, band_key) tuples; a self-join on
+    the bucket yields candidates. Only ids and band keys shuffle. The
+    ``distinct()`` collapses pairs that collide in several bands.
+    """
+    rows_per_band = k // bands
+    sigs = with_minhash(df.select(id_col, text_col), text_col, k).select(id_col, "sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("-", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band_id", "bk.band_key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 1.0,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates: join candidate ids
+    back to token sets, keep pairs with jaccard >= min_jaccard.
+
+    With min_jaccard=1.0 recall is exactly 1 (identical sets produce
+    identical signatures, hence share every band bucket), which makes the
+    output deterministic and oracle-checkable."""
+    toks = df.select(
+        F.col(id_col).alias("id"), X.distinct_tokens(text_col).alias("toks")
+    )
+    joined = candidates.join(
+        toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a"
+    ).join(toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+    if min_jaccard >= 1.0:
+        # jaccard==1 on distinct sorted sets == array equality: one cheap
+        # comparison per candidate instead of intersect+union hash sets —
+        # matters when the corpus is near-dup-heavy and candidates are many.
+        return joined.where(F.col("ta") == F.col("tb")).select(
+            "id_a", "id_b", F.lit(1.0).alias("jaccard")
+        )
+    j = X.jaccard(F.col("ta"), F.col("tb"))
+    return joined.where(F.round(j, 6) >= F.lit(min_jaccard)).select(
+        "id_a", "id_b", F.round(j, 6).alias("jaccard")
+    )
+
+
+def minhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16) -> DataFrame:
+    """Near-dup *groups* by full-signature equality: documents whose entire
+    k-hash signature matches are (almost certainly) token-set-identical.
+    Output: one row per multi-member group."""
+    sigs = with_minhash(df.select(id_col, text_col), text_col, k)
+    return (
+        sigs.groupBy("sig")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+        .select("keeper_id", "group_size")
+    )
+
+
+def ngram_jaccard_vs_pivot(
+    df: DataFrame,
+    pivot_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard similarity of every document against one pivot
+    document (n=1 → token sets). The pivot row is a broadcast 1-row dim;
+    the corpus side is a single map-side pass."""
+    sh = X.distinct_tokens(text_col) if n == 1 else X.word_shingles(text_col, n)
+    sets = df.select(F.col(id_col), sh.alias("sh"))
+    pivot = sets.where(F.col(id_col) == pivot_id).select(F.col("sh").alias("pivot_sh"))
+    j = X.jaccard(F.col("sh"), F.col("pivot_sh"))
+    return (
+        sets.where(F.col(id_col) != pivot_id)
+        .join(F.broadcast(pivot))
+        .select(F.col(id_col), F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), F.asc(id_col))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — 64-bit weighted-bit-vote fingerprint. Not expressible with
+# built-in array ops at reasonable cost (64 bit-counters per row), so this
+# is the sanctioned fallback: an Arrow-batched pandas UDF (SURVEY.md §2.8).
+# --------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    def one(text: str) -> int:
+        votes = [0] * 64
+        for tok in set(text.strip().split(" ")):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                out |= 1 << bit
+        # keep within signed int64 for Spark LongType
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(one)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    chunks (pigeonhole: hamming<=3 pairs must agree on >=1 chunk), bucket-
+    join on chunks, verify true hamming distance with bit_count."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", "c.chunk_id", "c.chunk"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two paths, mirroring production ANN architecture:
+
+- ``brute_force_topk`` — exact cosine top-k. The query vector is a
+  broadcast 1-row dim; scoring is a map-only pass (zip_with/aggregate in
+  codegen) and top-k is TakeOrderedAndProject (per-partition heaps, no
+  global sort). This is the correctness baseline and is already the right
+  plan for "one query against everything".
+- ``lsh_topk`` / ``with_hyperplane_buckets`` — random-hyperplane (signed
+  projection) bucketing: each vector maps to a compact integer signature;
+  search only scans the query's bucket. At 100 TB you persist the
+  bucketed table (partitioned by signature prefix) so a query prunes to
+  a few partitions — the IVF/LSH "scale path".
+
+Hyperplanes are generated from a fixed LCG seed at plan-build time and
+inlined as literals, so the operator is deterministic across runs and
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    emb = embeddings.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    q = emb.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    cos = V.cosine(F.col("v"), F.col("qv"))
+    return (
+        emb.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. ``block_col`` bounds the join
+    (equi-join on the block key instead of a cross join) — the blocking
+    pattern that keeps pair generation tractable at scale; pass None for
+    the exact-but-quadratic variant."""
+    emb = embeddings.select(
+        F.col(id_col), V.as_double(vec_col).alias("v"), *( [F.col(block_col)] if block_col else [] )
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        on = on & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = V.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from a tiny LCG —
+    stdlib-only so the plan is reproducible everywhere."""
+    state = seed & 0x7FFFFFFF
+    def nxt() -> float:
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+    planes = []
+    for _ in range(n_planes):
+        # sum of 6 uniforms ~ gaussian-ish; sign symmetry is all LSH needs
+        planes.append([sum(nxt() for _ in range(6)) - 3.0 for _ in range(dim)])
+    return planes
+
+
+def _bucket_expr(v, n_planes: int, dim: int, seed: int):
+    planes = _hyperplanes(n_planes, dim, seed)
+    bits = [
+        F.when(
+            V.dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def with_hyperplane_buckets(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach `bucket`: the n_planes-bit signed-projection signature."""
+    return embeddings.withColumn("bucket", _bucket_expr(V.as_double(vec_col), n_planes, dim, seed))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: ``n_tables``
+    independent hash tables of ``n_planes`` bits each; candidates are
+    vectors that share the query's bucket in ANY table (classic recall
+    amplification: P[candidate] = 1-(1-p^planes)^tables).
+
+    Mechanics mirror minhash banding: rows explode to (table_id, bucket)
+    and bucket-join against the query's signatures — only ids + small
+    signatures shuffle, then just the candidate set is scored. Recall < 1
+    by construction; tests measure overlap vs brute force. On a persisted
+    bucketed table the bucket join becomes partition pruning."""
+    v = V.as_double(vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(v, n_planes, dim, seed=42 + 1000 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    emb = embeddings.select(F.col(id_col), v.alias("v"), tables.alias("tb"))
+    banded = emb.select(id_col, "v", F.explode("tb").alias("b")).select(
+        id_col, "v", "b.table_id", "b.bucket"
+    )
+    q = (
+        banded.where(F.col(id_col) == query_id)
+        .select(F.col("table_id"), F.col("bucket"), F.col("v").alias("qv"))
+    )
+    cands = (
+        banded.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q), ["table_id", "bucket"])
+        .select(id_col, "v", "qv")
+        .dropDuplicates([id_col])
+    )
+    cos = V.cosine(F.col("v"), F.col("qv"))
+    return (
+        cands.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

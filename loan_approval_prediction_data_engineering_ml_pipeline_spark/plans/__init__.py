@@ -1,2 +1,3 @@
 from .registry import QUERIES, QuerySpec, query  # noqa: F401
 from . import relational  # noqa: F401  (registers queries on import)
+from . import llm_data  # noqa: F401  (registers queries on import)

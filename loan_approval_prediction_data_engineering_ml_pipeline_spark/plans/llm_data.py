@@ -1,0 +1,344 @@
+"""LLM-training-data-pipeline named queries: dedup, similarity search,
+text analysis over the ``documents`` / ``embeddings`` tables — the
+north-star extension surface (BASELINE.json), each with a DuckDB oracle
+where the semantics are SQL-expressible.
+
+Oracle-parity discipline for the hash-based ops: MinHash uses
+``int(hex(md5(seed||':'||token))[:15])`` — computable identically in
+DuckDB (the oracle SQL is generated programmatically below so Spark and
+SQL literally share the hash definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.loaders import load_table
+from .registry import query
+
+# Banding parameters are threshold-tuned (tau ~ (1/b)^(1/r)): the LSH
+# query verifies at jaccard=1.0, so ONE band of all k rows is optimal —
+# narrower bands only add false candidates, and this corpus has high
+# ambient Jaccard (median ~0.53, tiny synthetic vocabulary), so they add
+# a LOT (measured at sf0.1: r=8 -> 2.4M candidate pairs, r=16 -> 1.0M,
+# r=k=16 single band -> ~40k). Recall for jaccard=1 pairs is exactly 1
+# at any banding, since identical sets share every band.
+MINHASH_K = 16
+LSH_BANDS = 1
+
+_TOKS = "list_distinct(string_split(trim(text), ' '))"
+_STOP_EN = "['the','a','of','and','to','in','is']"
+_STOP_DE = "['der','die','das','und','ist','ein']"
+_STOP_FR = "['le','la','les','et','est','un']"
+
+
+def _minhash_expr_sql(i: int) -> str:
+    """DuckDB twin of functions.text.token_hash + array_min."""
+    return (
+        "list_min(list_transform(toks, x -> "
+        f"CAST(concat('0x', substr(md5(concat('{i}:', x)), 1, 15)) AS BIGINT)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id)              AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           md5(lower(trim(text)))   AS fingerprint
+    FROM documents
+    GROUP BY text
+    """,
+    description="Exact dedup by content hash-groupBy: keeper id, copy "
+    "count, md5 fingerprint per distinct text",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_sig_cols = ",\n        ".join(f"{_minhash_expr_sql(i)} AS sig{i}" for i in range(MINHASH_K))
+_sig_names = ", ".join(f"sig{i}" for i in range(MINHASH_K))
+
+
+@query(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+        {_sig_cols}
+        FROM t)
+    SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS group_size
+    FROM s
+    GROUP BY {_sig_names}
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+    description=f"MinHash near-dup groups: {MINHASH_K}-hash signature over "
+    "token sets computed with transform+array_min (map-only, no UDF); "
+    "docs sharing the full signature form a dup group",
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dup_groups(docs, k=MINHASH_K).orderBy("keeper_id")
+
+
+# NB: keep MINHASH_K in sync between fn and oracle — the oracle SQL above
+# is generated from the same constant at import time.
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' '))) AS toks
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+    FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    description="MinHash+LSH dedup pipeline: shingle → minhash → band → "
+    "bucket-join → exact-Jaccard verification. min_jaccard=1.0 makes "
+    "recall exactly 1 (identical sets share every band), so the LSH "
+    "path is oracle-checkable against the exact duplicate-set self-join",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K, bands=LSH_BANDS)
+    return D.verified_pairs(docs, cands, min_jaccard=1.0).orderBy("id_a", "id_b")
+
+
+@query(
+    "ngram_jaccard_pivot",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    q AS (SELECT toks AS qt FROM t WHERE doc_id = 0)
+    SELECT doc_id,
+           round(len(list_intersect(toks, qt)) * 1.0
+                 / len(list_distinct(list_concat(toks, qt))), 6) AS jaccard
+    FROM t, q
+    WHERE doc_id != 0
+      AND round(len(list_intersect(toks, qt)) * 1.0
+                / len(list_distinct(list_concat(toks, qt))), 6) >= 0.6
+    ORDER BY jaccard DESC, doc_id
+    """,
+    description="n-gram Jaccard near-dup scan against a pivot document "
+    "(n=1 token sets; broadcast 1-row dim, map-only corpus pass)",
+)
+def ngram_jaccard_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_vs_pivot(docs, pivot_id=0, n=1, threshold=0.6)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # 64-bit weighted-bit-vote fingerprint: not SQL-expressible
+    description="SimHash near-dup pairs: pandas-UDF 64-bit fingerprint, "
+    "4x16-bit chunk banding (pigeonhole), bit_count hamming verify",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+    FROM e, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="Exact cosine top-k over array<float> embeddings: "
+    "zip_with/aggregate dot product in codegen, broadcast query vector, "
+    "TakeOrderedAndProject top-k (no global sort)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, query_id=0, k=10)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ORDER BY cosine DESC, id_a, id_b
+    """,
+    description="Embedding-cosine near-dup pairs with label blocking "
+    "(equi-join bounds the pair space — the blocking pattern that keeps "
+    "pairwise similarity tractable at scale)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=0.4, block_col="label")
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate by construction; tests measure recall vs brute force
+    description="Multi-table hyperplane-LSH ANN: 4 tables x 4 sign bits; "
+    "candidates = union of the query's buckets, then exact cosine on the "
+    "candidate set only. The scale path (bucket join -> partition pruning "
+    "on a persisted table)",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, query_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(trim(text), ' ') AS toks,
+               len(string_split(trim(text), ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                 / n_toks, 6) AS avg_token_len,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                 / length(text), 6) AS alpha_ratio,
+           round(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) * 1.0
+                 / n_toks, 6) AS stopword_ratio,
+           round(
+             least(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                   / n_toks / 8.0, 1.0) * 0.3
+             + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text) * 0.3
+             + least(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) * 1.0
+                     / n_toks * 5.0, 1.0) * 0.2
+             + len(list_distinct(toks)) * 1.0 / n_toks * 0.2,
+           6) AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+    description="Per-document quality scoring: token stats, alphabetic "
+    "ratio, stopword ratio, composite score — all codegen'd expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).cast("long").alias("n_tokens"),
+        F.round(X.avg_token_len(c), 6).alias("avg_token_len"),
+        F.round(X.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(X.stopword_hits(c, X.STOPWORDS) / X.token_count(c), 6).alias("stopword_ratio"),
+        F.round(X.quality_score(c), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(trim(text), ' '),
+                               x -> list_contains({_STOP_EN}, x))) AS en,
+               len(list_filter(string_split(trim(text), ' '),
+                               x -> list_contains({_STOP_DE}, x))) AS de,
+               len(list_filter(string_split(trim(text), ' '),
+                               x -> list_contains({_STOP_FR}, x))) AS fr
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en >= de AND en >= fr THEN 'en'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    description="Language-ID heuristic (stopword-profile argmax with "
+    "deterministic tie-break) cross-tabulated against the labeled lang",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "token_stats_by_lang",
+    oracle="""
+    WITH e AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents)
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS total_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT)    AS vocab,
+           round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avg_tokens
+    FROM e
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="Token counting rolled up by language: doc counts, token "
+    "totals, vocabulary size (explode + multi-distinct aggregate)",
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", "lang", F.explode(X.tokens("text")).alias("tok"))
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+            F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))          AS fingerprint,
+           CAST(length(text) AS BIGINT)    AS n_chars_actual,
+           (length(text) = n_chars)        AS length_matches
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Document fingerprinting: content hash + metadata "
+    "consistency check (declared n_chars vs actual)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") == F.col("n_chars")).alias("length_matches"),
+    ).orderBy("doc_id")
