@@ -1,0 +1,166 @@
+"""ML-pipeline parity tests (SURVEY.md §5.2.2-4): reference invariants on
+the loan fixture, preprocessing semantics, stratified split, model
+selection, persistence, single-row scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml import (
+    StringModeImputer,
+    build_pipeline,
+    confusion_matrix,
+    prepare_loan_frame,
+    score_single_row,
+    stratified_split,
+    train_and_select,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import candidate_models
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.relational import (
+    duplicate_count,
+    null_audit,
+    value_counts,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loan_fixtures import (
+    NULL_COUNTS,
+    generate_loan_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def loan_tables(spark):
+    return generate_loan_tables(spark, seed=42)
+
+
+@pytest.fixture(scope="module")
+def loan_df(spark, loan_tables):
+    return prepare_loan_frame(**{
+        "applicant": loan_tables["applicant_info"],
+        "financial": loan_tables["financial_info"],
+        "loan": loan_tables["loan_info"],
+    }).cache()
+
+
+def test_reference_invariants(loan_tables, loan_df):
+    # post-join shape: 614 rows (LP.ipynb:552-556 cell 9)
+    assert loan_df.count() == 614
+    # null audit matches the reference's vector (LP.ipynb:625-626 cell 11)
+    audit = {
+        r["column_name"]: r["n_nulls"]
+        for r in null_audit(
+            loan_tables["applicant_info"]
+            .join(loan_tables["financial_info"], "Loan_ID")
+            .join(loan_tables["loan_info"], "Loan_ID")
+        ).collect()
+    }
+    for col, n in NULL_COUNTS.items():
+        assert audit[col] == n, f"{col}: {audit[col]} != {n}"
+    # duplicate rows: 0 (LP.ipynb:646-647 cell 12)
+    assert duplicate_count(loan_df).collect()[0]["n_duplicates"] == 0
+    # class balance Y 0.687296 / N 0.312704 (LP.ipynb:667-669 cell 13)
+    props = {r["label"]: r["proportion"] for r in value_counts(loan_df, "label", normalize=True).collect()}
+    assert props[1.0] == pytest.approx(0.687296, abs=1e-6)
+    assert props[0.0] == pytest.approx(0.312704, abs=1e-6)
+
+
+def test_dependents_rewrite(loan_df):
+    # '3+' -> 3.0 (LP.ipynb:678-681 cell 14); nulls preserved for imputation
+    vals = {r["Dependents_num"] for r in loan_df.select("Dependents_num").distinct().collect()}
+    assert vals == {0.0, 1.0, 2.0, 3.0, None}
+
+
+def test_string_mode_imputer_tiebreak_and_fill(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), (None,)], ["c"]
+    )
+    model = StringModeImputer(inputCols=["c"]).fit(df)
+    # tie between a(2) and b(2): sklearn picks the smallest -> 'a'
+    assert model.modes == {"c": "a"}
+    out = model.transform(df)
+    assert out.where(F.col("c").isNull()).count() == 0
+    assert out.where(F.col("c") == "a").count() == 3
+
+
+def test_stratified_split_exact_and_deterministic(loan_df):
+    tr1, te1 = stratified_split(loan_df, "label", test_size=0.2, seed=42)
+    tr2, te2 = stratified_split(loan_df, "label", test_size=0.2, seed=42)
+    assert tr1.count() + te1.count() == 614
+    # per-class train counts = ceil(0.8 * n_class): 422 -> 338, 192 -> 154
+    by_class = {r["label"]: r["count"] for r in tr1.groupBy("label").count().collect()}
+    assert by_class == {1.0: 338, 0.0: 154}
+    assert tr1.count() == tr2.count() and te1.count() == te2.count()
+
+
+def test_preprocessing_semantics(spark, loan_df):
+    from pyspark.ml import Pipeline
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import build_preprocessor
+
+    model = Pipeline(stages=build_preprocessor()).fit(loan_df)
+    out = model.transform(loan_df)
+    # exact median imputation: LoanAmount median from non-null values
+    expected_median = loan_df.approxQuantile("LoanAmount", [0.5], 0.0)[0]
+    imputer_model = model.stages[0]
+    surrogate = imputer_model.surrogateDF.collect()[0]["LoanAmount"]
+    assert surrogate == expected_median
+    # no nulls after imputation in any feature input
+    assert out.where(F.col("LoanAmount__imp").isNull()).count() == 0
+    # scaled numeric block: mean ~0, std ~1 for first element
+    from pyspark.ml.functions import vector_to_array
+    stats = out.select(
+        F.avg(vector_to_array("num_scaled")[0]).alias("m"),
+        F.stddev_samp(vector_to_array("num_scaled")[0]).alias("s"),
+    ).collect()[0]
+    assert abs(stats["m"]) < 1e-9
+    assert stats["s"] == pytest.approx(1.0, abs=1e-9)
+    # one-hot layout: one slot per seen category (keep-bucket dropped)
+    n_gender = loan_df.select("Gender").where(F.col("Gender").isNotNull()).distinct().count()
+    oh_size = out.select(F.size(vector_to_array("Gender__oh")).alias("s")).first()["s"]
+    assert oh_size == n_gender  # sklearn drop=None layout
+
+
+def test_unknown_category_encodes_all_zeros(spark, loan_df):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import build_preprocessor
+
+    model = Pipeline(stages=build_preprocessor()).fit(loan_df)
+    weird = loan_df.limit(1).withColumn("Property_Area", F.lit("Atlantis"))
+    vec = (
+        model.transform(weird)
+        .select(vector_to_array("Property_Area__oh").alias("v"))
+        .first()["v"]
+    )
+    assert list(vec) == [0.0] * len(vec)  # handle_unknown='ignore' parity
+
+
+def test_train_select_persist_score(spark, loan_df, tmp_path):
+    train, test = stratified_split(loan_df, "label", 0.2, seed=42)
+    best_name, best_model, results = train_and_select(train, test)
+    assert set(results) == {"RandomForestClassifier", "LogisticRegression"}
+    majority = 0.687  # predict-all-Y baseline
+    assert results[best_name]["accuracy"] >= majority - 0.15
+    # confusion matrix totals the test split
+    cm = confusion_matrix(best_model.transform(test))
+    assert sum(r["n"] for r in cm.collect()) == test.count()
+    # persistence: the reference MEANT to save the fitted pipeline but
+    # pickled a string (LP.ipynb:857-862); we save/load the real model
+    path = str(tmp_path / "model")
+    best_model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)
+    row = {
+        "Gender": "Male", "Married": "Yes", "Dependents": "3+",
+        "Education": "Graduate", "Self_Employed": "No",
+        "ApplicantIncome": 5849.0, "CoapplicantIncome": 1508.0,
+        "LoanAmount": 128.0, "Loan_Amount_Term": 360.0,
+        "Credit_History": 1.0, "Property_Area": "Urban",
+    }
+    out = score_single_row(spark, loaded, row)
+    assert out["prediction"] in (0, 1)
+    assert 0.0 <= out["p_approve"] <= 1.0
+    # loaded model reproduces in-memory predictions
+    a = best_model.transform(test).select("prediction").collect()
+    b = loaded.transform(test).select("prediction").collect()
+    assert a == b
