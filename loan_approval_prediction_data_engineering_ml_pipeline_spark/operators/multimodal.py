@@ -1,0 +1,159 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no codec libraries, so the decode step is STUBBED with
+a deterministic fake (bytes → pseudo-pixel grid) behind a real-decoder
+hook that raises NotImplementedError — the Spark-side contract that
+matters at 100 TB is real and tested:
+
+- schema: ``media binary`` + ``media_meta struct<format,width,height,
+  n_frames>`` travels through shuffles/projections untouched;
+- mapInPandas processes *partition-sized Arrow batches*, so per-row
+  Python overhead is amortized and memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- decode → feature-extract → resize → frame-sample compose as ordinary
+  DataFrame transforms and partitioning/pushdown still apply (the binary
+  column is pruned away when untouched).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, *, id_col: str = "doc_id", width: int = 8, height: int = 8, n_frames: int = 4
+) -> DataFrame:
+    """Deterministically synthesize a binary media column from the id —
+    stands in for reading real image/video bytes from object storage."""
+    seed = F.md5(F.col(id_col).cast("string"))
+    frame = F.repeat(F.unbase64(F.base64(F.encode(seed, "utf-8"))), (width * height * n_frames) // 32 + 1)
+    return df.withColumn(
+        "media", F.substring(frame, 1, width * height * n_frames).cast("binary")
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("fake-gray8").alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(n_frames).alias("n_frames"),
+        ),
+    )
+
+
+def _decode_gray8(buf: bytes, width: int, height: int, n_frames: int) -> np.ndarray:
+    """STUB decoder: interpret bytes as (n_frames, h, w) uint8 'pixels'.
+
+    Real decode (PIL/ffmpeg) is intentionally NOT implemented in this
+    container — swap this function for the codec call in production."""
+    need = width * height * n_frames
+    arr = np.frombuffer(buf[:need].ljust(need, b"\0"), dtype=np.uint8)
+    return arr.reshape(n_frames, height, width)
+
+
+def decode_real(*_args, **_kwargs):  # pragma: no cover - by design
+    raise NotImplementedError(
+        "real image/video decode requires codec libraries absent from this "
+        "container; the Spark plumbing uses the deterministic fake decoder"
+    )
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """decode → per-frame luminance stats, as an Arrow-batched mapInPandas.
+
+    Output schema drops the binary payload (feature extraction is exactly
+    the place the pipeline sheds bytes — never carry media past decode)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mean_lum", T.DoubleType()),
+            T.StructField("std_lum", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["media_meta"]
+                grid = _decode_gray8(bytes(r["media"]), m["width"], m["height"], m["n_frames"])
+                rows.append(
+                    (int(r["doc_id"]), float(grid.mean()), float(grid.std()), int(m["n_frames"]))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_lum", "std_lum", "n_frames"])
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
+
+
+def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
+    """decode → nearest-neighbor resize → re-encode bytes; metadata updated.
+    Shows a transform that rewrites the payload while keeping the column
+    contract (binary + struct) intact."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["media_meta"]
+                grid = _decode_gray8(bytes(r["media"]), m["width"], m["height"], m["n_frames"])
+                yi = (np.arange(out_h) * m["height"] // out_h)
+                xi = (np.arange(out_w) * m["width"] // out_w)
+                small = grid[:, yi][:, :, xi]
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        small.tobytes(),
+                        {"format": "fake-gray8", "width": out_w, "height": out_h,
+                         "n_frames": int(m["n_frames"])},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
+
+
+def sample_frames(df: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """Frame sampling: explode each video's frames, keep every n-th.
+    One output row per kept frame (doc_id, frame_idx, frame bytes)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["media_meta"]
+                grid = _decode_gray8(bytes(r["media"]), m["width"], m["height"], m["n_frames"])
+                for i in range(0, int(m["n_frames"]), every_n):
+                    rows.append((int(r["doc_id"]), i, grid[i].tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)

@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.8) — this is the
+north-star extension: the same event-time analytics the batch registry
+exposes (events_hourly, sessionization), expressed as incremental
+streaming queries with watermarked state. Tests assert stream/batch
+equivalence: replaying the parquet fixture through the stream produces
+the batch answers.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped, state for closed windows is evicted); the windowed aggregates
+are partial-agg'd before the shuffle like any groupBy. On a cluster the
+source would be Kafka/files-on-arrival; the parquet replay here uses the
+same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.schemas import TABLE_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture.
+
+    Same nanos handling as the batch loader (sources/loaders.py): the
+    file stores TIMESTAMP(NANOS), which Spark reads only as raw INT64 —
+    truncate to microseconds. The watermark/window columns need a true
+    TIMESTAMP type (session tz pinned UTC by the session factory).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = ", ".join(
+        [
+            "event_id long",
+            "ts long",  # nanos-as-long
+            "user_id long",
+            "event_type string",
+            "value double",
+            "props string",
+        ]
+    )
+    # The streaming file source requires a *directory*; the fixture is a
+    # single file, so stream the directory with a glob pinned to it.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if ``slide`` given) window
+    aggregate per event_type — the streaming twin of the batch
+    ``events_hourly`` registry query."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    streaming twin of the batch lag+cumsum ``sessionization`` query.
+    State per (user, open session); watermark closes and evicts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
+    """Drive a streaming frame to completion over the (finite) fixture and
+    land results in an in-memory table ``name`` — availableNow semantics:
+    process everything currently in the source, then stop."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: the binary+metadata contract, Arrow batch
+shape, determinism, and payload-shedding schemas (decode itself is a
+deterministic stub — no codec libs in the container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import multimodal as M
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id").limit(50)
+    return M.attach_fake_media(docs, width=8, height=8, n_frames=4).cache()
+
+
+def test_media_schema_contract(media_df):
+    fields = dict(media_df.dtypes)
+    assert fields["media"] == "binary"
+    assert fields["media_meta"].startswith("struct<format:string,width:int,height:int,n_frames:int")
+    n = media_df.where(F.length("media") == 8 * 8 * 4).count()
+    assert n == media_df.count()
+
+
+def test_feature_extraction(media_df):
+    feats = M.extract_image_features(media_df)
+    assert [f.name for f in feats.schema.fields] == ["doc_id", "mean_lum", "std_lum", "n_frames"]
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r["mean_lum"] <= 255.0 for r in rows)
+    # determinism: same input -> same features
+    again = {r["doc_id"]: r["mean_lum"] for r in M.extract_image_features(media_df).collect()}
+    assert {r["doc_id"]: r["mean_lum"] for r in rows} == again
+
+
+def test_resize_updates_payload_and_meta(media_df):
+    small = M.resize_media(media_df, out_w=4, out_h=4)
+    r = small.first()
+    assert r["media_meta"]["width"] == 4 and r["media_meta"]["height"] == 4
+    assert len(r["media"]) == 4 * 4 * 4  # w*h*frames
+
+
+def test_frame_sampling(media_df):
+    frames = M.sample_frames(media_df, every_n=2)
+    assert frames.count() == 50 * 2  # 4 frames, every 2nd
+    r = frames.first()
+    assert len(r["frame"]) == 8 * 8
+    assert {x["frame_idx"] for x in frames.select("frame_idx").distinct().collect()} == {0, 2}
+
+
+def test_real_decode_is_marked_unimplemented():
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"")

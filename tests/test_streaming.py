@@ -1,0 +1,66 @@
+"""Stream/batch equivalence: replaying the events fixture through
+Structured Streaming must reproduce the batch registry answers.
+
+Replays run in complete output mode: with availableNow over a finite
+fixture, append mode correctly withholds the final windows still inside
+the watermark — production semantics, but not what an equivalence check
+wants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import QUERIES
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    session_aggregates,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(windowed_counts(stream), "stream_hourly", output_mode="complete")
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("stream_hourly").collect()
+    }
+    batch = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in QUERIES["events_hourly"].fn(spark, SF).collect()
+    }
+    assert got == batch
+
+
+def test_session_aggregates_match_batch_sessionization(spark):
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(session_aggregates(stream), "stream_sessions", output_mode="complete")
+    stream_sessions = spark.table("stream_sessions")
+    batch_sessions = QUERIES["sessionization"].fn(spark, SF)
+    # same number of sessions and same per-user session counts
+    assert stream_sessions.count() == batch_sessions.count()
+    a = {r["user_id"]: r["c"] for r in stream_sessions.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    b = {r["user_id"]: r["c"] for r in batch_sessions.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    assert a == b
+    # and identical event totals inside sessions
+    assert (
+        stream_sessions.agg(F.sum("n_events")).first()[0]
+        == batch_sessions.agg(F.sum("n_events")).first()[0]
+    )
+
+
+def test_sliding_window_runs(spark):
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(
+        windowed_counts(stream, window="2 hours", slide="1 hour"),
+        "stream_sliding",
+        output_mode="complete",
+    )
+    out = spark.table("stream_sliding")
+    assert out.count() > 0
+    # every tumbling hour appears in ~2 sliding windows
+    assert out.count() > QUERIES["events_hourly"].fn(spark, SF).count()
