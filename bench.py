@@ -36,9 +36,12 @@ HEADLINE = [
     "left_join_histogram",
     "events_hourly",
     "sessionization",
+    "asof_join",
+    "rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
+    "tfidf_top_terms",
     "ann_cosine_topk",
 ]
 

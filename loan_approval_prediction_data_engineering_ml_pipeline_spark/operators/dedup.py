@@ -27,18 +27,21 @@ from ..functions import text as X
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup by raw content hash-groupBy: one row per distinct text
-    with the kept id (min id — deterministic), copy count and md5
-    fingerprint. Shuffle key is the text itself; for very long documents
-    pre-hash to md5 and group on that (collision-negligible)."""
+    """Exact dedup by normalized content fingerprint: one row per distinct
+    md5(lower(trim(text))) with the kept id (min id — deterministic) and
+    copy count.
+
+    Grouping on the 16-byte fingerprint instead of the raw text means the
+    shuffle carries hashes, not documents — the difference between
+    shuffling 32 bytes/row and shuffling the corpus at 100 TB. md5
+    collisions are ignorable by design (2^-64 birthday bound at petabyte
+    corpus sizes); the map-side partial agg still dedupes locally first."""
+    fp = X.fingerprint_md5(F.col(text_col))
     return (
-        df.groupBy(text_col)
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select(
-            "keeper_id",
-            "n_copies",
-            X.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
-        )
+        .select("keeper_id", "n_copies", "fingerprint")
     )
 
 

@@ -1,0 +1,260 @@
+"""Advanced analytics named queries: pivot, rollup/cube, percentiles,
+correlation, running windows, as-of join — the OLAP surface a user of a
+full analytics engine expects beyond the reference's own operators
+(SURVEY.md §2.4-2.5 'engine extensions'), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from ..sources.loaders import load_table
+from .registry import query
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="Pivot: order counts by priority x status (explicit value "
+    "list keeps the pivot a single pass — no distinct-collect job)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ORDER_STATUSES],
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 4) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    description="ROLLUP hierarchy totals (region -> nation -> grand total) "
+    "in one aggregation pass",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "cube_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="CUBE over (returnflag, linestatus): all grouping-set "
+    "combinations in one pass",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@query(
+    "percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="Exact interpolated percentiles per group (A6 family). At "
+    "100 TB switch to percentile_approx with a tuned accuracy — exposed "
+    "via the same operator",
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(covar_pop(l_quantity, l_discount), 6)       AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="Correlation / covariance aggregates per group",
+)
+def corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="Exact distinct-count per group; the approximate twin "
+    "(approx_count_distinct / HLL) is asserted within error bounds in "
+    "tests (not oracle-comparable by construction)",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+           o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 4) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, order_ts, o_orderkey
+    """,
+    description="Running cumulative sum per customer over event time "
+    "(frame-bounded window aggregate)",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "order_ts", "o_orderkey")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_us
+        FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round((epoch_us(ts) - last_click_us) / 1000000.0, 3) AS sec_since_click
+    FROM tagged
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    ORDER BY event_id
+    """,
+    description="As-of join (each purchase matched to the latest prior "
+    "click by the same user) as a single-pass last-ignorenulls window — "
+    "no pairwise range join, no merge_asof UDF; scales as one sort per "
+    "user partition",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = ev.withColumn(
+        "last_click_us",
+        F.last(F.when(F.col("event_type") == "click", us), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.where((F.col("event_type") == "purchase") & F.col("last_click_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.round((us - F.col("last_click_us")) / 1_000_000.0, 3).alias("sec_since_click"),
+        )
+        .orderBy("event_id")
+    )

@@ -55,10 +55,10 @@ def _minhash_expr_sql(i: int) -> str:
            CAST(count(*) AS BIGINT) AS n_copies,
            md5(lower(trim(text)))   AS fingerprint
     FROM documents
-    GROUP BY text
+    GROUP BY md5(lower(trim(text)))
     """,
-    description="Exact dedup by content hash-groupBy: keeper id, copy "
-    "count, md5 fingerprint per distinct text",
+    description="Exact dedup by normalized content fingerprint: keeper id, "
+    "copy count per distinct md5 (shuffle carries 16-byte hashes, not text)",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -318,6 +318,49 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias("avg_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents
+    ),
+    tf_counts AS (
+        SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    df_counts AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term,
+           round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 6) AS total_tfidf
+    FROM tf_counts JOIN df_counts USING (term), n
+    GROUP BY term, n_docs, df
+    ORDER BY total_tfidf DESC, term
+    LIMIT 20
+    """,
+    description="TF-IDF as pure relational algebra: explode -> tf per "
+    "(doc,term) -> df per term -> smoothed idf -> corpus-level top terms. "
+    "No HashingTF (murmur-bucketed, not oracle-comparable); term-level "
+    "TF-IDF is also what a training-data pipeline wants for interpretable "
+    "corpus stats",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, one cheap job; a literal keeps idf in codegen
+    terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_counts, "term")
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("total_tfidf"))
+        .orderBy(F.desc("total_tfidf"), F.asc("term"))
+        .limit(20)
     )
 
 
