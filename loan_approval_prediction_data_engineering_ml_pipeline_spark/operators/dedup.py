@@ -137,6 +137,64 @@ def verified_pairs(
     )
 
 
+def minhash_lsh_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 1,
+    min_jaccard: float = 1.0,
+) -> DataFrame:
+    """End-to-end MinHash+LSH dedup: signature → band bucket-join →
+    exact verification, with the signature/token table computed ONCE and
+    persisted.
+
+    Without the persist, the self-join and the two verification joins
+    each recompute tokenization+minhash (5 scans of the corpus); a
+    persisted (id, toks, sig) table is exactly what a production pipeline
+    materializes — it is orders of magnitude smaller than the documents."""
+    rows_per_band = max(k // bands, 1)
+    base = (
+        with_minhash(df.select(id_col, text_col), text_col, k)
+        .select(F.col(id_col).alias("id"), X.distinct_tokens(text_col).alias("toks"), "sig")
+        .persist()
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "-",
+                    *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band_id", "bk.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    joined = cands.join(
+        base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+    if min_jaccard >= 1.0:
+        return joined.where(F.col("ta") == F.col("tb")).select(
+            "id_a", "id_b", F.lit(1.0).alias("jaccard")
+        )
+    j = X.jaccard(F.col("ta"), F.col("tb"))
+    return joined.where(F.round(j, 6) >= F.lit(min_jaccard)).select(
+        "id_a", "id_b", F.round(j, 6).alias("jaccard")
+    )
+
+
 def minhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16) -> DataFrame:
     """Near-dup *groups* by full-signature equality: documents whose entire
     k-hash signature matches are (almost certainly) token-set-identical.

@@ -110,8 +110,9 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K, bands=LSH_BANDS)
-    return D.verified_pairs(docs, cands, min_jaccard=1.0).orderBy("id_a", "id_b")
+    return D.minhash_lsh_dedup(
+        docs, k=MINHASH_K, bands=LSH_BANDS, min_jaccard=1.0
+    ).orderBy("id_a", "id_b")
 
 
 @query(

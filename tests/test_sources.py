@@ -1,0 +1,61 @@
+"""Source/sink layer tests: S1 NDJSON scan with declared schema, S4/S5
+DDL analog, S9 single-row source, and schema-drift detection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources import (
+    LOAN_SCHEMAS,
+    load_table,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+    read_jsonlines,
+    save_as_table,
+    single_row_frame,
+)
+
+
+def test_read_jsonlines_declared_schema(spark, tmp_path):
+    # the reference ingests NDJSON with inferred dtypes (MY.ipynb:24-28);
+    # we declare the schema so types are stable and nulls are native
+    p = tmp_path / "applicant.json"
+    rows = [
+        {"Loan_ID": "LP000001", "Gender": "Male", "Married": "Yes",
+         "Dependents": "3+", "Education": "Graduate", "Self_Employed": None},
+        {"Loan_ID": "LP000002", "Gender": None, "Married": "No",
+         "Dependents": "0", "Education": "Not Graduate", "Self_Employed": "No"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_jsonlines(spark, str(p), LOAN_SCHEMAS["applicant_info"])
+    assert df.schema == LOAN_SCHEMAS["applicant_info"]
+    got = {r["Loan_ID"]: r for r in df.collect()}
+    assert got["LP000001"]["Self_Employed"] is None
+    assert got["LP000002"]["Gender"] is None
+    assert got["LP000001"]["Dependents"] == "3+"
+
+
+def test_save_as_table_and_sql(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    save_as_table(spark, df, "t_demo", str(tmp_path / "t_demo"))
+    out = spark.sql("SELECT v FROM t_demo WHERE id = 2").collect()
+    assert [r["v"] for r in out] == ["b"]
+
+
+def test_single_row_frame(spark):
+    row = {"Loan_ID": "LP999999", "Gender": "Female", "Married": "No",
+           "Dependents": "1", "Education": "Graduate", "Self_Employed": "Yes"}
+    df = single_row_frame(spark, row, LOAN_SCHEMAS["applicant_info"])
+    assert df.count() == 1
+    assert df.first()["Gender"] == "Female"
+
+
+def test_schema_drift_detection(spark, tmp_path):
+    # a renamed/retyped column in a fixture must fail loudly, not infer
+    bad = str(tmp_path / "customer.parquet")
+    spark.createDataFrame([(1, "x")], ["c_custkey", "wrong_col"]).write.parquet(bad)
+    with pytest.raises(ValueError, match="schema drift"):
+        load_table(spark, str(tmp_path), "customer")
