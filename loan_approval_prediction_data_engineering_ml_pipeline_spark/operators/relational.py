@@ -93,6 +93,31 @@ def distinct_values(df: DataFrame, col: str) -> DataFrame:
     return df.select(col).distinct().orderBy(col)
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the skewed (fact) side gets a random salt
+    in [0, salt); the dim side is exploded ``salt`` ways so every
+    (key, salt) bucket finds its match. One hot key is thereby spread
+    over ``salt`` reducers.
+
+    AQE's skew-join splitting (enabled in session.py) handles most skew
+    automatically at runtime; explicit salting remains the tool when a
+    single key dominates so heavily that even split partitions overwhelm
+    a task, or when the join is sort-merge over a pre-shuffled layout.
+    Result columns match a plain ``join(dim, key, how)``."""
+    salted_fact = skewed.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")
+
+
 def grouped_stats(df: DataFrame, group_cols: list[str], value_col: str, *, round_to: int = 6) -> DataFrame:
     """A6/A7/A8: the fit-time aggregation family — mean, stddev (sample),
     exact median, min/max, count — per group in one hash aggregate.

@@ -122,6 +122,62 @@ def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> N
     spark.read.parquet(path).createOrReplaceTempView(name)
 
 
+def write_partitioned_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Partition an event-time table by day (TESTDATA events analog).
+
+    At 100 TB this is the difference between scanning the corpus and
+    scanning a date range: queries filtering on ``dt`` prune partitions
+    at planning time (PartitionFilters in the scan node). Hive-style
+    layout, one directory per day."""
+    df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("dt").parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """S2: JDBC table scan (the reference's pd.read_sql, LP.ipynb:51-55).
+
+    When ``partition_column`` is given the scan parallelizes into
+    ``num_partitions`` range-bounded queries — the distributed analog of
+    the reference's single-cursor extract. Filters and projections push
+    down to the database (Spark emits WHERE/SELECT accordingly).
+
+    Requires a JDBC driver jar on the classpath; this container ships
+    none, so the call will raise at load() — the plumbing is tested for
+    option construction only."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    return reader
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, *, mode: str = "append", properties: dict[str, str] | None = None) -> None:
+    """S6 (JDBC flavor): batched inserts executor-side — the distributed
+    REPLACE INTO analog; true upserts need database-side MERGE or the
+    parquet upsert path above."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def single_row_frame(spark: SparkSession, row: dict, schema: T.StructType) -> DataFrame:
     """S9: 1-row DataFrame from a dict (the app.py:52-67 inference record)."""
     return spark.createDataFrame([row], schema=schema)

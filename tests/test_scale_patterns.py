@@ -1,0 +1,77 @@
+"""Scale-pattern tests: salted joins, partition pruning, approximate
+aggregates — the mechanisms that keep the engine viable at 100 TB,
+exercised and (where observable) asserted against the physical plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.relational import (
+    salted_join,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+    load_table,
+    read_jdbc,
+    write_partitioned_by_day,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(customer, "c_custkey").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s")
+    )
+    salted = salted_join(orders, customer, "c_custkey", salt=8).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(events, path)
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    one_day = back.where(F.col("dt") == "2024-01-05")
+    # partition filter must reach the scan: only that day's rows are read
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    expected = events.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert one_day.count() == expected
+
+
+def test_approx_aggregates_within_bounds(spark):
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
+    q = ev.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_med"),
+        F.median("value").alias("exact_med"),
+    ).first()
+    assert row is not None
+    assert abs(q["approx_med"] - q["exact_med"]) <= 0.05 * max(abs(q["exact_med"]), 1.0)
+
+
+def test_jdbc_reader_builds_options_and_fails_cleanly(spark):
+    reader = read_jdbc(
+        spark,
+        "jdbc:mysql://localhost:3306/loan_db",
+        "applicant_info",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    # no JDBC driver jar in this container: load() must raise, not hang
+    with pytest.raises(Exception):
+        reader.load()
