@@ -18,11 +18,14 @@ def domain_rewrite(col: Column | str, mapping: dict[str, str]) -> Column:
 
 
 def cast_with_null_fallback(col: Column | str, dtype: str = "double") -> Column:
-    """F2/F5: cast that yields null on unparseable input — Spark-native
-    semantics, matching the reference's own inference path
-    (clean_dependents_input, app.py:42-48)."""
+    """F2/F5: cast that yields null on unparseable input, matching the
+    reference's own inference path (clean_dependents_input, app.py:42-48).
+
+    ``try_cast``, not ``cast``: Spark 4 runs ANSI mode by default, where a
+    plain cast of malformed input *throws*. try_cast pins the null-on-
+    error semantic regardless of the session's ANSI setting."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(dtype)
+    return c.try_cast(dtype)
 
 
 def label_encode(col: Column | str, mapping: dict[str, int]) -> Column:
@@ -36,9 +39,10 @@ def label_encode(col: Column | str, mapping: dict[str, int]) -> Column:
 
 
 def clean_dependents(col: Column | str) -> Column:
-    """The app.py:42-48 defensive parse: '3+' -> 3, else int(x), else null."""
+    """The app.py:42-48 defensive parse: '3+' -> 3, else int(x), else null
+    (try_cast: null-on-error even under ANSI mode)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c == "3+", F.lit(3)).otherwise(c.cast("int"))
+    return F.when(c == "3+", F.lit(3)).otherwise(c.try_cast("int"))
 
 
 def nan_to_null(col: Column | str) -> Column:

@@ -180,8 +180,12 @@ def minhash_lsh_dedup(
         a.join(b, ["band_id", "band_key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if bands > 1:
+        # multi-band: a pair colliding in several bands appears once per
+        # collision; single-band output is already duplicate-free, so the
+        # dedupe shuffle is skipped entirely.
+        cands = cands.distinct()
     joined = cands.join(
         base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a"
     ).join(base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")

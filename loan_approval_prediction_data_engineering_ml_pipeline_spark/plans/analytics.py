@@ -215,6 +215,62 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+                                FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    description="Correlated scalar subquery (orders 1.5x above their "
+    "customer's average) — expressed as the decorrelated aggregate-join "
+    "Catalyst would rewrite it to; one shuffle on the correlation key",
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    avgs = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.join(avgs, "o_custkey")
+        .where(F.col("o_totalprice") > 1.5 * F.col("__avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "argmax_per_group",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    JOIN (SELECT p_brand AS mx_brand, max(p_retailprice) AS mx
+          FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.mx_brand AND p.p_retailprice = m.mx
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+    description="Argmax-per-group via aggregate self-join (TPC-H Q2 "
+    "shape); ties surface as multiple rows identically in both engines",
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice").alias("p")
+    mx = (
+        p.groupBy("p_brand")
+        .agg(F.max("p_retailprice").alias("mx"))
+        .withColumnRenamed("p_brand", "mx_brand")
+        .alias("m")
+    )
+    return (
+        p.join(
+            F.broadcast(mx),
+            (F.col("p.p_brand") == F.col("m.mx_brand"))
+            & (F.col("p.p_retailprice") == F.col("m.mx")),
+        )
+        .select("p.p_brand", "p.p_partkey", "p.p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
     "asof_join",
     oracle="""
     WITH tagged AS (

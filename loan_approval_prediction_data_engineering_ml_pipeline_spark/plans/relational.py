@@ -297,7 +297,8 @@ def conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
+    # try_cast: null on malformed JSON values even under ANSI (Spark 4 default)
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

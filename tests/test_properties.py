@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5.2.4): the scalar expression library
+must agree with straightforward Python reference semantics on arbitrary
+inputs, and the imputation/encoding operators must satisfy their
+algebraic properties (idempotence, null-freedom)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions import cleaning as C
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions import text as X
+
+WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+SENTENCE = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
+
+SLOW_OK = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@SLOW_OK
+@given(st.lists(SENTENCE, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["n"] for r in df.select(X.token_count("text").alias("n")).collect()]
+    assert got == [len(t.split(" ")) for t in texts]
+
+
+@SLOW_OK
+@given(st.lists(SENTENCE, min_size=1, max_size=6))
+def test_minhash_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["sig"] for r in df.select(X.minhash_signature("text", 4).alias("sig")).collect()]
+
+    def ref_sig(text: str) -> list[int]:
+        toks = set(text.strip().split(" "))
+        return [
+            min(int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15], 16) for t in toks)
+            for i in range(4)
+        ]
+
+    assert got == [ref_sig(t) for t in texts]
+
+
+@SLOW_OK
+@given(st.lists(st.one_of(WORD, st.none()), min_size=1, max_size=10))
+def test_domain_rewrite_matches_dict_semantics(spark, vals):
+    mapping = {"aa": "zz", "b": "y"}
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["o"] for r in df.select(C.domain_rewrite("v", mapping).alias("o")).collect()]
+    assert got == [mapping.get(v, v) if v is not None else None for v in vals]
+
+
+@SLOW_OK
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6).map(str),
+            st.text(alphabet="xyz.", min_size=1, max_size=5),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_cast_fallback_matches_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["o"] for r in df.select(C.cast_with_null_fallback("v").alias("o")).collect()]
+
+    def ref(v):
+        if v is None:
+            return None
+        try:
+            return float(v)
+        except ValueError:
+            return None
+
+    expect = [ref(v) for v in vals]
+    assert all(
+        (g is None and e is None) or (g is not None and e is not None and math.isclose(g, e))
+        for g, e in zip(got, expect)
+    )
+
+
+@SLOW_OK
+@given(st.lists(st.sampled_from(["Y", "N", "maybe", None]), min_size=1, max_size=10))
+def test_label_encode_matches_map(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["o"] for r in df.select(C.label_encode("v", {"Y": 1, "N": 0}).alias("o")).collect()]
+    assert got == [{"Y": 1, "N": 0}.get(v) if v is not None else None for v in vals]
+
+
+def test_string_mode_imputer_idempotent(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml import StringModeImputer
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["c"])
+    model = StringModeImputer(inputCols=["c"]).fit(df)
+    once = model.transform(df)
+    twice = model.transform(once)
+    assert once.collect() == twice.collect()
+    assert once.where(F.col("c").isNull()).count() == 0
