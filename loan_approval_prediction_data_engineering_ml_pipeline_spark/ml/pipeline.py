@@ -53,6 +53,53 @@ def prepare_loan_frame(
     )
 
 
+def add_engineered_features(df: DataFrame) -> DataFrame:
+    """The reference README's described-but-unimplemented features
+    (README.md:9,13 — EMI proxy, loan-to-income, log transforms),
+    realized as codegen'd column arithmetic. Guards: try-division by
+    null/zero terms yields null, which the median imputer then fills."""
+    return (
+        df.withColumn(
+            "EMI_proxy", F.col("LoanAmount") / F.nullif(F.col("Loan_Amount_Term"), F.lit(0.0))
+        )
+        .withColumn(
+            "Loan_to_Income", F.col("LoanAmount") / F.nullif(F.col("Total_Income"), F.lit(0.0))
+        )
+        .withColumn("Log_Total_Income", F.log1p(F.col("Total_Income")))
+        .withColumn("Log_LoanAmount", F.log1p(F.col("LoanAmount")))
+    )
+
+
+ENGINEERED_NUMERIC = ["EMI_proxy", "Loan_to_Income", "Log_Total_Income", "Log_LoanAmount"]
+
+
+def build_cross_validator(clf=None, *, n_folds: int = 3, seed: int = 42):
+    """README.md:15's k-fold CV + grid search, Spark-native: CrossValidator
+    over the full preprocessing+model pipeline (folds re-fit imputers and
+    scalers — no test-fold leakage, unlike refitting stages manually)."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    clf = clf or LogisticRegression(maxIter=200, labelCol="label", featuresCol="features")
+    pipe = build_pipeline(clf)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(clf.regParam, [0.0, 0.1])
+        .addGrid(clf.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    return CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=4,
+    )
+
+
 def build_preprocessor(
     numeric_cols: list[str] | None = None,
     categorical_cols: list[str] | None = None,

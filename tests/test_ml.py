@@ -164,3 +164,34 @@ def test_train_select_persist_score(spark, loan_df, tmp_path):
     a = best_model.transform(test).select("prediction").collect()
     b = loaded.transform(test).select("prediction").collect()
     assert a == b
+
+
+def test_engineered_features_and_cv(spark, loan_df):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import (
+        ENGINEERED_NUMERIC,
+        add_engineered_features,
+        build_cross_validator,
+        build_preprocessor,
+    )
+
+    eng = add_engineered_features(loan_df)
+    row = eng.where(
+        F.col("LoanAmount").isNotNull() & F.col("Loan_Amount_Term").isNotNull()
+    ).first()
+    assert row["EMI_proxy"] == pytest.approx(row["LoanAmount"] / row["Loan_Amount_Term"])
+    assert row["Log_Total_Income"] == pytest.approx(
+        __import__("math").log1p(row["Total_Income"])
+    )
+    # CV over the full pipeline with the engineered numerics included
+    base_numeric = [c for c in
+        ["ApplicantIncome", "CoapplicantIncome", "LoanAmount", "Loan_Amount_Term",
+         "Credit_History", "Dependents_num", "Total_Income"]] + ENGINEERED_NUMERIC
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml import Pipeline
+    clf = LogisticRegression(maxIter=200, labelCol="label", featuresCol="features")
+    cv = build_cross_validator(clf, n_folds=3)
+    # swap the default preprocessor for one that includes engineered cols
+    cv.setEstimator(Pipeline(stages=[*build_preprocessor(numeric_cols=base_numeric), clf]))
+    model = cv.fit(eng)
+    assert len(model.avgMetrics) == 4  # 2x2 grid
+    assert all(0.0 <= m <= 1.0 for m in model.avgMetrics)

@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale (pushdown, pruning, broadcast dims) are asserted against
+the optimized plan, so a refactor that silently loses them fails CI."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_prunes_scan(spark):
+    plan = _formatted_plan(spark, "projection_drop")
+    assert "struct<c_custkey:bigint,c_name:string,c_acctbal:double>" in plan
+    assert "c_mktsegment" not in plan  # dropped column never read
+
+
+def test_filters_push_to_parquet(spark):
+    plan = _formatted_plan(spark, "derived_arithmetic")
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # projection pruned to the three columns the query touches
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    import re
+
+    plan = _formatted_plan(spark, "star_join_agg")
+    # formatted explain lists each node twice (tree + detail): count headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_star_join_all_broadcast(spark):
+    import re
+
+    plan = _formatted_plan(spark, "multi_star_join")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _formatted_plan(spark, "top_k_acctbal")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen markers (*(n)) only appear once AQE has materialized the
+    # final plan — execute, then inspect
+    df = QUERIES["pricing_summary"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
