@@ -37,6 +37,7 @@ HEADLINE = [
     "events_hourly",
     "sessionization",
     "asof_join",
+    "range_join_bucketed",
     "rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",

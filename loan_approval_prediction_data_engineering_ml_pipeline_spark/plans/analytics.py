@@ -215,6 +215,57 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_bucketed",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    er AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id  AS purchase_id,
+           er.event_id AS error_id,
+           round((epoch_us(p.ts) - epoch_us(er.ts)) / 1000000.0, 3) AS gap_sec
+    FROM p JOIN er
+      ON p.user_id = er.user_id
+     AND abs(epoch_us(p.ts) - epoch_us(er.ts)) <= 300000000
+    ORDER BY purchase_id, error_id
+    """,
+    description="Interval/range join (purchases x errors within +-5 min, "
+    "same user) via time-bucketing: one side keeps its bucket, the other "
+    "explodes to the 3 adjacent buckets, equi-join then exact filter — "
+    "O(matches) instead of the O(n^2) theta join the oracle runs",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 300_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("pts")
+    ).withColumn("bucket", F.expr(f"pts DIV {gap_us}"))
+    er = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), us.alias("ets")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"ets DIV {gap_us} - 1"),
+                F.expr(f"ets DIV {gap_us}"),
+                F.expr(f"ets DIV {gap_us} + 1"),
+            )
+        ),
+    )
+    joined = p.join(er, (p.user_id == er.e_user) & (p.bucket == er.bucket))
+    # exact predicate on the candidate set; a pair meets in exactly one
+    # bucket (the purchase's own), so no dedupe pass is needed
+    return (
+        joined.where(F.abs(F.col("pts") - F.col("ets")) <= gap_us)
+        .select(
+            "purchase_id",
+            "error_id",
+            F.round((F.col("pts") - F.col("ets")) / 1_000_000.0, 3).alias("gap_sec"),
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+@query(
     "correlated_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
