@@ -237,6 +237,48 @@ def ngram_jaccard_vs_pivot(
     )
 
 
+def mllib_minhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    max_jaccard_dist: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib-native MinHash+LSH near-dup pairs — the library twin of the
+    expression-based ``minhash_lsh_dedup`` (kept for comparison and for
+    users who want the stock estimator): tokens → CountVectorizer binary
+    vectors → MinHashLSH → approxSimilarityJoin on Jaccard distance.
+
+    Note the trade: CountVectorizer materializes a vocabulary model
+    (driver-held, broadcast), which the pure-expression path avoids —
+    at web-corpus vocabulary sizes prefer hashing-based features or the
+    expression path."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    toks = df.select(F.col(id_col).alias("id"), X.distinct_tokens(text_col).alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True)
+    cv_model = cv.fit(toks)
+    vecs = cv_model.transform(toks)
+    mh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(vecs)
+    # approxSimilarityJoin keeps dist STRICTLY BELOW the threshold, which
+    # would drop exact duplicates at threshold 0 — widen by epsilon and
+    # re-apply the inclusive bound ourselves
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, max_jaccard_dist + 1e-9, distCol="jaccard_dist"
+    ).where(F.col("jaccard_dist") <= max_jaccard_dist)
+    return (
+        pairs.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash — 64-bit weighted-bit-vote fingerprint. Not expressible with
 # built-in array ops at reasonable cost (64 bit-counters per row), so this

@@ -78,6 +78,42 @@ def cosine_pairs(
     )
 
 
+def mllib_brp_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib-native ANN twin: BucketedRandomProjectionLSH (Euclidean) over
+    L2-normalized vectors — on unit vectors Euclidean ordering equals
+    cosine ordering, so approxNearestNeighbors returns cosine neighbors.
+    Kept alongside the expression-based ``lsh_topk`` for users of the
+    stock estimator."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col), array_to_vector(V.as_double(vec_col)).alias("raw")
+    )
+    vecs = Normalizer(inputCol="raw", outputCol="v", p=2.0).transform(vecs).select(id_col, "v")
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=bucket_length,
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = brp.fit(vecs)
+    key = vecs.where(F.col(id_col) == query_id).first()["v"]
+    out = model.approxNearestNeighbors(vecs.where(F.col(id_col) != query_id), key, k)
+    # euclidean dist d on unit vectors -> cosine = 1 - d^2/2
+    return out.select(
+        F.col(id_col), F.round(1.0 - F.col("distCol") ** 2 / 2.0, 6).alias("cosine")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes from a tiny LCG —
     stdlib-only so the plan is reproducible everywhere."""

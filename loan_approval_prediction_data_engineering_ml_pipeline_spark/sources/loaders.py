@@ -122,6 +122,27 @@ def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> N
     spark.read.parquet(path).createOrReplaceTempView(name)
 
 
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, *, header: bool = True) -> DataFrame:
+    """CSV scan with a declared schema — never inferSchema (which triggers
+    an extra full pass over the data and re-introduces the reference's
+    dtype-drift problem)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, *, target_files: int | None = None, target_rows_per_file: int = 1_000_000) -> None:
+    """Small-files compaction: rewrite a parquet dataset into ~target_files
+    outputs via coalesce (no shuffle). Streaming sinks and over-parallel
+    writers fragment tables; scan cost at 100 TB is dominated by file
+    count as much as bytes. Stage-then-swap like upsert_parquet."""
+    df = spark.read.parquet(path)
+    if target_files is None:
+        n_rows = df.count()
+        target_files = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
+    staged = path.rstrip("/") + "__compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+
+
 def write_partitioned_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
     """Partition an event-time table by day (TESTDATA events analog).
 

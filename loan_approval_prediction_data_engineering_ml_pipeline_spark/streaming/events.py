@@ -97,6 +97,47 @@ def session_aggregates(
     )
 
 
+def user_running_stats(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful per-key operator via ``applyInPandasWithState``:
+    maintains (event count, value sum, max value) per user across
+    micro-batches and emits the updated totals each batch.
+
+    This is the escape hatch for aggregations Spark's built-ins can't
+    express (per-key model state, CUSUM detectors, decaying counters…);
+    state is a small tuple per user, partitioned by the grouping key, and
+    the GroupStateTimeout + watermark bound its lifetime. Arrow batches
+    keep the Python hop amortized."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, max_value double"
+    state_schema = "n long, total double, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)],
+             "max_value": [mx]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drive a streaming frame to completion over the (finite) fixture and
     land results in an in-memory table ``name`` — availableNow semantics:

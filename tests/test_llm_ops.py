@@ -81,3 +81,28 @@ def test_quality_score_bounds(spark):
 def test_lang_id_deterministic_tiebreak(spark):
     df = spark.createDataFrame([("xyz qqq zzz",)], ["text"])  # zero hits everywhere
     assert df.select(X.lang_id("text").alias("l")).collect()[0]["l"] == "en"
+
+
+def test_mllib_minhash_agrees_with_expression_lsh(spark):
+    docs = load_table(spark, SF, "documents")
+    expr_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup(docs, k=16, bands=1, min_jaccard=1.0).collect()
+    }
+    mllib_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.mllib_minhash_pairs(docs, max_jaccard_dist=0.0).collect()
+    }
+    # identical token sets collide in every hash table in both schemes
+    assert mllib_pairs == expr_pairs
+
+
+def test_mllib_brp_topk_overlaps_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    approx = S.mllib_brp_topk(emb, 0, 10).collect()
+    assert 0 < len(approx) <= 10
+    ids = {r["vec_id"] for r in approx}
+    assert len(exact & ids) >= 2
+    # cosine recovered from unit-vector euclidean distance is in range
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in approx)

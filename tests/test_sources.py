@@ -59,3 +59,42 @@ def test_schema_drift_detection(spark, tmp_path):
     spark.createDataFrame([(1, "x")], ["c_custkey", "wrong_col"]).write.parquet(bad)
     with pytest.raises(ValueError, match="schema drift"):
         load_table(spark, str(tmp_path), "customer")
+
+
+def test_csv_roundtrip_declared_schema(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import read_csv
+
+    df = spark.createDataFrame(
+        [("LP1", 1000.0, None), ("LP2", None, 360.0)],
+        "Loan_ID string, ApplicantIncome double, Loan_Amount_Term double",
+    )
+    p = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, df.schema)
+    assert back.schema == df.schema
+    got = {r["Loan_ID"]: (r["ApplicantIncome"], r["Loan_Amount_Term"]) for r in back.collect()}
+    assert got == {"LP1": (1000.0, None), "LP2": (None, 360.0)}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "orc")
+    df.write.orc(p)
+    assert {tuple(r) for r in spark.read.orc(p).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(16).write.parquet(p)
+    before = len(glob.glob(p + "/part-*"))
+    assert before >= 16
+    compact_parquet(spark, p, target_files=2)
+    after = len(glob.glob(p + "/part-*"))
+    assert after <= 2
+    assert spark.read.parquet(p).count() == 1000

@@ -64,3 +64,30 @@ def test_sliding_window_runs(spark):
     assert out.count() > 0
     # every tumbling hour appears in ~2 sliding windows
     assert out.count() > QUERIES["events_hourly"].fn(spark, SF).count()
+
+
+def test_stateful_running_stats_match_batch(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        user_running_stats,
+    )
+
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(user_running_stats(stream), "stream_user_stats", output_mode="update")
+    # one replay = one micro-batch -> final state equals the batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in spark.table("stream_user_stats").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == batch
