@@ -78,6 +78,54 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans partitions the corpus into
+    ``n_lists`` cells; a query scores only the ``n_probe`` cells whose
+    centroids are nearest to it. The classic FAISS-style scale path:
+    on a persisted table partitioned by ``cell``, probing = partition
+    pruning, and centroids (n_lists x dim floats) live comfortably on
+    the driver/broadcast at any corpus size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        F.col(id_col), V.as_double(vec_col).alias("arr")
+    ).withColumn("feat", array_to_vector(F.col("arr")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "arr", "cell")
+
+    # rank cells by centroid distance to the query vector (driver-side:
+    # n_lists tiny), then scan only the top n_probe cells
+    qrow = assigned.where(F.col(id_col) == query_id).select("arr", "cell").first()
+    qv = qrow["arr"]
+    centers = model.clusterCenters()
+    dists = sorted(
+        range(len(centers)),
+        key=lambda c: sum((centers[c][i] - qv[i]) ** 2 for i in range(len(qv))),
+    )
+    probe_cells = dists[:n_probe]
+
+    cand = assigned.where(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos = V.cosine(F.col("arr"), qlit)
+    return (
+        cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def mllib_brp_topk(
     embeddings: DataFrame,
     query_id: int,

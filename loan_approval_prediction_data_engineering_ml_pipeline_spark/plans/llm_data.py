@@ -193,6 +193,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf",
+    oracle=None,  # approximate by construction; tests measure recall vs brute force
+    description="IVF ANN: seeded KMeans partitions embeddings into cells; "
+    "the query scores only the n_probe nearest cells (FAISS-style; on a "
+    "persisted cell-partitioned table probing = partition pruning)",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=3)
+
+
+@query(
     "ann_lsh_bucketed",
     oracle=None,  # approximate by construction; tests measure recall vs brute force
     description="Multi-table hyperplane-LSH ANN: 4 tables x 4 sign bits; "

@@ -106,3 +106,16 @@ def test_mllib_brp_topk_overlaps_brute_force(spark):
     assert len(exact & ids) >= 2
     # cosine recovered from unit-vector euclidean distance is in range
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in approx)
+
+
+def test_ivf_topk_recall_and_pruning(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    got = S.ivf_topk(emb, 0, 10, n_lists=8, n_probe=3).collect()
+    assert 0 < len(got) <= 10
+    ids = {r["vec_id"] for r in got}
+    # probing 3/8 cells must still surface a fair share of true neighbors
+    assert len(exact & ids) >= 3
+    # determinism across runs (seeded kmeans)
+    again = {r["vec_id"] for r in S.ivf_topk(emb, 0, 10, n_lists=8, n_probe=3).collect()}
+    assert ids == again
