@@ -215,6 +215,62 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_profile",
+    oracle="""
+    SELECT 'c_custkey' AS column_name,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal',
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_acctbal) AS BIGINT),
+           CAST(round(min(c_acctbal), 4) AS VARCHAR),
+           CAST(round(max(c_acctbal), 4) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(min(c_mktsegment) AS VARCHAR),
+           CAST(max(c_mktsegment) AS VARCHAR)
+    FROM customer
+    ORDER BY column_name
+    """,
+    description="Data profiling: per-column nulls / distinct / min / max "
+    "in ONE scan (the df.info()/describe() analog, LP.ipynb:591-626, as "
+    "a distributed single-pass aggregate)",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+
+    def prof(col: str, numeric: bool):
+        mn = F.round(F.min(col), 4) if numeric else F.min(col)
+        mx = F.round(F.max(col), 4) if numeric else F.max(col)
+        return F.struct(
+            F.lit(col).alias("column_name"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.cast("string").alias("min_value"),
+            mx.cast("string").alias("max_value"),
+        )
+
+    # one aggregation job produces every column's profile; unpack after
+    agg = c.agg(
+        prof("c_custkey", True).alias("p1"),
+        prof("c_acctbal", True).alias("p2"),
+        prof("c_mktsegment", False).alias("p3"),
+    )
+    return (
+        agg.select(F.explode(F.array("p1", "p2", "p3")).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+@query(
     "range_join_bucketed",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
