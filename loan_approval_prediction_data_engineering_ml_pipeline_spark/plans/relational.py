@@ -493,6 +493,97 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "intersect_except",
+    oracle="""
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+    both_u AS (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM erroring),
+    only_p AS (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM erroring)
+    SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS n FROM both_u
+    UNION ALL
+    SELECT 'purchase_only', CAST(count(*) AS BIGINT) FROM only_p
+    ORDER BY cohort
+    """,
+    description="U1 extension: INTERSECT / EXCEPT set operations "
+    "(user cohorts by event behavior)",
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both_u = purchasers.intersect(erroring).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only_p = purchasers.exceptAll(erroring).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("purchase_only").alias("cohort"), "n"
+    )
+    return both_u.unionByName(only_p).orderBy("cohort")
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)      AS yr,
+           CAST(month(o_orderdate) AS INTEGER)     AS mo,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0,
+           CAST(count(*) AS BIGINT)                AS n,
+           round(sum(o_totalprice), 4)             AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    description="Date/time scalar functions (year/month/day-of-week "
+    "extraction) feeding a calendar rollup. NB dialect alignment: Spark "
+    "dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("yr", "mo", "dow_sun0")
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS padded_key,
+           concat_ws('|', p_brand, p_type)                  AS brand_type,
+           regexp_extract(p_type, '([a-z]+)$', 1)           AS type_last_word,
+           CAST(length(p_name) AS INTEGER)                  AS name_len,
+           substr(p_name, 1, 5)                             AS name_prefix,
+           replace(p_type, ' ', '_')                        AS type_snake
+    FROM part
+    ORDER BY p_partkey
+    """,
+    description="String scalar-function suite: case, padding, "
+    "concat_ws, regexp_extract, length, substring, replace — all "
+    "codegen'd, dialect-aligned with the oracle",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last_word"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    ).orderBy("p_partkey")
+
+
+@query(
     "group_having",
     oracle="""
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

@@ -195,3 +195,12 @@ def test_engineered_features_and_cv(spark, loan_df):
     model = cv.fit(eng)
     assert len(model.avgMetrics) == 4  # 2x2 grid
     assert all(0.0 <= m <= 1.0 for m in model.avgMetrics)
+
+
+def test_cli_scorer_arg_validation():
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.app import main
+
+    with pytest.raises(SystemExit):  # neither --model nor --train-demo
+        main(["--row", "{}"])
+    with pytest.raises(SystemExit):  # --row is required
+        main(["--train-demo"])
