@@ -21,15 +21,36 @@ import json
 import sys
 
 
+# columns the schema types as double — JSON integers must coerce
+NUMERIC_FIELDS = (
+    "ApplicantIncome",
+    "CoapplicantIncome",
+    "LoanAmount",
+    "Loan_Amount_Term",
+    "Credit_History",
+)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="Loan-approval single-row scorer")
-    parser.add_argument("--model", help="path to a saved PipelineModel")
-    parser.add_argument("--train-demo", action="store_true",
-                        help="train on the loan fixture instead of loading --model")
+    mode = parser.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--model", help="path to a saved PipelineModel")
+    mode.add_argument("--train-demo", action="store_true",
+                      help="train on the loan fixture instead of loading --model")
     parser.add_argument("--row", required=True, help="applicant record as a JSON object")
     args = parser.parse_args(argv)
 
-    row = json.loads(args.row)
+    # validate the row BEFORE paying for a SparkSession boot
+    try:
+        row = json.loads(args.row)
+    except json.JSONDecodeError as exc:
+        parser.error(f"--row is not valid JSON: {exc}")
+    if not isinstance(row, dict):
+        parser.error("--row must be a JSON object")
+    # natural JSON numbers parse as int; the schema wants double
+    for k in NUMERIC_FIELDS:
+        if k in row and row[k] is not None:
+            row[k] = float(row[k])
 
     from pyspark.ml import PipelineModel
 
@@ -39,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="loan_scorer")
     if args.model:
         model = PipelineModel.load(args.model)
-    elif args.train_demo:
+    else:
         from pyspark.ml.classification import LogisticRegression
 
         from ..sources.loan_fixtures import generate_loan_tables
@@ -49,8 +70,6 @@ def main(argv: list[str] | None = None) -> int:
         df = prepare_loan_frame(t["applicant_info"], t["financial_info"], t["loan_info"])
         clf = LogisticRegression(maxIter=500, labelCol="label", featuresCol="features")
         model = build_pipeline(clf).fit(df)
-    else:
-        parser.error("provide --model PATH or --train-demo")
 
     out = score_single_row(spark, model, row)
     print(json.dumps(out))

@@ -514,7 +514,10 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both_u = purchasers.intersect(erroring).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("both").alias("cohort"), "n"
     )
-    only_p = purchasers.exceptAll(erroring).agg(F.count(F.lit(1)).alias("n")).select(
+    # subtract() = set-semantics EXCEPT, matching the oracle's EXCEPT
+    # (exceptAll would be EXCEPT ALL — equivalent here only because the
+    # inputs are pre-distincted, so say what we mean)
+    only_p = purchasers.subtract(erroring).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("purchase_only").alias("cohort"), "n"
     )
     return both_u.unionByName(only_p).orderBy("cohort")
@@ -558,10 +561,11 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(p_brand)                                   AS brand_upper,
            lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS padded_key,
            concat_ws('|', p_brand, p_type)                  AS brand_type,
-           regexp_extract(p_type, '([a-z]+)$', 1)           AS type_last_word,
+           regexp_extract(p_brand, '([0-9]+)$', 1)          AS brand_num,
+           regexp_extract(p_name, '([a-z]+)$', 1)           AS name_last_word,
            CAST(length(p_name) AS INTEGER)                  AS name_len,
            substr(p_name, 1, 5)                             AS name_prefix,
-           replace(p_type, ' ', '_')                        AS type_snake
+           replace(p_name, ' ', '_')                        AS name_snake
     FROM part
     ORDER BY p_partkey
     """,
@@ -571,15 +575,19 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
+    # patterns chosen to actually match the data (p_brand 'Brand#17',
+    # p_name 'small ring') so regex/replace divergences can't hide behind
+    # trivially-empty outputs
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last_word"),
+        F.regexp_extract("p_brand", "([0-9]+)$", 1).alias("brand_num"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("name_last_word"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
     ).orderBy("p_partkey")
 
 

@@ -204,3 +204,14 @@ def test_cli_scorer_arg_validation():
         main(["--row", "{}"])
     with pytest.raises(SystemExit):  # --row is required
         main(["--train-demo"])
+
+
+def test_cli_scorer_rejects_bad_json_and_both_modes():
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.app import main
+
+    with pytest.raises(SystemExit):  # invalid JSON caught before Spark boots
+        main(["--train-demo", "--row", "{not json"])
+    with pytest.raises(SystemExit):  # --model and --train-demo are exclusive
+        main(["--model", "/x", "--train-demo", "--row", "{}"])
+    with pytest.raises(SystemExit):  # row must be an object
+        main(["--train-demo", "--row", "[1,2]"])
