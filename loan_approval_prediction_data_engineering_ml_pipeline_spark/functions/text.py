@@ -81,12 +81,16 @@ def jaccard(a_set: Column, b_set: Column) -> Column:
 
 
 def word_shingles(col: Column | str, n: int) -> Column:
-    """n-gram word shingles via sequence+transform+slice — built-ins only."""
+    """n-gram word shingles via sequence+transform+slice — built-ins only.
+
+    Documents shorter than n tokens yield an empty array — without the
+    guard, sequence(1, 0) counts DOWN ([1, 0]) and slice(toks, 0, n) is
+    a runtime error."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_hits(col: Column | str, words: list[str]) -> Column:
@@ -107,14 +111,16 @@ def lang_id(col: Column | str) -> Column:
 
 
 def alpha_ratio(col: Column | str) -> Column:
+    # try_divide: empty text must yield null, not a DIVIDE_BY_ZERO abort
+    # under Spark 4's default ANSI mode (corpora routinely contain "")
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)
+    return F.try_divide(F.length(F.regexp_replace(c, "[^a-zA-Z]", "")), F.length(c))
 
 
 def avg_token_len(col: Column | str) -> Column:
     toks = tokens(col)
     total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
-    return total / F.size(toks)
+    return F.try_divide(total, F.size(toks))
 
 
 def quality_score(col: Column | str) -> Column:

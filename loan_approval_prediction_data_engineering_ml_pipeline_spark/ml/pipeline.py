@@ -73,20 +73,34 @@ def add_engineered_features(df: DataFrame) -> DataFrame:
 ENGINEERED_NUMERIC = ["EMI_proxy", "Loan_to_Income", "Log_Total_Income", "Log_LoanAmount"]
 
 
-def build_cross_validator(clf=None, *, n_folds: int = 3, seed: int = 42):
+def build_cross_validator(clf=None, *, param_grid=None, n_folds: int = 3, seed: int = 42):
     """README.md:15's k-fold CV + grid search, Spark-native: CrossValidator
     over the full preprocessing+model pipeline (folds re-fit imputers and
-    scalers — no test-fold leakage, unlike refitting stages manually)."""
+    scalers — no test-fold leakage, unlike refitting stages manually).
+
+    ``param_grid``: list of param maps (ParamGridBuilder().build()); the
+    built-in default grid only applies to LogisticRegression — any other
+    estimator must bring its own grid."""
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    clf = clf or LogisticRegression(maxIter=200, labelCol="label", featuresCol="features")
-    pipe = build_pipeline(clf)
-    grid = (
-        ParamGridBuilder()
-        .addGrid(clf.regParam, [0.0, 0.1])
-        .addGrid(clf.elasticNetParam, [0.0, 0.5])
-        .build()
+    clf = clf if clf is not None else LogisticRegression(
+        maxIter=200, labelCol="label", featuresCol="features"
     )
+    pipe = build_pipeline(clf)
+    if param_grid is not None:
+        grid = param_grid
+    elif isinstance(clf, LogisticRegression):
+        grid = (
+            ParamGridBuilder()
+            .addGrid(clf.regParam, [0.0, 0.1])
+            .addGrid(clf.elasticNetParam, [0.0, 0.5])
+            .build()
+        )
+    else:
+        raise ValueError(
+            f"no default grid for {type(clf).__name__}; pass param_grid="
+            "ParamGridBuilder().addGrid(...).build()"
+        )
     evaluator = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     )

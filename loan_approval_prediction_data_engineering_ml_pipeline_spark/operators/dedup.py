@@ -78,6 +78,12 @@ def lsh_candidate_pairs(
     the bucket yields candidates. Only ids and band keys shuffle. The
     ``distinct()`` collapses pairs that collide in several bands.
     """
+    if bands > k or k % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide k ({k}): bands>k would "
+            "give every row an empty band key (an all-pairs self-join), "
+            "and a remainder would silently drop signature rows"
+        )
     rows_per_band = k // bands
     sigs = with_minhash(df.select(id_col, text_col), text_col, k).select(id_col, "sig")
     band_structs = F.array(
@@ -137,6 +143,9 @@ def verified_pairs(
     )
 
 
+_last_lsh_base = None  # previous call's persisted signature table (see below)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     *,
@@ -153,13 +162,22 @@ def minhash_lsh_dedup(
     Without the persist, the self-join and the two verification joins
     each recompute tokenization+minhash (5 scans of the corpus); a
     persisted (id, toks, sig) table is exactly what a production pipeline
-    materializes — it is orders of magnitude smaller than the documents."""
-    rows_per_band = max(k // bands, 1)
+    materializes — it is orders of magnitude smaller than the documents.
+    Since the returned frame is lazy and keeps referencing the persisted
+    table, each call unpersists the previous call's table (bounding the
+    cache to one signature table per process)."""
+    if bands > k or k % bands != 0:
+        raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
+    rows_per_band = k // bands
     base = (
         with_minhash(df.select(id_col, text_col), text_col, k)
         .select(F.col(id_col).alias("id"), X.distinct_tokens(text_col).alias("toks"), "sig")
         .persist()
     )
+    global _last_lsh_base
+    if _last_lsh_base is not None:
+        _last_lsh_base.unpersist()
+    _last_lsh_base = base
     band_structs = F.array(
         *[
             F.struct(

@@ -110,7 +110,15 @@ def salted_join(
     automatically at runtime; explicit salting remains the tool when a
     single key dominates so heavily that even split partitions overwhelm
     a task, or when the join is sort-merge over a pre-shuffled layout.
-    Result columns match a plain ``join(dim, key, how)``."""
+    Results match a plain ``join(dim, key, how)`` for inner/left joins
+    only — right/full would replicate unmatched dim rows once per salt,
+    so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: the "
+            "exploded dim side would replicate unmatched rows salt-fold "
+            "under right/full outer semantics"
+        )
     salted_fact = skewed.withColumn("__salt", (F.rand(42) * salt).cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -108,6 +108,11 @@ def ivf_topk(
     # rank cells by centroid distance to the query vector (driver-side:
     # n_lists tiny), then scan only the top n_probe cells
     qrow = assigned.where(F.col(id_col) == query_id).select("arr", "cell").first()
+    if qrow is None:
+        # match brute_force_topk/lsh_topk: unknown query id -> empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine double"
+        )
     qv = qrow["arr"]
     centers = model.clusterCenters()
     dists = sorted(
@@ -154,7 +159,12 @@ def mllib_brp_topk(
         numHashTables=num_hash_tables, seed=seed,
     )
     model = brp.fit(vecs)
-    key = vecs.where(F.col(id_col) == query_id).first()["v"]
+    krow = vecs.where(F.col(id_col) == query_id).first()
+    if krow is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine double"
+        )
+    key = krow["v"]
     out = model.approxNearestNeighbors(vecs.where(F.col(id_col) != query_id), key, k)
     # euclidean dist d on unit vectors -> cosine = 1 - d^2/2
     return out.select(

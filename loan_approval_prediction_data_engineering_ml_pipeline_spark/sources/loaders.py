@@ -13,11 +13,21 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from .schemas import TABLE_SCHEMAS
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Remove a staging directory via the Hadoop FS API (works for any
+    supported filesystem, not just file://). Leaving staged copies around
+    doubles storage per operation at scale."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = True) -> DataFrame:
@@ -97,9 +107,14 @@ def upsert_parquet(
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path)
-        merged = df.unionByName(existing, allowMissingColumns=False)
-    except Exception:  # first write: nothing to merge
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            # anything other than "store doesn't exist yet" must surface:
+            # swallowing it here would overwrite (destroy) the live table
+            raise
         merged = df
+    else:
+        merged = df.unionByName(existing, allowMissingColumns=False)
     if order_col:
         w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         deduped = (
@@ -114,6 +129,7 @@ def upsert_parquet(
     deduped.write.mode("overwrite").parquet(staged)
     final = spark.read.parquet(staged)
     final.write.mode("overwrite").parquet(path)
+    _delete_path(spark, staged)
 
 
 def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> None:
@@ -141,6 +157,7 @@ def compact_parquet(spark: SparkSession, path: str, *, target_files: int | None 
     staged = path.rstrip("/") + "__compact"
     df.coalesce(target_files).write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    _delete_path(spark, staged)
 
 
 def write_partitioned_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:

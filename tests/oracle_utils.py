@@ -38,8 +38,8 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"

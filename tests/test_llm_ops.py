@@ -119,3 +119,46 @@ def test_ivf_topk_recall_and_pruning(spark):
     # determinism across runs (seeded kmeans)
     again = {r["vec_id"] for r in S.ivf_topk(emb, 0, 10, n_lists=8, n_probe=3).collect()}
     assert ids == again
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",)], ["text"])
+    out = [r["sh"] for r in df.select(X.word_shingles("text", 3).alias("sh")).collect()]
+    assert out == [[], []]
+
+
+def test_text_ratios_survive_empty_text(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("real text here",)], ["text"])
+    rows = df.select(
+        X.alpha_ratio("text").alias("a"), X.quality_score("text").alias("q")
+    ).collect()
+    assert rows[0]["a"] is None  # null, not DIVIDE_BY_ZERO under ANSI
+    assert rows[2]["a"] is not None
+
+
+def test_lsh_rejects_bad_banding(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    with pytest.raises(ValueError, match="bands"):
+        D.lsh_candidate_pairs(docs, k=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_dedup(docs, k=16, bands=3)
+
+
+def test_ann_unknown_query_id_returns_empty(spark):
+    emb = load_table(spark, SF, "embeddings")
+    assert S.ivf_topk(emb, query_id=10**9, n_lists=4, n_probe=2).count() == 0
+    assert S.brute_force_topk(emb, query_id=10**9).count() == 0
+
+
+def test_upsert_schema_mismatch_raises_not_destroys(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "val"])
+    upsert_parquet(df1, path, ["id"])
+    bad = spark.createDataFrame([(3,)], ["id"])  # missing 'val'
+    with pytest.raises(Exception):
+        upsert_parquet(bad, path, ["id"])
+    # original data intact, no staging leftovers
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == {(1, "a")}
+    assert glob.glob(path + "__staging") == []

@@ -75,3 +75,9 @@ def test_jdbc_reader_builds_options_and_fails_cleanly(spark):
     # no JDBC driver jar in this container: load() must raise, not hang
     with pytest.raises(Exception):
         reader.load()
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(c, c, "c_custkey", how="right")
