@@ -215,6 +215,83 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
+    ORDER BY e.event_id
+    """,
+    description="Z-score outlier detection per event_type: grouped "
+    "mu/sigma (tiny, broadcast back) then a map-side score+filter — "
+    "two passes total, no window over raw rows",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "top_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
+    ORDER BY lang, n DESC, token
+    """,
+    description="Top-k frequent tokens per language: explode -> grouped "
+    "count -> per-group window rank. The vocabulary aggregate shuffles "
+    "(lang, token) pairs, already reduced map-side",
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .drop("rk")
+        .orderBy("lang", F.desc("n"), "token")
+    )
+
+
+@query(
     "table_profile",
     oracle="""
     SELECT 'c_custkey' AS column_name,
