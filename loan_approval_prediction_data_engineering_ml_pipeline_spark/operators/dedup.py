@@ -217,6 +217,62 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: ``comp(v) <- min(comp(v), min comp(u) for u
+    adjacent to v)`` until a fixed point. Returns ``(vertex, component)``
+    where component = the smallest vertex id reachable from ``vertex``.
+
+    This is the canonical-document step of a dedup pipeline: LSH/cosine
+    near-dup *pairs* become duplicate *clusters* keyed by their minimum
+    id (keep one row per component, drop the rest).
+
+    Scale design: each round is exactly one shuffle keyed on vertex id
+    (edge-comp join + min-aggregate); only ``(vertex, component)`` longs
+    ever shuffle, never payloads. Rounds needed = graph diameter —
+    near-dup graphs are shallow clique-ish blobs, so 2-4 rounds in
+    practice. ``localCheckpoint`` cuts lineage every round so the plan
+    stays bounded, and the converged-round check is the same count that
+    drives the loop (no extra job).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    comp = (
+        sym.select(F.col("s").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym["d"] == comp["vertex"])
+            .groupBy(F.col("s").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        merged = (
+            comp.join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.where(F.col("_changed")).count()
+        comp = merged.drop("_changed")
+        if changed == 0:
+            break
+    return comp
+
+
 def minhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16) -> DataFrame:
     """Near-dup *groups* by full-signature equality: documents whose entire
     k-hash signature matches are (almost certainly) token-set-identical.

@@ -292,6 +292,52 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_suite",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(avg(o_totalprice) OVER w_frame, 4) AS moving_avg_3,
+           round(o_totalprice
+                 - coalesce(lag(o_totalprice) OVER w, o_totalprice), 4)
+               AS delta_prev,
+           CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+           round(percent_rank() OVER w_price, 6) AS price_pct_rank
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW
+        w       AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        w_frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="Window-function suite per customer: 3-row moving average, "
+    "lag delta, ntile quartile, percent_rank. One shuffle on o_custkey; "
+    "the two sort orders share that partitioning, so Spark runs two Window "
+    "operators over a single exchange — no per-function shuffles",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w.rowsBetween(-2, W.currentRow)
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    price = F.col("o_totalprice")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg(price).over(w_frame), 4).alias("moving_avg_3"),
+            F.round(price - F.coalesce(F.lag(price).over(w), price), 4).alias(
+                "delta_prev"
+            ),
+            F.ntile(4).over(w).alias("spend_quartile"),
+            F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "table_profile",
     oracle="""
     SELECT 'c_custkey' AS column_name,

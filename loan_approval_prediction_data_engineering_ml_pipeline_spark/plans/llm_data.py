@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
+from ..functions import vectors as V
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..sources.loaders import load_table
@@ -190,6 +191,73 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_pairs(emb, threshold=0.4, block_col="label")
+
+
+@query(
+    "near_dup_components",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ),
+    edges AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT r.a, ed.d FROM reach r JOIN edges ed ON r.b = ed.s
+    )
+    SELECT a AS vec_id, min(b) AS component
+    FROM reach GROUP BY a ORDER BY vec_id
+    """,
+    description="Near-dup clusters: cosine pairs (label-blocked) -> "
+    "connected components by iterative min-label propagation (one "
+    "shuffle of (vertex, component) longs per round, localCheckpoint "
+    "between rounds, rounds = graph diameter) -> every doc labeled with "
+    "its canonical (minimum) id. The keep-one-per-cluster step of a "
+    "training-data dedup pipeline; oracle = recursive-CTE transitive "
+    "closure",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs(emb, threshold=0.4, block_col="label")
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    return (
+        emb.select("vec_id")
+        .join(comps, emb["vec_id"] == comps["vertex"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 6) AS centroid
+    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    description="Per-label embedding centroid (elementwise mean): "
+    "posexplode -> groupBy(label, pos). Shuffles (label, dim) partial "
+    "sums already reduced map-side — never the raw vectors; centroid "
+    "count = |labels| x dim regardless of row count (the class-prototype "
+    "/ cluster-seed aggregate of an embedding pipeline)",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(V.as_double("embedding")).alias("p", "x"))
+        .groupBy("label", (F.col("p") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
 
 
 @query(

@@ -138,6 +138,33 @@ def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> N
     spark.read.parquet(path).createOrReplaceTempView(name)
 
 
+def save_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed (and per-bucket sorted) managed table.
+
+    Bucketing pays the shuffle ONCE at write time: rows are hash-placed
+    into ``n_buckets`` files by ``bucket_cols``, so every later equi-join
+    or aggregation on those keys between same-bucketed tables runs with
+    NO Exchange — the 100 TB pattern for fact-to-fact joins that are too
+    big to broadcast and too frequent to re-shuffle per query
+    (``tests/test_scale_patterns.py`` asserts the Exchange-free plan).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType, *, header: bool = True) -> DataFrame:
     """CSV scan with a declared schema — never inferSchema (which triggers
     an extra full pass over the data and re-introduces the reference's

@@ -1,6 +1,8 @@
 from .events import (  # noqa: F401
+    deduped_stream,
     read_events_stream,
-    windowed_counts,
-    session_aggregates,
     run_stream_to_table,
+    session_aggregates,
+    user_running_stats,
+    windowed_counts,
 )

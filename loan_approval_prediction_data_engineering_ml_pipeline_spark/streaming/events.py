@@ -138,6 +138,25 @@ def user_running_stats(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup: emit the first arrival per key, drop re-deliveries
+    (at-least-once source -> exactly-once-per-key output).
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_cols`` and —
+    unlike plain ``dropDuplicates`` — evicts each key once the watermark
+    passes its first-seen event time, so state is bounded by (keys per
+    watermark interval), not by the stream's lifetime. That bound is what
+    makes this viable on an unbounded 100 TB/day ingest feed."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drive a streaming frame to completion over the (finite) fixture and
     land results in an in-memory table ``name`` — availableNow semantics:

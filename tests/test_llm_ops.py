@@ -162,3 +162,24 @@ def test_upsert_schema_mismatch_raises_not_destroys(spark, tmp_path):
     # original data intact, no staging leftovers
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == {(1, "a")}
     assert glob.glob(path + "__staging") == []
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # 1-2-3-4-5 chain (diameter 4 forces multi-round propagation),
+    # separate pair {10,11}, and 99 as an edge-less vertex handled by
+    # the caller's left-join convention (not emitted here).
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in D.connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_one_round_on_star(spark):
+    # star around 0: single round reaches the fixed point
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    comp = D.connected_components(edges, "src", "dst", max_iter=2)
+    assert {r["component"] for r in comp.collect()} == {0}

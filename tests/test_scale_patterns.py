@@ -81,3 +81,45 @@ def test_salted_join_rejects_outer_modes(spark):
     c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(c, c, "c_custkey", how="right")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_eliminates_exchange(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        save_bucketed_table,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = save_bucketed_table(spark, orders, "t_orders_b", 8, ["o_custkey"])
+        bc = save_bucketed_table(
+            spark, customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "t_customer_b", 8, ["o_custkey"],
+        )
+        bucketed = bo.join(bc, "o_custkey")
+        plain = orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        assert "Exchange" not in _physical_plan(bucketed), (
+            "bucketed equi-join must not shuffle"
+        )
+        assert "Exchange" in _physical_plan(plain), (
+            "negative control: unbucketed join should shuffle"
+        )
+        # same co-location also covers the downstream groupBy key
+        agg_on_key = bo.join(bc, "o_custkey").groupBy("o_custkey").count()
+        assert "Exchange" not in _physical_plan(agg_on_key)
+        # and the results agree with the unbucketed plan
+        lhs = {tuple(r) for r in bucketed.groupBy("c_mktsegment").count().collect()}
+        rhs = {tuple(r) for r in plain.groupBy("c_mktsegment").count().collect()}
+        assert lhs == rhs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")

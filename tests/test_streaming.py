@@ -91,3 +91,27 @@ def test_stateful_running_stats_match_batch(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import deduped_stream
+
+    # simulate an at-least-once source: the same fixture delivered twice,
+    # as two files in the streamed directory
+    batch = (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TIMESTAMP, not NTZ
+        .limit(200)
+    )
+    src = str(tmp_path / "replayed")
+    batch.write.mode("overwrite").parquet(src)
+    batch.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_stream_to_table(
+        deduped_stream(stream, key_cols=("event_id",)), "stream_dedup"
+    )
+    out = spark.table("stream_dedup")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
