@@ -338,6 +338,103 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    description="GROUPING SETS (status), (priority), () with grouping() "
+    "markers — three aggregation levels in one shuffle instead of a "
+    "union of three scans (rollup/cube's general form)",
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """)
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="Deterministic ~12.5% sample: keep rows whose key-md5 ends "
+    "in 0/1 — a map-side filter that is reproducible across engines, "
+    "runs, and partitionings (unlike rand()-based sampling), composable "
+    "with pushdown, and stable under data reshuffles at any scale",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    tail = F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 32, 1)
+    return (
+        o.where(tail.isin("0", "1"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+    SELECT CAST(least(floor((o_totalprice - mn) * 10 / (mx - mn)), 9) AS INT) + 1
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders, b
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="Equi-width histogram: one tiny min/max agg broadcast back "
+    "(scalar cross join), then a map-side bucket expression + grouped "
+    "count — two scans, no sort, no single-partition window; the "
+    "scale-safe histogram shape (vs ntile's global sort)",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    price, mn, mx = F.col("o_totalprice"), F.col("mn"), F.col("mx")
+    bucket = (
+        F.least(F.floor((price - mn) * 10 / (mx - mn)), F.lit(9)).cast("int") + 1
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(price), 4).alias("lo"),
+            F.round(F.max(price), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "table_profile",
     oracle="""
     SELECT 'c_custkey' AS column_name,

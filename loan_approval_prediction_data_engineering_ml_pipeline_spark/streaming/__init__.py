@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    correlated_pairs_stream,
     deduped_stream,
     read_events_stream,
     run_stream_to_table,

@@ -157,6 +157,55 @@ def deduped_stream(
     )
 
 
+def correlated_pairs_stream(
+    events: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    gap: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each ``left_type`` event paired with the
+    same user's ``right_type`` events within ±``gap`` — the streaming twin
+    of the batch ``range_join_bucketed`` query.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can size the join state buffer: a row is held only
+    until the opposite stream's watermark passes its admissible window,
+    then evicted. Without the time bound the state would grow without
+    limit — the bound is what makes stream-stream joins run forever."""
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return left.join(right, cond, "inner").select(
+        "purchase_id",
+        "error_id",
+        F.round(
+            (F.col("l_ts").cast("double") - F.col("r_ts").cast("double")), 3
+        ).alias("gap_sec"),
+    )
+
+
 def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drive a streaming frame to completion over the (finite) fixture and
     land results in an in-memory table ``name`` — availableNow semantics:

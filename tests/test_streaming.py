@@ -115,3 +115,22 @@ def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
     out = spark.table("stream_dedup")
     assert out.count() == 200
     assert out.select("event_id").distinct().count() == 200
+
+
+def test_stream_stream_join_matches_batch_range_join(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        correlated_pairs_stream,
+    )
+
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(correlated_pairs_stream(stream), "stream_pairs")
+    got = {
+        (r["purchase_id"], r["error_id"])
+        for r in spark.table("stream_pairs").collect()
+    }
+    batch = {
+        (r["purchase_id"], r["error_id"])
+        for r in QUERIES["range_join_bucketed"].fn(spark, SF).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
