@@ -44,6 +44,9 @@ HEADLINE = [
     "text_quality",
     "tfidf_top_terms",
     "ann_cosine_topk",
+    "window_suite",
+    "price_histogram",
+    "near_dup_components",
 ]
 
 

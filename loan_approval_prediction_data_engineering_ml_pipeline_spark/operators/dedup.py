@@ -222,27 +222,62 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
-    min-label propagation: ``comp(v) <- min(comp(v), min comp(u) for u
-    adjacent to v)`` until a fixed point. Returns ``(vertex, component)``
-    where component = the smallest vertex id reachable from ``vertex``.
+    """Connected components over an undirected edge list. Returns
+    ``(vertex, component)`` where component = the smallest vertex id
+    reachable from ``vertex``.
 
     This is the canonical-document step of a dedup pipeline: LSH/cosine
     near-dup *pairs* become duplicate *clusters* keyed by their minimum
     id (keep one row per component, drop the rest).
 
-    Scale design: each round is exactly one shuffle keyed on vertex id
-    (edge-comp join + min-aggregate); only ``(vertex, component)`` longs
-    ever shuffle, never payloads. Rounds needed = graph diameter —
-    near-dup graphs are shallow clique-ish blobs, so 2-4 rounds in
-    practice. ``localCheckpoint`` cuts lineage every round so the plan
-    stays bounded, and the converged-round check is the same count that
-    drives the loop (no extra job).
+    Scale-adaptive strategy. The edge list is the *candidate-pair* set —
+    already LSH/blocking-bounded, orders of magnitude smaller than the
+    corpus. When it fits on the driver (≤ ``driver_threshold`` distinct
+    directed edges ≈ hundreds of MB of longs), path-compressed
+    union-find in one pass beats diameter-many shuffle rounds; this is
+    the contracted-graph endgame every distributed CC algorithm
+    (GraphFrames included) finishes with — here it just starts there
+    when the graph is already small. Above the threshold: iterative
+    min-label propagation — ``comp(v) <- min(comp(v), min comp(u) over
+    neighbors)`` — one shuffle of ``(vertex, component)`` longs per
+    round (never payloads), rounds = graph diameter (near-dup graphs
+    are shallow clique-ish blobs: 2-4), ``localCheckpoint`` cutting
+    lineage each round so the plan stays bounded.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+    vtype = sym.schema["s"].dataType
+    out_schema = T.StructType(
+        [T.StructField("vertex", vtype), T.StructField("component", vtype)]
+    )
+    if sym.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots: dict = {}
+        for v in parent:
+            r = find(v)
+            roots[r] = min(roots.get(r, v), v)
+        data = [(v, roots[find(v)]) for v in parent]
+        return edges.sparkSession.createDataFrame(data, out_schema)
+
     comp = (
         sym.select(F.col("s").alias("vertex"))
         .distinct()

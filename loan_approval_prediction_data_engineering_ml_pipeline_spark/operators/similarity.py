@@ -57,15 +57,21 @@ def cosine_pairs(
     (equi-join on the block key instead of a cross join) — the blocking
     pattern that keeps pair generation tractable at scale; pass None for
     the exact-but-quadratic variant."""
+    v = V.as_double(vec_col)
+    # norms once per ROW before the join (not per pair): 2/3 of the
+    # array arithmetic moves out of the O(pairs) loop
     emb = embeddings.select(
-        F.col(id_col), V.as_double(vec_col).alias("v"), *( [F.col(block_col)] if block_col else [] )
+        F.col(id_col),
+        v.alias("v"),
+        V.norm(v).alias("nrm"),
+        *([F.col(block_col)] if block_col else []),
     )
     a = emb.alias("a")
     b = emb.alias("b")
     on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         on = on & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    cos = V.cosine(F.col("a.v"), F.col("b.v"))
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, on)
         .select(
@@ -74,6 +80,51 @@ def cosine_pairs(
             F.round(cos, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+    )
+
+
+def cosine_pairs_gemm(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-dup pairs by block-local matrix multiply: ``applyInPandas``
+    per block, one BLAS Gram matrix per group.
+
+    Same semantics as :func:`cosine_pairs` (id_a < id_b, cosine rounded
+    to 6 dp, ``>= threshold``), different physics: Arrow ships each
+    vector ONCE (O(n·d) transfer, not O(pairs·d)), and the pairwise
+    arithmetic runs as a single ``M @ M.T`` — orders of magnitude
+    faster than per-pair expression evaluation. The 100 TB contract is
+    the same as every blocked-similarity op: one block (LSH bucket /
+    label / IVF cell) must fit in one task's memory — re-block or salt
+    upstream if a block outgrows ~1e5 vectors."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        C = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.round(C[iu, ju], 6)
+        keep = c >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu][keep], "id_b": ids[ju][keep], "cosine": c[keep]}
+        )
+
+    return (
+        embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(gram, "id_a long, id_b long, cosine double")
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
     )
 

@@ -184,13 +184,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     ORDER BY cosine DESC, id_a, id_b
     """,
-    description="Embedding-cosine near-dup pairs with label blocking "
-    "(equi-join bounds the pair space — the blocking pattern that keeps "
-    "pairwise similarity tractable at scale)",
+    description="Embedding-cosine near-dup pairs with label blocking: "
+    "block-local BLAS Gram matrix via applyInPandas — Arrow ships each "
+    "vector once (O(n*d), not O(pairs*d)); blocking bounds the pair "
+    "space, GEMM makes the in-block pairwise arithmetic cheap",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(emb, threshold=0.4, block_col="label")
+    return S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label")
 
 
 @query(
@@ -213,16 +214,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY a ORDER BY vec_id
     """,
     description="Near-dup clusters: cosine pairs (label-blocked) -> "
-    "connected components by iterative min-label propagation (one "
-    "shuffle of (vertex, component) longs per round, localCheckpoint "
-    "between rounds, rounds = graph diameter) -> every doc labeled with "
-    "its canonical (minimum) id. The keep-one-per-cluster step of a "
-    "training-data dedup pipeline; oracle = recursive-CTE transitive "
-    "closure",
+    "connected components (scale-adaptive: driver union-find on the "
+    "LSH-bounded pair set when it fits, else iterative min-label "
+    "propagation shuffling only (vertex, component) longs per round) "
+    "-> every doc labeled with its canonical (minimum) id. The "
+    "keep-one-per-cluster step of a training-data dedup pipeline; "
+    "oracle = recursive-CTE transitive closure",
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs(emb, threshold=0.4, block_col="label")
+    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label")
     comps = D.connected_components(pairs, "id_a", "id_b")
     return (
         emb.select("vec_id")

@@ -164,22 +164,41 @@ def test_upsert_schema_mismatch_raises_not_destroys(spark, tmp_path):
     assert glob.glob(path + "__staging") == []
 
 
-def test_connected_components_chain_and_singleton(spark):
+@pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
+def test_connected_components_chain_and_singleton(spark, driver_threshold):
     # 1-2-3-4-5 chain (diameter 4 forces multi-round propagation),
     # separate pair {10,11}, and 99 as an edge-less vertex handled by
     # the caller's left-join convention (not emitted here).
+    # threshold=0 forces the distributed loop; default takes union-find.
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], ["src", "dst"]
     )
     got = {
         r["vertex"]: r["component"]
-        for r in D.connected_components(edges, "src", "dst").collect()
+        for r in D.connected_components(
+            edges, "src", "dst", driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
 def test_connected_components_converges_one_round_on_star(spark):
-    # star around 0: single round reaches the fixed point
+    # star around 0: single round reaches the fixed point (distributed path)
     edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
-    comp = D.connected_components(edges, "src", "dst", max_iter=2)
+    comp = D.connected_components(edges, "src", "dst", max_iter=2, driver_threshold=0)
     assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_cosine_pairs_gemm_agrees_with_expression_path(spark):
+    emb = load_table(spark, SF, "embeddings")
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(emb, threshold=0.4, block_col="label").collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label").collect()
+    }
+    assert expr.keys() == gemm.keys()
+    for k in expr:
+        assert abs(expr[k] - gemm[k]) < 1e-9
