@@ -57,8 +57,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # untimed warm-up: JVM classloading + codegen compile
+    # untimed warm-up: JVM classloading + codegen compile, plus the
+    # Python UDF worker pool (reused daemons on a real cluster — the
+    # first applyInPandas otherwise pays ~1s/worker fork-and-connect)
     QUERIES[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F  # local import: bench-only
+
+    (
+        spark.range(256)
+        .withColumn("g", F.col("id") % 32)
+        .groupBy("g")
+        .applyInPandas(lambda p: p, "g long, id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

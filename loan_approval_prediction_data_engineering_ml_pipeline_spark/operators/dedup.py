@@ -264,8 +264,11 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.toLocalIterator():
-            a, b = row[0], row[1]
+        # one Arrow transfer (toLocalIterator would run one sequential
+        # job per partition); python-native lists keep createDataFrame
+        # type inference happy
+        pdf = sym.toPandas()
+        for a, b in zip(pdf["s"].tolist(), pdf["d"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
