@@ -44,33 +44,62 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit("[a-z]+|[A-Z]+|[0-9]+"), F.lit(0)))
 
 
-def token_hash(seed: int, tok: Column) -> Column:
-    """Deterministic 60-bit hash of a token under a seed, identical in
-    DuckDB: int(hex(md5(seed || ':' || token))[:15]).
+MINHASH_PRIME = 2147483647  # 2^31 - 1: products stay under 2^62 (no BIGINT overflow in Spark ANSI or DuckDB)
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients (a, b) for slot i,
+    derived from md5 so the DuckDB oracle generator shares the exact
+    constants (plans/llm_data.py embeds them as literals)."""
+    import hashlib
+
+    h = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+    a = int(h[:8], 16) % (MINHASH_PRIME - 1) + 1
+    b = int(h[8:16], 16) % MINHASH_PRIME
+    return a, b
+
+
+def token_base_hash(tok: Column) -> Column:
+    """Deterministic base hash of a token in [0, 2^31-1), identical in
+    DuckDB: CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % p.
 
     15 hex digits = 60 bits, always positive, exact in BIGINT on both
-    engines (no sign/overflow divergence).
+    engines; the mod-p fold keeps later affine products overflow-free.
     """
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 15), 16, 10).cast("long")
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+    )
+
+
+def token_hash(seed: int, tok: Column) -> Column:
+    """h_seed(token): universal-hash family over the shared base hash —
+    one md5 per token total, then per-seed arithmetic (a*h + b) mod p.
+    The classic k-permutation trick: k independent md5 evaluations per
+    token would cost k× the string hashing for no statistical gain."""
+    a, b = minhash_coeffs(seed)
+    return (F.lit(a) * token_base_hash(tok) + F.lit(b)) % MINHASH_PRIME
 
 
 def minhash_signature(col: Column | str, k: int = 16) -> Column:
     """k-permutation MinHash signature of the token *set* as array<long>.
 
-    sig_i = min over tokens of h_i(token) — computed entirely with
-    ``transform`` + ``array_min`` per row: no explode, no shuffle, no UDF.
-    At 100 TB this is the property that matters: signature computation is
-    embarrassingly parallel map work; only the band-bucket join shuffles,
-    and it shuffles k·8-byte signatures, not documents.
+    The base hash is computed ONCE per token into an array, then each
+    slot is min over a cheap affine transform of that array — all with
+    ``transform`` + ``array_min`` per row: no explode, no shuffle, no
+    UDF, and exactly one md5 per token regardless of k. At 100 TB this
+    is the property that matters: signature computation is
+    embarrassingly parallel map work; only the band-bucket join
+    shuffles, and it shuffles k·8-byte signatures, not documents.
     """
-    toks = distinct_tokens(col)
+    base = F.transform(distinct_tokens(col), token_base_hash)
 
-    def hasher(seed: int):
+    def affine(i: int):
+        a, b = minhash_coeffs(i)
         # NB: must be a unary lambda — pyspark treats a 2-arg lambda as
-        # (element, index) and would shadow the seed with the array index.
-        return lambda t: token_hash(seed, t)
+        # (element, index) and would shadow the coefficients.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
 
-    return F.array(*[F.array_min(F.transform(toks, hasher(i))) for i in range(k)])
+    return F.array(*[F.array_min(F.transform(base, affine(i))) for i in range(k)])
 
 
 def jaccard(a_set: Column, b_set: Column) -> Column:

@@ -45,21 +45,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy map work across all cores when the upstream scan
+    yields fewer partitions than the cluster has slots (small/few files).
+    At real corpus scale the scan already has >= cores partitions and
+    this is a no-op — no extra shuffle lands in the 100 TB plan."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
     """Attach `sig` (array<long> length k): per-row map-only minhash.
 
-    Tokenization is projected into its own step: inlining it inside each
-    of the k hash lambdas makes codegen re-tokenize k times (measured 2x+
-    slower at k=16). CollapseProject keeps the split because the
-    expression is expensive and multiply-referenced."""
-    def hasher(seed: int):
-        return lambda t: X.token_hash(seed, t)
+    The md5 base-hash array is projected into its own step: inlining it
+    inside each of the k affine lambdas makes codegen re-hash every
+    token k times (measured 2x+ slower at k=16). CollapseProject keeps
+    the split because the expression is expensive and
+    multiply-referenced. One md5 per token total — the k slots are
+    cheap (a*h + b) mod p transforms of the shared array."""
+    def affine(i: int):
+        a, b = X.minhash_coeffs(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % X.MINHASH_PRIME
 
-    toked = df.select("*", X.distinct_tokens(text_col).alias("__toks"))
-    return toked.select(
+    hashed = _ensure_cpu_parallelism(df).select(
+        "*", F.transform(X.distinct_tokens(text_col), X.token_base_hash).alias("__tokh")
+    )
+    return hashed.select(
         *df.columns,
         F.array(
-            *[F.array_min(F.transform(F.col("__toks"), hasher(i))) for i in range(k)]
+            *[F.array_min(F.transform(F.col("__tokh"), affine(i))) for i in range(k)]
         ).alias("sig"),
     )
 

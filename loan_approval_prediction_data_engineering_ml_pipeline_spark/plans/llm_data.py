@@ -3,10 +3,12 @@ text analysis over the ``documents`` / ``embeddings`` tables — the
 north-star extension surface (BASELINE.json), each with a DuckDB oracle
 where the semantics are SQL-expressible.
 
-Oracle-parity discipline for the hash-based ops: MinHash uses
-``int(hex(md5(seed||':'||token))[:15])`` — computable identically in
-DuckDB (the oracle SQL is generated programmatically below so Spark and
-SQL literally share the hash definition).
+Oracle-parity discipline for the hash-based ops: MinHash uses one
+md5-derived base hash per token (``int(hex(md5(token))[:15]) mod p``)
+and per-slot affine permutations ``(a_i*h + b_i) mod p`` — computable
+identically in DuckDB (the oracle SQL is generated programmatically
+below from ``functions.text.minhash_coeffs`` so Spark and SQL literally
+share the hash definition).
 """
 
 from __future__ import annotations
@@ -36,12 +38,17 @@ _STOP_DE = "['der','die','das','und','ist','ein']"
 _STOP_FR = "['le','la','les','et','est','un']"
 
 
+_TOKH = (
+    "list_transform(list_distinct(string_split(trim(text), ' ')), x -> "
+    f"CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {X.MINHASH_PRIME})"
+)
+
+
 def _minhash_expr_sql(i: int) -> str:
-    """DuckDB twin of functions.text.token_hash + array_min."""
-    return (
-        "list_min(list_transform(toks, x -> "
-        f"CAST(concat('0x', substr(md5(concat('{i}:', x)), 1, 15)) AS BIGINT)))"
-    )
+    """DuckDB twin of functions.text.minhash_signature slot i: min over
+    the shared base-hash array under the slot's affine permutation."""
+    a, b = X.minhash_coeffs(i)
+    return f"list_min(list_transform(tokh, h -> ({a} * h + {b}) % {X.MINHASH_PRIME}))"
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +79,7 @@ _sig_names = ", ".join(f"sig{i}" for i in range(MINHASH_K))
 @query(
     "dedup_minhash_groups",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKH} AS tokh FROM documents),
     s AS (SELECT doc_id,
         {_sig_cols}
         FROM t)

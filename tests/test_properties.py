@@ -38,10 +38,15 @@ def test_minhash_matches_python_reference(spark, texts):
 
     def ref_sig(text: str) -> list[int]:
         toks = set(text.strip().split(" "))
-        return [
-            min(int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15], 16) for t in toks)
-            for i in range(4)
+        base = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % X.MINHASH_PRIME
+            for t in toks
         ]
+        sig = []
+        for i in range(4):
+            a, b = X.minhash_coeffs(i)
+            sig.append(min((a * h + b) % X.MINHASH_PRIME for h in base))
+        return sig
 
     assert got == [ref_sig(t) for t in texts]
 
