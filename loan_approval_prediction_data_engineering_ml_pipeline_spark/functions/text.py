@@ -167,6 +167,28 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# PII masking patterns, kept inside the Java-regex ∩ RE2 common subset
+# (no backrefs/lookaround, explicit char classes) so the DuckDB oracle
+# runs the literal same patterns. Order matters: URLs first (an URL may
+# embed an @-path that the email pattern would half-eat), then emails,
+# then phone numbers.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[A-Za-z0-9./_%+=?&#:-]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9]{7,15}", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask URL / email / phone spans with typed placeholder tokens —
+    chained regexp_replace, fully codegen'd (the standard pre-training
+    scrub pass; at 100 TB this is embarrassingly parallel map work)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, mask in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of lower(trim(text)) — identical in DuckDB."""
     c = F.col(col) if isinstance(col, str) else col

@@ -29,3 +29,33 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(v: Column) -> Column:
+    """Unit-norm the vector (null-safe on the zero vector: try_divide
+    yields an all-null array rather than an ANSI DIVIDE_BY_ZERO abort)."""
+    n = norm(v)
+    return F.transform(v, lambda x: F.try_divide(x, n))
+
+
+def max_abs(v: Column) -> Column:
+    return F.array_max(F.transform(v, F.abs))
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i * 127/max|x| + 0.5).
+
+    floor(x + 0.5) instead of round(): round-half-up toward +inf is the
+    one midpoint rule that is a single primitive in both Spark and DuckDB
+    (their round() builtins disagree on negative halves), keeping the
+    oracle bit-identical. All map-side expression work — the natural
+    pre-step before shipping embeddings across the wire at corpus scale
+    (4x smaller shuffle/IO than float32).
+    """
+    scale = F.lit(127.0) / max_abs(v)
+    return F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Inverse of quantize_int8 given scale = 127/max|x|."""
+    return F.transform(q, lambda x: x.cast("double") / scale)

@@ -474,3 +474,210 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         (F.length("text") == F.col("n_chars")).alias("length_matches"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / quantization / end-to-end curation
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of functions.text.PII_PATTERNS — the patterns live in the
+# Java-regex ∩ RE2 common subset so both engines run them verbatim; the
+# SQL is generated from the same list (note DuckDB needs the explicit
+# 'g' flag to match Spark's replace-all default).
+def _scrub_sql(expr: str) -> str:
+    from .llm_data import X as _X  # self-import keeps mypy quiet
+
+    out = expr
+    for pat, mask in X.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{mask}', 'g')"
+    return out
+
+
+_SALTED = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "https://corp.example/d/' || CAST(doc_id AS VARCHAR) || '?ref=x call "
+    "+155500' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH salted AS (SELECT doc_id, {_SALTED} AS raw FROM documents),
+    s AS (SELECT doc_id, raw, {_scrub_sql('raw')} AS scrubbed FROM salted)
+    SELECT doc_id,
+           md5(scrubbed)                                        AS scrubbed_fp,
+           CAST(len(regexp_extract_all(scrubbed, '<URL>')) AS BIGINT)   AS n_urls,
+           CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(scrubbed, '<PHONE>')) AS BIGINT) AS n_phones,
+           NOT regexp_matches(scrubbed, '@|https?://|\\+[0-9]{{7}}')     AS clean
+    FROM s
+    ORDER BY doc_id
+    """,
+    description="PII scrubbing: deterministic synthetic URL/email/phone "
+    "spans injected per doc_id, masked by chained codegen'd "
+    "regexp_replace (functions.text.scrub_pii); verifies mask counts and "
+    "zero residual PII. Pure map work — the standard pre-training scrub "
+    "pass at corpus scale",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"), F.lit(" reach user"), did,
+        F.lit("@example.com or https://corp.example/d/"), did,
+        F.lit("?ref=x call +155500"), did,
+    )
+    scrubbed = X.scrub_pii(raw)
+    def n_masks(tok: str):
+        return F.size(F.regexp_extract_all(scrubbed, F.lit(tok), F.lit(0))).cast("long")
+    residual = F.regexp_like(scrubbed, F.lit(r"@|https?://|\+[0-9]{7}"))
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        n_masks("<URL>").alias("n_urls"),
+        n_masks("<EMAIL>").alias("n_emails"),
+        n_masks("<PHONE>").alias("n_phones"),
+        (~residual).alias("clean"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, e,
+               127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+        FROM v
+        WHERE list_max(list_transform(e, x -> abs(x))) > 0
+    ),
+    err AS (
+        SELECT label,
+               list_max(list_transform(e,
+                   x -> abs(floor(x * scale + 0.5) / scale - x))) AS max_err,
+               127.0 / scale AS max_abs
+        FROM s
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)   AS n_vectors,
+           round(avg(max_err), 6)     AS avg_max_err,
+           round(max(max_err), 6)     AS worst_err,
+           round(avg(max_abs), 6)     AS avg_max_abs
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+    description="Symmetric int8 embedding quantization (floor(x*127/max|x| "
+    "+ 0.5)) with per-label reconstruction-error audit — all codegen'd "
+    "array expressions, no UDF. The map-side compression step that cuts "
+    "embedding shuffle/storage 4x at corpus scale",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    withv = emb.select("label", v.alias("e")).where(V.max_abs(F.col("e")) > 0)
+    scale = F.lit(127.0) / V.max_abs(F.col("e"))
+    max_err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(F.floor(x * scale + F.lit(0.5)).cast("double") / scale - x),
+        )
+    )
+    per_vec = withv.select(
+        "label",
+        max_err.alias("max_err"),
+        (F.lit(127.0) / scale).alias("max_abs"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+            F.round(F.avg("max_abs"), 6).alias("avg_max_abs"),
+        )
+        .orderBy("label")
+    )
+
+
+_QUALITY_SQL = """
+    round(
+      least(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+            / len(toks) / 8.0, 1.0) * 0.3
+      + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+        / length(text) * 0.3
+      + least(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+              / len(toks) * 5.0, 1.0) * 0.2
+      + len(list_distinct(toks)) * 1.0 / len(toks) * 0.2,
+    6)
+"""
+
+
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang, source,
+               {_QUALITY_SQL} AS q
+        FROM (SELECT *, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.55),
+    exact AS (
+        SELECT * FROM filtered
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+    ),
+    sigs AS (
+        SELECT exact.*, {_TOKH} AS tokh FROM exact
+    ),
+    near AS (
+        SELECT * FROM (
+            SELECT *, {", ".join(f"{_minhash_expr_sql(i)} AS sig{i}" for i in range(MINHASH_K))}
+            FROM sigs
+        )
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY {_sig_names})
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           round(avg(q), 6) AS avg_quality
+    FROM near
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    description="End-to-end corpus curation: quality-threshold filter -> "
+    "exact dedup (md5 fingerprint, keep min doc_id) -> MinHash near-dup "
+    "canonicalization (full-signature groups) -> per (lang, source) doc/"
+    "token/quality rollup. The flagship training-data pipeline "
+    "composition: filter and signatures are map-only; the two dedup "
+    "steps shuffle 16-byte hashes and k*8-byte signatures, never text",
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.round(X.quality_score(F.col("text")), 6).alias("q"),
+    ).where(F.round(X.quality_score(F.col("text")), 6) >= 0.55)
+    fp_win = W.partitionBy(X.fingerprint_md5(F.col("text")))
+    exact = scored.withColumn("__keep", F.min("doc_id").over(fp_win)).where(
+        F.col("doc_id") == F.col("__keep")
+    ).drop("__keep")
+    with_sig = D.with_minhash(exact, text_col="text", k=MINHASH_K)
+    sig_win = W.partitionBy("sig")
+    near = with_sig.withColumn("__keep", F.min("doc_id").over(sig_win)).where(
+        F.col("doc_id") == F.col("__keep")
+    )
+    return (
+        near.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count("text")).cast("long").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
