@@ -27,6 +27,16 @@ def score_single_row(spark: SparkSession, model: PipelineModel, row: dict) -> di
     base.update(row)
     base.pop("Loan_ID", None)
 
+    # UI forms yield Python ints (app.py number_input); Spark's schema
+    # verifier accepts only float for DoubleType, so coerce None-safely.
+    numeric = (
+        "ApplicantIncome", "CoapplicantIncome", "LoanAmount",
+        "Loan_Amount_Term", "Credit_History",
+    )
+    for k in numeric:
+        if base.get(k) is not None:
+            base[k] = float(base[k])
+
     df = spark.createDataFrame(
         [tuple(base[k] for k in base)], schema=", ".join(
             f"{k} double" if k in (

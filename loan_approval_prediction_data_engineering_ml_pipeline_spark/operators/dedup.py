@@ -303,6 +303,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym["d"] == comp["vertex"])
@@ -324,6 +325,14 @@ def connected_components(
         comp = merged.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # Partial labels would silently drop/keep the wrong documents in a
+        # keep-one-per-cluster dedup — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed = graph diameter"
+        )
     return comp
 
 

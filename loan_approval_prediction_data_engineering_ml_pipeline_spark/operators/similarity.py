@@ -123,6 +123,9 @@ def cosine_pairs_gemm(
 
     return (
         embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        # cosine_pairs' equi-join drops NULL block keys; groupBy would
+        # collect them into one block — filter to keep the paths twins
+        .where(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(gram, "id_a long, id_b long, cosine double")
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))

@@ -105,25 +105,31 @@ def upsert_parquet(
     no transactional merge, so full overwrite is the honest primitive.
     """
     spark = df.sparkSession
+    incoming = df.withColumn("__src", F.lit(0))
     try:
-        existing = spark.read.parquet(path)
+        existing = spark.read.parquet(path).withColumn("__src", F.lit(1))
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" not in str(exc):
             # anything other than "store doesn't exist yet" must surface:
             # swallowing it here would overwrite (destroy) the live table
             raise
-        merged = df
+        merged = incoming
     else:
-        merged = df.unionByName(existing, allowMissingColumns=False)
+        merged = incoming.unionByName(existing, allowMissingColumns=False)
+    # REPLACE INTO: the incoming batch must win on key collision. __src
+    # (incoming=0 < existing=1) is the ultimate tie-break, so even with
+    # order_col=None the winner is deterministic — dropDuplicates on the
+    # union would keep a partition-order-dependent row and could silently
+    # let the existing row survive.
+    ordering = [F.col("__src").asc()]
     if order_col:
-        w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-        deduped = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    else:
-        deduped = merged.dropDuplicates(key_cols)
+        ordering.insert(0, F.col(order_col).desc())
+    w = W.partitionBy(*key_cols).orderBy(*ordering)
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
     # Parquet can't atomically overwrite a path it is reading: stage then move.
     staged = path.rstrip("/") + "__staging"
     deduped.write.mode("overwrite").parquet(staged)

@@ -202,3 +202,37 @@ def test_cosine_pairs_gemm_agrees_with_expression_path(spark):
     assert expr.keys() == gemm.keys()
     for k in expr:
         assert abs(expr[k] - gemm[k]) < 1e-9
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # chain of diameter 5 cannot settle in 1 round; partial labels must
+    # never be returned silently (they'd mis-cluster a dedup)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, "src", "dst", max_iter=1, driver_threshold=0)
+
+
+def test_upsert_no_order_col_incoming_batch_wins(spark, tmp_path):
+    # REPLACE INTO with no version column: the incoming row must replace
+    # the stored one deterministically, never survive by partition order
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "old"), (2, "keep")], ["id", "val"])
+    upsert_parquet(df1, path, ["id"])
+    df2 = spark.createDataFrame([(1, "new")], ["id", "val"])
+    upsert_parquet(df2, path, ["id"])
+    out = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "new"), (2, "keep")}
+
+
+def test_cosine_pairs_gemm_drops_null_blocks_like_join_path(spark):
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "a"),
+        (3, [1.0, 0.0], None),
+        (4, [1.0, 0.0], None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    expr = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs(emb, 0.9).collect()}
+    gemm = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs_gemm(emb, 0.9).collect()}
+    # the equi-join drops NULL block keys; the groupBy path must match
+    assert expr == gemm == {(1, 2)}

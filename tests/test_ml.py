@@ -153,9 +153,12 @@ def test_train_select_persist_score(spark, loan_df, tmp_path):
     row = {
         "Gender": "Male", "Married": "Yes", "Dependents": "3+",
         "Education": "Graduate", "Self_Employed": "No",
-        "ApplicantIncome": 5849.0, "CoapplicantIncome": 1508.0,
-        "LoanAmount": 128.0, "Loan_Amount_Term": 360.0,
-        "Credit_History": 1.0, "Property_Area": "Urban",
+        # ints on purpose: a UI form (reference app.py number_input)
+        # yields Python ints, which score_single_row must coerce —
+        # Spark's verifier accepts only float for DoubleType
+        "ApplicantIncome": 5849, "CoapplicantIncome": 1508,
+        "LoanAmount": 128, "Loan_Amount_Term": 360,
+        "Credit_History": 1, "Property_Area": "Urban",
     }
     out = score_single_row(spark, loaded, row)
     assert out["prediction"] in (0, 1)
@@ -215,3 +218,25 @@ def test_cli_scorer_rejects_bad_json_and_both_modes():
         main(["--model", "/x", "--train-demo", "--row", "{}"])
     with pytest.raises(SystemExit):  # row must be an object
         main(["--train-demo", "--row", "[1,2]"])
+
+
+def test_stratified_split_disjoint_under_repartition(loan_df):
+    # membership must be a pure function of (row content, seed): a
+    # different partition layout plus independent recomputation of the
+    # two lazy frames must never send a row to both splits or to neither
+    # (loan frame has 0 duplicate rows, so full-row keys are unique)
+    df = loan_df.repartition(13)
+    tr, te = stratified_split(df, "label", test_size=0.2, seed=42)
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in df.columns]
+        )
+    )
+    tr_keys = {r[0] for r in tr.select(key).collect()}
+    te_keys = {r[0] for r in te.select(key).collect()}
+    all_keys = {r[0] for r in df.select(key).collect()}
+    assert tr_keys.isdisjoint(te_keys)
+    assert tr_keys | te_keys == all_keys
+    # and the same rows are chosen when the input layout differs
+    tr_base, _ = stratified_split(loan_df, "label", test_size=0.2, seed=42)
+    assert {r[0] for r in tr_base.select(key).collect()} == tr_keys
