@@ -41,6 +41,7 @@ HEADLINE = [
     "rollup_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_near",
     "text_quality",
     "tfidf_top_terms",
     "ann_cosine_topk",

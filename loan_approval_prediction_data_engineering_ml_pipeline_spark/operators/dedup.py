@@ -56,7 +56,20 @@ def _ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+def _shingle_set(text_col: str, shingle_n: int) -> Column:
+    """The document's set representation: distinct unigram tokens for
+    ``shingle_n=1`` (cheap, high ambient Jaccard on small vocabularies),
+    distinct word n-grams otherwise (the standard near-dup shingling —
+    ambient Jaccard between unrelated docs collapses to ~0, which is
+    what keeps LSH candidate volume sane on a repetitive corpus)."""
+    if shingle_n == 1:
+        return X.distinct_tokens(text_col)
+    return F.array_sort(X.word_shingles(text_col, shingle_n))
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", k: int = 16, *, shingle_n: int = 1
+) -> DataFrame:
     """Attach `sig` (array<long> length k): per-row map-only minhash.
 
     The md5 base-hash array is projected into its own step: inlining it
@@ -70,7 +83,8 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFram
         return lambda h: (F.lit(a) * h + F.lit(b)) % X.MINHASH_PRIME
 
     hashed = _ensure_cpu_parallelism(df).select(
-        "*", F.transform(X.distinct_tokens(text_col), X.token_base_hash).alias("__tokh")
+        "*",
+        F.transform(_shingle_set(text_col, shingle_n), X.token_base_hash).alias("__tokh"),
     )
     return hashed.select(
         *df.columns,
@@ -87,6 +101,7 @@ def lsh_candidate_pairs(
     *,
     k: int = 16,
     bands: int = 4,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
 
@@ -101,7 +116,9 @@ def lsh_candidate_pairs(
             "and a remainder would silently drop signature rows"
         )
     rows_per_band = k // bands
-    sigs = with_minhash(df.select(id_col, text_col), text_col, k).select(id_col, "sig")
+    sigs = with_minhash(
+        df.select(id_col, text_col), text_col, k, shingle_n=shingle_n
+    ).select(id_col, "sig")
     band_structs = F.array(
         *[
             F.struct(
@@ -170,10 +187,17 @@ def minhash_lsh_dedup(
     k: int = 16,
     bands: int = 1,
     min_jaccard: float = 1.0,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """End-to-end MinHash+LSH dedup: signature → band bucket-join →
     exact verification, with the signature/token table computed ONCE and
     persisted.
+
+    ``shingle_n`` picks the set representation (unigram tokens vs word
+    n-grams) for BOTH signatures and verification; n-gram shingling is
+    the standard choice for the approximate regime (``bands>1``,
+    ``min_jaccard<1``) because it collapses ambient Jaccard between
+    unrelated documents and with it the candidate volume.
 
     Without the persist, the self-join and the two verification joins
     each recompute tokenization+minhash (5 scans of the corpus); a
@@ -186,8 +210,12 @@ def minhash_lsh_dedup(
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows_per_band = k // bands
     base = (
-        with_minhash(df.select(id_col, text_col), text_col, k)
-        .select(F.col(id_col).alias("id"), X.distinct_tokens(text_col).alias("toks"), "sig")
+        with_minhash(df.select(id_col, text_col), text_col, k, shingle_n=shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_set(text_col, shingle_n).alias("toks"),
+            "sig",
+        )
         .persist()
     )
     global _last_lsh_base

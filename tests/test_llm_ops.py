@@ -236,3 +236,32 @@ def test_cosine_pairs_gemm_drops_null_blocks_like_join_path(spark):
     gemm = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs_gemm(emb, 0.9).collect()}
     # the equi-join drops NULL block keys; the groupBy path must match
     assert expr == gemm == {(1, 2)}
+
+
+def test_minhash_near_approximate_regime_recall_and_candidate_volume(spark):
+    # the regime LSH exists for: bands=8 x rows=2, jaccard 0.8, 3-word
+    # shingles. Output must equal the exact threshold self-join on the
+    # same shingle sets (measured recall 1 on this corpus), and the
+    # candidate volume must stay near the true-pair count — the property
+    # shingling buys (ambient shingle jaccard ~0 vs ~0.6 for unigrams).
+    docs = load_table(spark, SF, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup(
+            docs, k=16, bands=8, min_jaccard=0.8, shingle_n=3
+        ).collect()
+    }
+    sh = docs.select(F.col("doc_id").alias("id"), D._shingle_set("text", 3).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = F.round(X.jaccard(F.col("a.s"), F.col("b.s")), 6)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), j.alias("jc"))
+        .where(F.col("jc") >= 0.8)
+        .collect()
+    }
+    assert len(truth) > 0
+    assert got == truth
+    n_cands = D.lsh_candidate_pairs(docs, k=16, bands=8, shingle_n=3).count()
+    assert n_cands <= 5 * len(truth)
