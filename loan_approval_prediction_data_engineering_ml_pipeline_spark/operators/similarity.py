@@ -84,6 +84,32 @@ def cosine_pairs(
     )
 
 
+def _with_tile_keys(
+    emb: DataFrame, id_col: str, n_chunks: int
+) -> DataFrame:
+    """Tiled all-pairs exploder: hash each row into one of ``n_chunks``
+    sub-chunks of its block, then replicate it once per (ca, cb) tile it
+    participates in (all tiles where ca or cb equals its chunk). Every
+    within-block pair lands in exactly one tile, so downstream tile-local
+    GEMM reproduces the unblocked output exactly."""
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int")
+    tiles = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__chunk"), F.lit(j)).alias("ca"),
+                F.greatest(F.col("__chunk"), F.lit(j)).alias("cb"),
+            )
+            for j in range(n_chunks)
+        ]
+    )
+    return (
+        emb.withColumn("__chunk", chunk)
+        .withColumn("__tile", F.explode(tiles))
+        .select("*", F.col("__tile.ca").alias("ca"), F.col("__tile.cb").alias("cb"))
+        .drop("__tile")
+    )
+
+
 def cosine_pairs_gemm(
     embeddings: DataFrame,
     threshold: float,
@@ -91,43 +117,79 @@ def cosine_pairs_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    n_chunks: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by block-local matrix multiply: ``applyInPandas``
     per block, one BLAS Gram matrix per group.
 
     Same semantics as :func:`cosine_pairs` (id_a < id_b, cosine rounded
     to 6 dp, ``>= threshold``), different physics: Arrow ships each
-    vector ONCE (O(n·d) transfer, not O(pairs·d)), and the pairwise
-    arithmetic runs as a single ``M @ M.T`` — orders of magnitude
-    faster than per-pair expression evaluation. The 100 TB contract is
-    the same as every blocked-similarity op: one block (LSH bucket /
-    label / IVF cell) must fit in one task's memory — re-block or salt
-    upstream if a block outgrows ~1e5 vectors."""
+    vector ONCE per tile (O(n·d·n_chunks) transfer, not O(pairs·d)),
+    and the pairwise arithmetic runs as BLAS matrix products — orders
+    of magnitude faster than per-pair expression evaluation.
+
+    ``n_chunks`` bounds per-task memory when a block key has unbounded
+    occupancy (e.g. a 5-value label column whose blocks grow linearly
+    with the corpus): rows hash into ``n_chunks`` sub-chunks and every
+    (ca<=cb) chunk-pair tile is computed independently, so one task
+    holds O((block/n_chunks)²) instead of O(block²) while the output is
+    IDENTICAL — exact tiling, not approximate bucketing, which is why
+    the oracle-checked queries can run the bounded path directly. Total
+    work is still the inherent O(block²); at 100 TB size n_chunks so a
+    tile's ~2·(block/n_chunks) vectors fit one task (e.g. 1e7-row block,
+    n_chunks=100 -> 2e5 vectors ≈ 100 MB at d=64 float64)."""
     import numpy as np
     import pandas as pd
 
-    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(M, axis=1)
-        C = (M @ M.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def pairs_from(ids_a, M_a, ids_b, M_b, triangular: bool) -> pd.DataFrame:
+        C = (M_a @ M_b.T) / np.outer(
+            np.linalg.norm(M_a, axis=1), np.linalg.norm(M_b, axis=1)
+        )
+        if triangular:
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+        else:
+            iu, ju = np.indices((len(ids_a), len(ids_b)))
+            iu, ju = iu.ravel(), ju.ravel()
         c = np.round(C[iu, ju], 6)
         keep = c >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu][keep], "id_b": ids[ju][keep], "cosine": c[keep]}
-        )
+        ia, ib = ids_a[iu[keep]], ids_b[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c[keep]})
 
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        if len(pdf) < 2:
+            return empty()
+        if "__chunk" in pdf.columns and pdf["ca"].iloc[0] != pdf["cb"].iloc[0]:
+            sub_a = pdf[pdf["__chunk"] == pdf["ca"].iloc[0]]
+            sub_b = pdf[pdf["__chunk"] == pdf["cb"].iloc[0]]
+            if len(sub_a) == 0 or len(sub_b) == 0:
+                return empty()
+            return pairs_from(
+                sub_a[id_col].to_numpy(),
+                np.stack(sub_a[vec_col].to_numpy()).astype(np.float64),
+                sub_b[id_col].to_numpy(),
+                np.stack(sub_b[vec_col].to_numpy()).astype(np.float64),
+                triangular=False,
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return pairs_from(ids, M, ids, M, triangular=True)
+
+    # cosine_pairs' equi-join drops NULL block keys; groupBy would
+    # collect them into one block — filter to keep the paths twins
+    emb = embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col)).where(
+        F.col(block_col).isNotNull()
+    )
+    if n_chunks <= 1:
+        grouped = emb.groupBy(block_col)
+    else:
+        grouped = _with_tile_keys(emb, id_col, n_chunks).groupBy(block_col, "ca", "cb")
     return (
-        embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
-        # cosine_pairs' equi-join drops NULL block keys; groupBy would
-        # collect them into one block — filter to keep the paths twins
-        .where(F.col(block_col).isNotNull())
-        .groupBy(block_col)
-        .applyInPandas(gram, "id_a long, id_b long, cosine double")
+        grouped.applyInPandas(gram, "id_a long, id_b long, cosine double")
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
     )
 

@@ -230,13 +230,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cosine DESC, id_a, id_b
     """,
     description="Embedding-cosine near-dup pairs with label blocking: "
-    "block-local BLAS Gram matrix via applyInPandas — Arrow ships each "
-    "vector once (O(n*d), not O(pairs*d)); blocking bounds the pair "
-    "space, GEMM makes the in-block pairwise arithmetic cheap",
+    "tiled block-local BLAS Gram matrices via applyInPandas — Arrow "
+    "ships each vector once per tile (O(n*d*chunks), not O(pairs*d)). "
+    "n_chunks=4 hash-tiles each label block so one task holds "
+    "O((block/4)^2), not O(block^2) — exact tiling, identical output, "
+    "so the bounded path IS the oracle-checked path; at 100 TB raise "
+    "n_chunks so a tile fits a task",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label")
+    return S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=4)
 
 
 @query(
@@ -268,7 +271,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label")
+    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=4)
     comps = D.connected_components(pairs, "id_a", "id_b")
     return (
         emb.select("vec_id")

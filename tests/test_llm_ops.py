@@ -265,3 +265,28 @@ def test_minhash_near_approximate_regime_recall_and_candidate_volume(spark):
     assert got == truth
     n_cands = D.lsh_candidate_pairs(docs, k=16, bands=8, shingle_n=3).count()
     assert n_cands <= 5 * len(truth)
+
+
+def test_cosine_pairs_gemm_tiled_identical_and_bounded(spark):
+    # exact tiling: n_chunks=4 must reproduce the unblocked output
+    # bit-for-bit, while every applyInPandas group (tile) receives a
+    # bounded slice of the block instead of the whole block
+    emb = load_table(spark, SF, "embeddings")
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_gemm(emb, 0.4, block_col="label").collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_gemm(emb, 0.4, block_col="label", n_chunks=4).collect()
+    }
+    assert base == tiled and len(base) > 0
+    # tile occupancy: max rows shipped to one group ~ 2*block/chunks,
+    # far below the whole block (the 100-TB memory bound)
+    keyed = S._with_tile_keys(
+        emb.select("vec_id", "embedding", "label"), "vec_id", 4
+    )
+    sizes = keyed.groupBy("label", "ca", "cb").count()
+    max_tile = sizes.agg(F.max("count")).first()[0]
+    block = emb.groupBy("label").count().agg(F.max("count")).first()[0]
+    assert max_tile <= int(0.75 * block)
