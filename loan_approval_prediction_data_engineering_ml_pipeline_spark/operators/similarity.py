@@ -247,6 +247,151 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> None:
+    """Build-once half of the IVF lifecycle: fit seeded KMeans, write the
+    corpus as parquet PARTITIONED BY cell (``<path>/cells``) plus a tiny
+    centroid table (``<path>/centroids``).
+
+    This is the FAISS-style scale path done right for Spark: the
+    expensive clustering+assignment runs once at ingest, and because
+    cells are physical partitions, a probe query's ``cell IN (...)``
+    filter becomes partition PRUNING — the scan never opens non-probed
+    cells' files. Queries go through :func:`ivf_query`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col), V.as_double(vec_col).alias("arr")
+    ).withColumn("feat", array_to_vector(F.col("arr")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "arr", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+    cent = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_query(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe half of the IVF lifecycle: rank the persisted centroids by
+    distance to ``query_vec`` (driver-side — n_lists rows), then scan
+    ONLY the top ``n_probe`` cell partitions (partition pruning,
+    plan-asserted in tests) and return cosine top-k."""
+    centers = spark.read.parquet(path + "/centroids").collect()
+    order = sorted(
+        centers,
+        key=lambda r: sum(
+            (r["centroid"][i] - query_vec[i]) ** 2 for i in range(len(query_vec))
+        ),
+    )
+    probe = [r["cell"] for r in order[:n_probe]]
+    cells = spark.read.parquet(path + "/cells").where(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cells = cells.where(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = V.cosine(F.col("arr"), qlit)
+    return (
+        cells.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> None:
+    """Build-once half of the hyperplane-LSH lifecycle: explode each
+    vector to its (table_id, bucket) signatures and write parquet
+    PARTITIONED BY (table_id, bucket), so a query's bucket lookups are
+    partition pruning instead of a bucket join."""
+    v = V.as_double(vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(v, n_planes, dim, seed=42 + 1000 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = (
+        embeddings.select(F.col(id_col), v.alias("v"), F.explode(tables).alias("b"))
+        .select(id_col, "v", F.col("b.table_id"), F.col("b.bucket"))
+    )
+    banded.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+
+
+def _py_bucket(query_vec: list[float], n_planes: int, dim: int, seed: int) -> int:
+    """Driver-side twin of ``_bucket_expr`` for a single query vector."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    return sum(
+        1 << p
+        for p, plane in enumerate(planes)
+        if sum(plane[i] * query_vec[i] for i in range(len(query_vec))) >= 0
+    )
+
+
+def lsh_index_query(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe half of the hyperplane-LSH lifecycle: compute the query's
+    per-table bucket driver-side (n_tables tiny dot products), scan only
+    those (table_id, bucket) partitions, dedupe candidates, score."""
+    probes = [
+        (t, _py_bucket(query_vec, n_planes, dim, seed=42 + 1000 * t))
+        for t in range(n_tables)
+    ]
+    cond = None
+    for t, b in probes:
+        this = (F.col("table_id") == t) & (F.col("bucket") == b)
+        cond = this if cond is None else (cond | this)
+    cands = spark.read.parquet(path).where(cond)
+    if exclude_id is not None:
+        cands = cands.where(F.col(id_col) != exclude_id)
+    cands = cands.dropDuplicates([id_col])
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = V.cosine(F.col("v"), qlit)
+    return (
+        cands.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def mllib_brp_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -309,29 +309,65 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-dataset index location. Indexes are built ONCE
+    (seeded, so a rebuild is byte-stable) and probed by every later
+    query — the build/probe lifecycle a production ANN service runs,
+    rather than re-fitting the index inside each query call."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", tag, kind)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select(V.as_double("embedding").alias("v")).first()
+    return list(row["v"])
+
+
 @query(
     "ann_ivf",
     oracle=None,  # approximate by construction; tests measure recall vs brute force
-    description="IVF ANN: seeded KMeans partitions embeddings into cells; "
-    "the query scores only the n_probe nearest cells (FAISS-style; on a "
-    "persisted cell-partitioned table probing = partition pruning)",
+    description="IVF ANN with the persisted-index lifecycle: seeded KMeans "
+    "cells written once as cell-PARTITIONED parquet + tiny centroid table "
+    "(build-if-missing here, build-at-ingest in production); the probe "
+    "ranks centroids driver-side and scans only the n_probe nearest cell "
+    "partitions — partition PRUNING, plan-asserted in tests (FAISS-style)",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=3)
+    import os
+
+    idx = _index_dir(sf_dir, "ivf8")
+    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, n_lists=8, seed=42
+        )
+    return S.ivf_query(
+        spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_probe=3, exclude_id=0
+    )
 
 
 @query(
     "ann_lsh_bucketed",
     oracle=None,  # approximate by construction; tests measure recall vs brute force
-    description="Multi-table hyperplane-LSH ANN: 4 tables x 4 sign bits; "
-    "candidates = union of the query's buckets, then exact cosine on the "
-    "candidate set only. The scale path (bucket join -> partition pruning "
-    "on a persisted table)",
+    description="Multi-table hyperplane-LSH ANN with the persisted-index "
+    "lifecycle: 4 tables x 4 sign bits written once PARTITIONED BY "
+    "(table_id, bucket); the probe computes the query's buckets "
+    "driver-side and scans only those partitions (pruning, not a join)",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, query_id=0, k=10)
+    import os
+
+    idx = _index_dir(sf_dir, "lsh4x4")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        S.build_lsh_index(
+            load_table(spark, sf_dir, "embeddings"), idx, n_planes=4, n_tables=4
+        )
+    return S.lsh_index_query(
+        spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_planes=4, n_tables=4, exclude_id=0
+    )
 
 
 # ---------------------------------------------------------------------------

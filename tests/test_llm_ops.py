@@ -290,3 +290,22 @@ def test_cosine_pairs_gemm_tiled_identical_and_bounded(spark):
     max_tile = sizes.agg(F.max("count")).first()[0]
     block = emb.groupBy("label").count().agg(F.max("count")).first()[0]
     assert max_tile <= int(0.75 * block)
+
+
+def test_persisted_ann_indexes_match_inline_paths(spark, tmp_path):
+    # build-once / probe-many lifecycle must return exactly what the
+    # inline (fit-in-query) paths return for the same parameters
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+
+    ivf = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, ivf, n_lists=8, seed=42)
+    got = [(r["vec_id"], r["cosine"]) for r in S.ivf_query(spark, ivf, qv, k=10, n_probe=3, exclude_id=0).collect()]
+    ref = [(r["vec_id"], r["cosine"]) for r in S.ivf_topk(emb, 0, 10, n_lists=8, n_probe=3).collect()]
+    assert got == ref and len(got) > 0
+
+    lsh = str(tmp_path / "lsh")
+    S.build_lsh_index(emb, lsh, n_planes=4, n_tables=4)
+    got2 = [(r["vec_id"], r["cosine"]) for r in S.lsh_index_query(spark, lsh, qv, k=10, exclude_id=0).collect()]
+    ref2 = [(r["vec_id"], r["cosine"]) for r in S.lsh_topk(emb, 0, 10).collect()]
+    assert got2 == ref2 and len(got2) > 0

@@ -66,3 +66,35 @@ def test_whole_stage_codegen_active(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_ann_index_probes_prune_partitions(spark, tmp_path):
+    """The persisted ANN indexes must turn probes into partition pruning:
+    the scan's PartitionFilters carries the cell/bucket predicate, so
+    non-probed partitions are never opened."""
+    import re
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import similarity as S
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+
+    ivf = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, ivf, n_lists=8, seed=42)
+    df = S.ivf_query(spark, ivf, qv, k=10, n_probe=3, exclude_id=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+
+    lsh = str(tmp_path / "lsh")
+    S.build_lsh_index(emb, lsh, n_planes=4, n_tables=4)
+    df2 = S.lsh_index_query(spark, lsh, qv, k=10, exclude_id=0)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        df2.explain("formatted")
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", buf2.getvalue())
+    assert m2 and "bucket" in m2.group(1) and "table_id" in m2.group(1)
