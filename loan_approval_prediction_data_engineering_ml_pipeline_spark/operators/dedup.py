@@ -176,7 +176,41 @@ def verified_pairs(
     )
 
 
-_last_lsh_base = None  # previous call's persisted signature table (see below)
+class LshSignatureCache:
+    """Explicit lifetime handle for persisted LSH signature tables.
+
+    ``minhash_lsh_dedup`` persists its (id, toks, sig) table so the
+    band join + two verification joins don't recompute it. Lifetime:
+
+    - Without a handle, the persist is left to Spark's CacheManager,
+      which dedupes by logical plan — re-running the same query reuses
+      the one cache entry, so memory is bounded by the number of
+      DISTINCT (corpus, params) signature tables, each tiny relative
+      to its corpus.
+    - With a handle (one per pipeline / context manager), each new
+      table evicts the previous one deterministically — no
+      module-global mutable state, the caller owns the lifetime.
+    """
+
+    def __init__(self) -> None:
+        self._current: DataFrame | None = None
+
+    def swap(self, df: DataFrame) -> DataFrame:
+        if self._current is not None:
+            self._current.unpersist()
+        self._current = df.persist()
+        return self._current
+
+    def close(self) -> None:
+        if self._current is not None:
+            self._current.unpersist()
+            self._current = None
+
+    def __enter__(self) -> "LshSignatureCache":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def minhash_lsh_dedup(
@@ -188,6 +222,7 @@ def minhash_lsh_dedup(
     bands: int = 1,
     min_jaccard: float = 1.0,
     shingle_n: int = 1,
+    cache: LshSignatureCache | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH dedup: signature → band bucket-join →
     exact verification, with the signature/token table computed ONCE and
@@ -203,25 +238,21 @@ def minhash_lsh_dedup(
     each recompute tokenization+minhash (5 scans of the corpus); a
     persisted (id, toks, sig) table is exactly what a production pipeline
     materializes — it is orders of magnitude smaller than the documents.
-    Since the returned frame is lazy and keeps referencing the persisted
-    table, each call unpersists the previous call's table (bounding the
-    cache to one signature table per process)."""
+    Persist lifetime: Spark's CacheManager dedupes by logical plan, so
+    repeat runs of the same query reuse one entry; pass an explicit
+    :class:`LshSignatureCache` to evict the previous table
+    deterministically when chaining differently-parameterized calls."""
     if bands > k or k % bands != 0:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows_per_band = k // bands
-    base = (
-        with_minhash(df.select(id_col, text_col), text_col, k, shingle_n=shingle_n)
-        .select(
-            F.col(id_col).alias("id"),
-            _shingle_set(text_col, shingle_n).alias("toks"),
-            "sig",
-        )
-        .persist()
+    base = with_minhash(
+        df.select(id_col, text_col), text_col, k, shingle_n=shingle_n
+    ).select(
+        F.col(id_col).alias("id"),
+        _shingle_set(text_col, shingle_n).alias("toks"),
+        "sig",
     )
-    global _last_lsh_base
-    if _last_lsh_base is not None:
-        _last_lsh_base.unpersist()
-    _last_lsh_base = base
+    base = cache.swap(base) if cache is not None else base.persist()
     band_structs = F.array(
         *[
             F.struct(

@@ -309,3 +309,15 @@ def test_persisted_ann_indexes_match_inline_paths(spark, tmp_path):
     got2 = [(r["vec_id"], r["cosine"]) for r in S.lsh_index_query(spark, lsh, qv, k=10, exclude_id=0).collect()]
     ref2 = [(r["vec_id"], r["cosine"]) for r in S.lsh_topk(emb, 0, 10).collect()]
     assert got2 == ref2 and len(got2) > 0
+
+
+def test_lsh_signature_cache_handle(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    with D.LshSignatureCache() as cache:
+        out1 = D.minhash_lsh_dedup(docs, k=16, bands=1, cache=cache)
+        n1 = out1.count()
+        # a second, differently-parameterized call evicts the first table
+        out2 = D.minhash_lsh_dedup(docs, k=16, bands=2, cache=cache)
+        assert out2.count() >= n1  # narrower bands only add candidates
+        assert cache._current is not None
+    assert cache._current is None  # context exit unpersisted
