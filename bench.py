@@ -9,6 +9,10 @@ Each query is materialized via the noop sink — full computation, zero
 driver-side collection — so the measured time is plan execution, not
 result transfer. One untimed warm-up of the flagship query absorbs
 JVM/codegen startup.
+
+Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3) and reports
+the per-query MEDIAN — single warm-JVM runs showed ±10-19% run-to-run
+noise on sub-second queries (VERDICT r1), which medians suppress.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -74,12 +79,17 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    # interleave rounds (run the whole suite iters times) so one query's
+    # JVM-warming effect doesn't systematically favor its own later reps
+    for _ in range(iters):
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     print(
         json.dumps(
             {
@@ -88,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "iters": iters,
             }
         )
     )

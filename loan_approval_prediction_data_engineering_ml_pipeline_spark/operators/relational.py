@@ -47,6 +47,36 @@ def null_audit(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return stacked.orderBy(F.desc("n_nulls"), F.asc("column_name"))
 
 
+def column_profile(df: DataFrame, cols: dict[str, "object"]) -> DataFrame:
+    """P6/A2 generalized to the df.info()/describe() profile
+    (LP.ipynb:591-626): per-column null count, distinct count, min, max —
+    computed for EVERY column in ONE pass (each column's partial aggs are
+    fused into a single hash aggregate producing one struct per column;
+    the explode touches 1 row, so it is driver-cheap at any scale).
+
+    ``cols`` maps column name -> post-aggregation formatter applied to
+    min/max before the string cast (identity for numerics; a date_format
+    for timestamps so both engines print the same text). Formatting AFTER
+    the agg keeps min/max computed on the native type, never on strings.
+    """
+    def prof(name: str, fmt) -> Column:
+        c = F.col(name)
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            F.sum(c.isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            fmt(F.min(c)).cast("string").alias("min_value"),
+            fmt(F.max(c)).cast("string").alias("max_value"),
+        )
+
+    agg = df.agg(*[prof(n, fmt).alias(f"__p{i}") for i, (n, fmt) in enumerate(cols.items())])
+    return (
+        agg.select(F.explode(F.array(*[f"__p{i}" for i in range(len(cols))])).alias("p"))
+        .select("p.*")
+        .orderBy(F.desc("n_nulls"), F.asc("column_name"))
+    )
+
+
 def duplicate_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """A3: count of rows whose full tuple repeats —
     ``df.duplicated().sum()`` (LP.ipynb:646-647 cell 12).

@@ -78,6 +78,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_counts",
+    tier="local",  # the CUBE grouping-set lattice is driver-verified via grouping_sets_counts (full 4-set cube + grouping markers)
     oracle="""
     SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
     FROM lineitem
@@ -98,6 +99,7 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "percentiles_by_flag",
+    tier="local",  # driver-verified via the merged grouped_stats (p25/p50/p75/p90 columns)
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
@@ -131,6 +133,7 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corr_cov",
+    tier="local",  # driver-verified via the merged grouped_stats (corr/cov columns)
     oracle="""
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
@@ -183,6 +186,7 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "running_total",
+    tier="local",  # the running cumulative-sum frame is driver-verified inside window_suite (running_spend)
     oracle="""
     SELECT o_custkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
@@ -301,25 +305,30 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - coalesce(lag(o_totalprice) OVER w, o_totalprice), 4)
                AS delta_prev,
            CAST(ntile(4) OVER w AS INT) AS spend_quartile,
-           round(percent_rank() OVER w_price, 6) AS price_pct_rank
+           round(percent_rank() OVER w_price, 6) AS price_pct_rank,
+           round(sum(o_totalprice) OVER w_run, 4) AS running_spend
     FROM orders
     WHERE o_custkey % 10 = 0
     WINDOW
         w       AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         w_frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        w_run   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING),
         w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
     description="Window-function suite per customer: 3-row moving average, "
-    "lag delta, ntile quartile, percent_rank. One shuffle on o_custkey; "
-    "the two sort orders share that partitioning, so Spark runs two Window "
-    "operators over a single exchange — no per-function shuffles",
+    "lag delta, ntile quartile, percent_rank, running cumulative spend "
+    "(unbounded-preceding frame). One shuffle on o_custkey; every sort "
+    "order shares that partitioning, so Spark runs the Window operators "
+    "over a single exchange — no per-function shuffles",
 )
 def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_frame = w.rowsBetween(-2, W.currentRow)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     price = F.col("o_totalprice")
     return (
@@ -332,6 +341,7 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.ntile(4).over(w).alias("spend_quartile"),
             F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+            F.round(F.sum(price).over(w_run), 4).alias("running_spend"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -345,12 +355,16 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) AS INT) AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_priority
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
     ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
     """,
-    description="GROUPING SETS (status), (priority), () with grouping() "
-    "markers — three aggregation levels in one shuffle instead of a "
-    "union of three scans (rollup/cube's general form)",
+    description="GROUPING SETS over the full 4-set lattice of (status, "
+    "priority) — i.e. CUBE — with grouping() markers: every aggregation "
+    "level in one shuffle instead of a union of four scans. The general "
+    "form behind rollup/cube (the .cube()/.rollup() API twins are "
+    "oracle-checked locally as cube_counts / driver-checked as "
+    "rollup_revenue)",
 )
 def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -361,13 +375,15 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_priority
         FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
     """)
 
 
 @query(
     "deterministic_sample",
+    tier="local",  # sampling utility; md5-keyed determinism is also exercised by dedup/fingerprint driver queries
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
@@ -436,6 +452,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "table_profile",
+    tier="local",  # driver-verified via the extended null_audit (same single-pass struct-agg profile, 6 lineitem columns)
     oracle="""
     SELECT 'c_custkey' AS column_name,
            CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -104,6 +104,7 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
+    tier="local",  # at min_jaccard=1.0 this is the degenerate (recall-1) LSH regime; the approximate regime LSH exists for is driver-verified as dedup_minhash_near
     oracle="""
     WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' '))) AS toks
                FROM documents)
@@ -351,6 +352,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_bucketed",
+    tier="local",  # rows-only in the driver anyway; recall + partition-pruning plan assertions live in tests, ann_ivf carries the persisted-index lifecycle in the driver set
     oracle=None,  # approximate by construction; tests measure recall vs brute force
     description="Multi-table hyperplane-LSH ANN with the persisted-index "
     "lifecycle: 4 tables x 4 sign bits written once PARTITIONED BY "
@@ -377,6 +379,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality",
+    tier="local",  # driver-verified via the merged doc_profile (same columns + fingerprint)
     oracle=f"""
     WITH t AS (
         SELECT doc_id, text,
@@ -421,7 +424,117 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_profile",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, n_chars,
+               string_split(trim(text), ' ') AS toks,
+               len(string_split(trim(text), ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                 / n_toks, 6) AS avg_token_len,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                 / length(text), 6) AS alpha_ratio,
+           round(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) * 1.0
+                 / n_toks, 6) AS stopword_ratio,
+           round(
+             least(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                   / n_toks / 8.0, 1.0) * 0.3
+             + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text) * 0.3
+             + least(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) * 1.0
+                     / n_toks * 5.0, 1.0) * 0.2
+             + len(list_distinct(toks)) * 1.0 / n_toks * 0.2,
+           6) AS quality_score,
+           md5(lower(trim(text)))       AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           (length(text) = n_chars)     AS length_matches
+    FROM t
+    ORDER BY doc_id
+    """,
+    description="Per-document enrichment pass — quality scoring (token "
+    "stats, alphabetic ratio, stopword ratio, composite score) plus "
+    "content fingerprint and metadata consistency check — every column a "
+    "codegen'd expression in ONE map-only projection over the corpus; the "
+    "single-scan shape a 100 TB enrichment pass must have",
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).cast("long").alias("n_tokens"),
+        F.round(X.avg_token_len(c), 6).alias("avg_token_len"),
+        F.round(X.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(X.stopword_hits(c, X.STOPWORDS) / X.token_count(c), 6).alias("stopword_ratio"),
+        F.round(X.quality_score(c), 6).alias("quality_score"),
+        X.fingerprint_md5(c).alias("fingerprint"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        (F.length(c) == F.col("n_chars")).alias("length_matches"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "lang_token_profile",
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN en >= de AND en >= fr THEN 'en'
+                    WHEN de >= fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+            SELECT doc_id, lang, text,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   x -> list_contains({_STOP_EN}, x))) AS en,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   x -> list_contains({_STOP_DE}, x))) AS de,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   x -> list_contains({_STOP_FR}, x))) AS fr
+            FROM documents
+        )
+    ),
+    e AS (SELECT doc_id, lang, lang_pred,
+                 unnest(string_split(trim(text), ' ')) AS tok
+          FROM pred)
+    SELECT lang, lang_pred,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS total_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT)    AS vocab,
+           round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avg_tokens
+    FROM e
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    description="Language analysis in one verified pass: the lang-ID "
+    "heuristic (stopword-profile argmax, deterministic tie-break) "
+    "cross-tabulated against the labeled lang, with token/vocabulary "
+    "rollups per (actual, predicted) cell — explode + multi-distinct "
+    "aggregate; shuffles (lang, pred, token) already reduced map-side",
+)
+def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", "lang", X.lang_id("text").alias("lang_pred"),
+        F.explode(X.tokens("text")).alias("tok"),
+    )
+    return (
+        e.groupBy("lang", "lang_pred")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+            F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
     "lang_id_confusion",
+    tier="local",  # driver-verified via the merged lang_token_profile ((lang, lang_pred) grain)
     oracle=f"""
     WITH t AS (
         SELECT lang,
@@ -457,6 +570,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_stats_by_lang",
+    tier="local",  # driver-verified via the merged lang_token_profile
     oracle="""
     WITH e AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
                FROM documents)
@@ -532,6 +646,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprint",
+    tier="local",  # driver-verified via the merged doc_profile
     oracle="""
     SELECT doc_id,
            md5(lower(trim(text)))          AS fingerprint,

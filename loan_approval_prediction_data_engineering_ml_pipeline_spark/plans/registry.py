@@ -14,6 +14,18 @@ hash, so:
 
 Entries with ``oracle=None`` are genuinely non-SQL-expressible (streaming,
 LSH internals) and get the driver's weaker rows-only check.
+
+Tiers: the driver's correctness snapshot verifies at most 50 queries (the
+first 50 in registration order — CORRECTNESS_r01 was exactly that prefix),
+so the registry is curated into two tiers:
+
+- ``tier="driver"`` (exactly 50): the load-bearing operator set exposed via
+  ``__spark_entry__.queries()`` / ``oracle_sql()`` — every one gets a
+  driver-verified row per round.
+- ``tier="local"``: redundant-with-a-merged-driver-query variants and
+  utility queries. Still fully oracle-parity-checked by
+  ``tests/test_oracle_parity.py`` (which iterates ALL tiers) and still
+  benchable; just not part of the driver's capped snapshot.
 """
 
 from __future__ import annotations
@@ -31,26 +43,34 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     description: str = ""
+    tier: str = "driver"
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, description: str = ""):
+def query(name: str, oracle: str | None = None, description: str = "", tier: str = "driver"):
     """Decorator registering a named query with its oracle twin."""
+    if tier not in ("driver", "local"):
+        raise ValueError(f"unknown tier: {tier!r}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description, tier=tier)
         return fn
 
     return deco
 
 
 def spark_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    """Driver-tier queries only — the capped, fully-verified surface."""
+    return {name: spec.fn for name, spec in QUERIES.items() if spec.tier == "driver"}
 
 
 def oracle_queries() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.tier == "driver" and spec.oracle is not None
+    }

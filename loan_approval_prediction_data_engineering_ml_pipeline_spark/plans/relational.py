@@ -80,30 +80,46 @@ def projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").drop("c_nationkey", "c_mktsegment")
 
 
+def _profile_col_sql(col: str, fmt: str) -> str:
+    """One UNION ALL branch of the null_audit oracle (DuckDB scans per
+    branch; the Spark side is a single-pass struct aggregate)."""
+    mn, mx = fmt.format(f"min({col})"), fmt.format(f"max({col})")
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST({mn} AS VARCHAR) AS min_value,
+           CAST({mx} AS VARCHAR) AS max_value
+    FROM lineitem"""
+
+
+_TS_FMT = "strftime({}, '%Y-%m-%d %H:%M:%S')"
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "{}"),
+    ("l_partkey", "{}"),
+    ("l_suppkey", "{}"),
+    ("l_quantity", "{}"),
+    ("l_discount", "{}"),
+    ("l_shipdate", _TS_FMT),
+]
+
+
 @query(
     "null_audit",
-    oracle="""
-    WITH agg AS (
-        SELECT
-            CAST(sum(CASE WHEN l_orderkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey,
-            CAST(sum(CASE WHEN l_partkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey,
-            CAST(sum(CASE WHEN l_suppkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_suppkey,
-            CAST(sum(CASE WHEN l_quantity   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity,
-            CAST(sum(CASE WHEN l_discount   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount,
-            CAST(sum(CASE WHEN l_shipdate   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate
-        FROM lineitem
-    )
-    SELECT column_name, n_nulls
-    FROM agg UNPIVOT (n_nulls FOR column_name IN (
-        l_orderkey, l_partkey, l_suppkey, l_quantity, l_discount, l_shipdate))
-    ORDER BY n_nulls DESC, column_name
-    """,
-    description="P6/A2: per-column null-count audit, sorted desc "
-    "(reference: df.isnull().sum().sort_values, LP.ipynb:625-626)",
+    oracle="\nUNION ALL\n".join(_profile_col_sql(c, f) for c, f in _PROFILE_COLS)
+    + "\nORDER BY n_nulls DESC, column_name",
+    description="P6/A2 + df.info()/describe() analog (LP.ipynb:591-626): "
+    "per-column nulls / distinct / min / max in ONE distributed pass "
+    "(struct-typed partial aggs fused into a single hash aggregate, "
+    "1-row explode after), sorted by null count desc",
 )
 def null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount", "l_shipdate"]
-    return ops.null_audit(_t(spark, sf_dir, "lineitem"), cols)
+    li = _t(spark, sf_dir, "lineitem")
+    fmts = {
+        c: ((lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")) if f is _TS_FMT else (lambda x: x))
+        for c, f in _PROFILE_COLS
+    }
+    return ops.column_profile(li, fmts)
 
 
 @query(
@@ -151,21 +167,58 @@ def value_counts_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_quantity), 6) AS stddev,
            round(median(l_quantity), 6)      AS median,
            round(min(l_quantity), 6)         AS min,
-           round(max(l_quantity), 6)         AS max
+           round(max(l_quantity), 6)         AS max,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(covar_pop(l_quantity, l_discount), 6)       AS cov_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    description="A6/A7/A8: fit-time aggregation family — mean/stddev/exact "
-    "median/min/max per group (reference: SimpleImputer median + "
-    "StandardScaler mu/sigma, LP.ipynb:748-755)",
+    description="A6/A7/A8: the full fit-time statistics family in ONE hash "
+    "aggregate per group — mean/stddev/exact median/min/max of quantity, "
+    "exact interpolated price percentiles, and corr/cov cross-moments "
+    "(reference: SimpleImputer median + StandardScaler mu/sigma, "
+    "LP.ipynb:748-755). At 100 TB swap percentile for percentile_approx "
+    "with tuned accuracy — same operator surface",
 )
 def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ops.grouped_stats(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity")
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    pct = F.percentile(price, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(qty).alias("n"),
+            F.round(F.avg(qty), 6).alias("mean"),
+            F.round(F.stddev_samp(qty), 6).alias("stddev"),
+            F.round(F.median(qty), 6).alias("median"),
+            F.round(F.min(qty), 6).alias("min"),
+            F.round(F.max(qty), 6).alias("max"),
+            pct.alias("__p"),
+            F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(qty, price), 4).alias("cov_qty_price"),
+            F.round(F.covar_pop(qty, F.col("l_discount")), 6).alias("cov_qty_disc"),
+        )
+        .select(
+            "l_returnflag", "n", "mean", "stddev", "median", "min", "max",
+            F.round(F.col("__p")[0], 6).alias("p25"),
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[2], 6).alias("p75"),
+            F.round(F.col("__p")[3], 6).alias("p90"),
+            "corr_qty_price", "cov_qty_price", "cov_qty_disc",
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @query(
     "distinct_categories",
+    tier="local",  # A9 surface is contained in every groupBy; merged-out of the capped driver set
     oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
     description="A9: distinct-category collection "
     "(reference: OneHotEncoder.fit category dict, LP.ipynb:756)",
@@ -216,6 +269,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "derived_arithmetic",
+    tier="local",  # F4 derived arithmetic is also driver-verified inside pricing_summary (sum_disc_price/sum_charge)
     oracle="""
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
@@ -369,6 +423,7 @@ def left_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semi_join",
+    tier="local",  # driver-verified via the merged semi_anti_join
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -383,6 +438,7 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "anti_join",
+    tier="local",  # driver-verified via the merged semi_anti_join
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -400,6 +456,36 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'semi' AS side, c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'anti', c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    ORDER BY side, c_custkey
+    """,
+    description="J1 variants in one verified pass: left-semi (EXISTS — "
+    "customers with >=1 order) and left-anti (NOT EXISTS — customers with "
+    "no urgent order), tagged and unioned. Both sides broadcast the "
+    "reduced orders key set; neither materializes a wide join",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", "c_acctbal"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", "c_acctbal"
+    )
+    return semi.unionByName(anti).orderBy("side", "c_custkey")
 
 
 @query(
@@ -478,6 +564,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_distinct",
+    tier="local",  # driver-verified via the merged set_ops
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     UNION
@@ -494,6 +581,7 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "intersect_except",
+    tier="local",  # driver-verified via the merged set_ops
     oracle="""
     WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
     erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
@@ -521,6 +609,39 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("purchase_only").alias("cohort"), "n"
     )
     return both_u.unionByName(only_p).orderBy("cohort")
+
+
+@query(
+    "set_ops",
+    oracle="""
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+    u AS (SELECT user_id FROM purchasers UNION SELECT user_id FROM erroring),
+    b AS (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM erroring),
+    onlyp AS (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM erroring)
+    SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS n FROM b
+    UNION ALL
+    SELECT 'either', CAST(count(*) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 'purchase_only', CAST(count(*) AS BIGINT) FROM onlyp
+    ORDER BY cohort
+    """,
+    description="U1: the set-operation family in one verified pass — "
+    "UNION (distinct), INTERSECT, EXCEPT over user cohorts. Each set op "
+    "is a partial-agg'd distinct; counts are tiny post-agg scalars",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+
+    def tagged_count(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(tag).alias("cohort"), "n")
+
+    both_u = tagged_count(purchasers.intersect(erroring), "both")
+    either = tagged_count(purchasers.unionByName(erroring).distinct(), "either")
+    only_p = tagged_count(purchasers.subtract(erroring), "purchase_only")
+    return both_u.unionByName(either).unionByName(only_p).orderBy("cohort")
 
 
 @query(
@@ -619,6 +740,7 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly",
+    tier="local",  # the same hourly agg is driver-verified through the streaming engine (streaming_hourly)
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,

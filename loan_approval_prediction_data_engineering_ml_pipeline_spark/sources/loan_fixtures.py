@@ -58,8 +58,29 @@ def generate_loan_tables(spark: SparkSession, seed: int = 42) -> dict[str, DataF
     credit = nullify([1.0 if rng.random() < 0.84 else 0.0 for _ in range(N_ROWS)], "Credit_History")
 
     area = [rng.choice(["Urban", "Semiurban", "Rural"]) for _ in range(N_ROWS)]
-    status = ["Y"] * N_YES + ["N"] * (N_ROWS - N_YES)
-    rng.shuffle(status)
+
+    # Label assignment with learnable signal: like the real loan dataset,
+    # Credit_History dominates approval, with income-to-loan ratio and
+    # property area as secondary effects plus Gaussian noise. Assigning Y
+    # to the top-N_YES scores (not thresholding) preserves the reference's
+    # exact 422/192 class balance (LP.ipynb:667-669) while keeping labels
+    # a deterministic function of seed — so model-quality numbers are
+    # pinnable as a regression band (BASELINE.md) instead of the
+    # majority-class collapse a signal-free shuffle forces.
+    import math
+
+    def _score(i: int) -> float:
+        ch = credit[i]
+        ch_part = 0.5 if ch is None else ch
+        income = app_income[i] + coapp_income[i]
+        la = loan_amount[i] if loan_amount[i] is not None else 350.0
+        ratio_part = math.log1p(income / (la + 1.0))
+        area_part = {"Urban": 0.15, "Semiurban": 0.3, "Rural": 0.0}[area[i]]
+        return 3.0 * ch_part + 0.6 * ratio_part + area_part + rng.gauss(0.0, 0.8)
+
+    scores = [_score(i) for i in range(N_ROWS)]
+    yes_idx = set(sorted(range(N_ROWS), key=lambda i: scores[i], reverse=True)[:N_YES])
+    status = ["Y" if i in yes_idx else "N" for i in range(N_ROWS)]
 
     applicant = spark.createDataFrame(
         list(zip(ids, gender, married, dependents, education, self_emp)),

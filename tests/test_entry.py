@@ -17,3 +17,20 @@ def test_queries_oracle_keys_align():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
     assert len(q) > 0
+
+
+def test_driver_tier_is_exactly_fifty():
+    # The driver's correctness snapshot verifies at most 50 queries (the
+    # first 50 in registration order — CORRECTNESS_r01 was exactly that
+    # prefix of a 64-query registry). Keep the exposed surface at exactly
+    # 50 so EVERY driver query gets a verified row; everything else is
+    # tier="local" and parity-checked by test_oracle_parity instead.
+    q = entry_mod.queries()
+    assert len(q) == 50, (
+        f"driver tier has {len(q)} queries; the driver caps its snapshot "
+        "at 50 — re-curate tiers in plans/*.py"
+    )
+    # the weaker rows-only check should stay limited to the genuinely
+    # non-SQL-expressible ops
+    o = entry_mod.oracle_sql()
+    assert set(q) - set(o) == {"dedup_simhash", "ann_ivf", "ml_loan_train_eval"}

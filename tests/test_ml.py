@@ -138,8 +138,16 @@ def test_train_select_persist_score(spark, loan_df, tmp_path):
     train, test = stratified_split(loan_df, "label", 0.2, seed=42)
     best_name, best_model, results = train_and_select(train, test)
     assert set(results) == {"RandomForestClassifier", "LogisticRegression"}
-    majority = 0.687  # predict-all-Y baseline
-    assert results[best_name]["accuracy"] >= majority - 0.15
+    # Quality regression band (BASELINE.md "Model quality"): on the
+    # signal-bearing fixture (credit-history-dominant labels, exact
+    # reference class balance) the r2 measurement was RF acc 0.8607 /
+    # F1 0.8513, LR acc 0.8689 / F1 0.8641. Both models must stay well
+    # above the 0.687 predict-all-Y majority baseline — a drop to it
+    # means the pipeline stopped learning (e.g. features disconnected).
+    for name, m in results.items():
+        assert m["accuracy"] >= 0.80, f"{name} accuracy {m['accuracy']:.4f} below band"
+        assert m["f1"] >= 0.80, f"{name} f1 {m['f1']:.4f} below band"
+    assert results[best_name]["accuracy"] <= 0.95, "suspiciously high: label leak?"
     # confusion matrix totals the test split
     cm = confusion_matrix(best_model.transform(test))
     assert sum(r["n"] for r in cm.collect()) == test.count()
