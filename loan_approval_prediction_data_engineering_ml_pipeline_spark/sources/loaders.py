@@ -138,6 +138,75 @@ def upsert_parquet(
     _delete_path(spark, staged)
 
 
+def upsert_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    *,
+    order_col: str | None = None,
+) -> None:
+    """S6 at scale: partition-granular REPLACE INTO over a hive-partitioned
+    parquet store — only the partitions present in the incoming batch are
+    read, merged, and rewritten; cold partitions are never touched (their
+    files stay byte-identical — asserted in tests).
+
+    This is the 100 TB shape of ``upsert_parquet``: a daily ingest into a
+    day-partitioned store rewrites O(days touched), not O(store). The
+    touched-partition list is a driver collect bounded by the number of
+    partitions in the batch (typically a handful), never by row count.
+
+    Requirement: ``partition_col`` must be a stable function of the key
+    (a row never migrates partitions between versions). If a key can move
+    partitions, its old version would survive in the old partition — use
+    ``upsert_parquet`` (full rewrite) or delete-by-key first.
+    """
+    spark = df.sparkSession
+    touched = [r[0] for r in df.select(partition_col).distinct().collect()]
+    incoming = df.withColumn("__src", F.lit(0))
+    try:
+        existing_all = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        merged = incoming
+    else:
+        # partition pruning: only the touched partitions are scanned.
+        # Partition-column type inference may widen the stored value (e.g.
+        # '2024-01-01' string → date); cast back to the incoming type so
+        # the union and key-dedupe compare like with like.
+        existing = (
+            existing_all.withColumn(
+                partition_col, F.col(partition_col).cast(df.schema[partition_col].dataType)
+            )
+            .filter(F.col(partition_col).isin(touched))
+            .withColumn("__src", F.lit(1))
+        )
+        merged = incoming.unionByName(existing, allowMissingColumns=False)
+    ordering = [F.col("__src").asc()]
+    if order_col:
+        ordering.insert(0, F.col(order_col).desc())
+    w = W.partitionBy(*key_cols).orderBy(*ordering)
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Stage the merged partitions (parquet can't atomically overwrite a
+    # path it is reading), then dynamic-partition-overwrite the store:
+    # only partitions present in the staged frame are replaced.
+    staged = path.rstrip("/") + "__upsert_staging"
+    deduped.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    final = spark.read.parquet(staged)
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    _delete_path(spark, staged)
+
+
 def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> None:
     """S5 analog: persist + register. Parquet-backed, schema from the frame."""
     df.write.mode("overwrite").parquet(path)

@@ -98,3 +98,48 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len(glob.glob(p + "/part-*"))
     assert after <= 2
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_upsert_parquet_partitioned_touches_only_hot_partitions(spark, tmp_path):
+    import glob
+    import hashlib
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024-01-01"), (2, "b", 1, "2024-01-01"),
+         (3, "c", 1, "2024-01-02"), (4, "d", 1, "2024-01-03")],
+        ["id", "val", "ver", "dt"],
+    )
+    upsert_parquet_partitioned(base, path, ["id"], "dt", order_col="ver")
+
+    def snapshot(day: str) -> dict[str, str]:
+        files = sorted(glob.glob(os.path.join(path, f"dt={day}", "*.parquet")))
+        return {f: hashlib.md5(open(f, "rb").read()).hexdigest() for f in files}
+
+    cold_02, cold_03 = snapshot("2024-01-02"), snapshot("2024-01-03")
+    assert cold_02 and cold_03
+
+    # batch touches only 2024-01-01: update id=2, insert id=5
+    batch = spark.createDataFrame(
+        [(2, "b2", 2, "2024-01-01"), (5, "e", 2, "2024-01-01")],
+        ["id", "val", "ver", "dt"],
+    )
+    upsert_parquet_partitioned(batch, path, ["id"], "dt", order_col="ver")
+
+    # partition-type inference reads dt back as date; normalize to str
+    out = {(r["id"], r["val"], str(r["dt"])) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        (1, "a", "2024-01-01"), (2, "b2", "2024-01-01"), (5, "e", "2024-01-01"),
+        (3, "c", "2024-01-02"), (4, "d", "2024-01-03"),
+    }
+    # cold partitions: byte-identical files (never read, never rewritten)
+    assert snapshot("2024-01-02") == cold_02
+    assert snapshot("2024-01-03") == cold_03
+    # idempotent reload (REPLACE INTO property) keeps counts stable
+    upsert_parquet_partitioned(batch, path, ["id"], "dt", order_col="ver")
+    assert spark.read.parquet(path).count() == 5
