@@ -245,12 +245,31 @@ def minhash_lsh_dedup(
     if bands > k or k % bands != 0:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
     rows_per_band = k // bands
-    base = with_minhash(
-        df.select(id_col, text_col), text_col, k, shingle_n=shingle_n
-    ).select(
+
+    # Shingle ONCE, then derive both the verification set ("toks") and the
+    # signature from it. Routing through with_minhash would rebuild the
+    # shingle array a second time for "toks" — for n-gram shingles that is
+    # a full extra split+concat pass over the corpus (measured ~25% of the
+    # sf0.1 near-dup query). Each projection step keeps the expensive
+    # multiply-referenced alias split (CollapseProject leaves it alone),
+    # so the shingle and base-hash arrays are computed exactly once.
+    def affine(i: int):
+        a_c, b_c = X.minhash_coeffs(i)
+        return lambda h: (F.lit(a_c) * h + F.lit(b_c)) % X.MINHASH_PRIME
+
+    shingled = _ensure_cpu_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         _shingle_set(text_col, shingle_n).alias("toks"),
-        "sig",
+    )
+    hashed = shingled.select(
+        "id", "toks", F.transform("toks", X.token_base_hash).alias("__tokh")
+    )
+    base = hashed.select(
+        "id",
+        "toks",
+        F.array(
+            *[F.array_min(F.transform(F.col("__tokh"), affine(i))) for i in range(k)]
+        ).alias("sig"),
     )
     base = cache.swap(base) if cache is not None else base.persist()
     band_structs = F.array(

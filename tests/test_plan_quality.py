@@ -98,3 +98,37 @@ def test_ann_index_probes_prune_partitions(spark, tmp_path):
         df2.explain("formatted")
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", buf2.getvalue())
     assert m2 and "bucket" in m2.group(1) and "table_id" in m2.group(1)
+
+
+def test_merged_profile_aggregates_scan_once(spark):
+    """The merged driver-tier queries must keep their single-pass shape:
+    null_audit (6-column profile) and grouped_stats (stats + percentiles
+    + corr/cov) each fuse every aggregate into ONE scan of lineitem."""
+    import re
+
+    for name in ("null_audit", "grouped_stats"):
+        plan = _formatted_plan(spark, name)
+        # formatted explain lists each node twice (tree + detail):
+        # count only the numbered detail headers
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+
+
+def test_doc_profile_is_map_only(spark):
+    # per-document enrichment: no aggregation, no join — a sort for the
+    # presentation orderBy is the only exchange
+    plan = _formatted_plan(spark, "doc_profile")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_semi_anti_join_single_pass(spark):
+    """semi_anti_join derives both sides from one orders aggregation and
+    one customer join — 2 scans total, not the 4 of a unioned
+    semi-join + anti-join."""
+    import re
+
+    plan = _formatted_plan(spark, "semi_anti_join")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
