@@ -206,6 +206,48 @@ def correlated_pairs_stream(
     )
 
 
+def stream_upsert_sink(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    *,
+    order_col: str | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingest into a partitioned parquet store: each micro-batch
+    is REPLACE-INTO-upserted at partition granularity via ``foreachBatch``
+    + ``upsert_parquet_partitioned``.
+
+    Delivery semantics: the streaming engine gives at-least-once batch
+    delivery on retry; the key-level upsert makes redelivery idempotent,
+    so the store converges to exactly-once per key — the standard
+    streaming-into-lakehouse sink shape when no transaction log (Delta/
+    Iceberg) is available. Each batch rewrites only the partitions it
+    touches, so an unbounded ingest feed into a day-partitioned 100 TB
+    store does O(batch) work per trigger, not O(store).
+
+    ``availableNow`` trigger: drain everything currently in the source,
+    then stop — the replay-to-parity mode the tests use; a production
+    deployment would use a processing-time trigger and a durable
+    ``checkpoint``.
+    """
+    from ..sources.loaders import upsert_parquet_partitioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet_partitioned(
+            batch_df, path, key_cols, partition_col, order_col=order_col
+        )
+
+    writer = df.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drive a streaming frame to completion over the (finite) fixture and
     land results in an in-memory table ``name`` — availableNow semantics:

@@ -134,3 +134,36 @@ def test_stream_stream_join_matches_batch_range_join(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_stream_upsert_sink_idempotent_partitioned_ingest(spark, tmp_path):
+    """Streaming → partitioned-upsert composition: replaying the events
+    fixture through the foreachBatch sink lands exactly the batch rows in
+    a day-partitioned store; replaying AGAIN (at-least-once redelivery)
+    leaves the store unchanged — exactly-once per key."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        stream_upsert_sink,
+    )
+
+    store = str(tmp_path / "store")
+
+    def ingest(cp: str) -> None:
+        stream = read_events_stream(spark, SF).withColumn(
+            "dt", F.date_format("ts", "yyyy-MM-dd")
+        )
+        stream_upsert_sink(
+            stream, store, ["event_id"], "dt", checkpoint=str(tmp_path / cp)
+        )
+
+    ingest("cp1")
+    batch = load_table(spark, SF, "events")
+    landed = spark.read.parquet(store)
+    assert landed.count() == batch.count()
+    got = {(r["event_id"], r["user_id"], r["value"]) for r in landed.collect()}
+    want = {(r["event_id"], r["user_id"], r["value"]) for r in batch.collect()}
+    assert got == want
+    # full redelivery (fresh checkpoint => source replays everything)
+    ingest("cp2")
+    again = spark.read.parquet(store)
+    assert again.count() == batch.count()
