@@ -53,6 +53,11 @@ HEADLINE = [
     "window_suite",
     "price_histogram",
     "near_dup_components",
+    # merged driver-tier queries (r2 registry curation)
+    "doc_profile",
+    "lang_token_profile",
+    "grouped_stats",
+    "semi_anti_join",
 ]
 
 
