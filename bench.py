@@ -84,7 +84,7 @@ def main() -> None:
         .save()
     )
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
     # interleave rounds (run the whole suite iters times) so one query's
     # JVM-warming effect doesn't systematically favor its own later reps

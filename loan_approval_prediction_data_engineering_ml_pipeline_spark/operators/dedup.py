@@ -67,6 +67,21 @@ def _shingle_set(text_col: str, shingle_n: int) -> Column:
     return F.array_sort(X.word_shingles(text_col, shingle_n))
 
 
+def _minhash_sig(k: int, tokh_col: str = "__tokh") -> Column:
+    """The k-slot minhash signature expression over a base-hash array
+    column: slot i = min over (a_i*h + b_i) mod p. THE single definition
+    of the signature recipe — the SQL oracle for ``dedup_minhash_groups``
+    is generated from the same ``minhash_coeffs`` constants, so every
+    Spark path must derive its signature from this expression."""
+    def affine(i: int):
+        a, b = X.minhash_coeffs(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % X.MINHASH_PRIME
+
+    return F.array(
+        *[F.array_min(F.transform(F.col(tokh_col), affine(i))) for i in range(k)]
+    )
+
+
 def with_minhash(
     df: DataFrame, text_col: str = "text", k: int = 16, *, shingle_n: int = 1
 ) -> DataFrame:
@@ -78,20 +93,11 @@ def with_minhash(
     the split because the expression is expensive and
     multiply-referenced. One md5 per token total — the k slots are
     cheap (a*h + b) mod p transforms of the shared array."""
-    def affine(i: int):
-        a, b = X.minhash_coeffs(i)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % X.MINHASH_PRIME
-
     hashed = _ensure_cpu_parallelism(df).select(
         "*",
         F.transform(_shingle_set(text_col, shingle_n), X.token_base_hash).alias("__tokh"),
     )
-    return hashed.select(
-        *df.columns,
-        F.array(
-            *[F.array_min(F.transform(F.col("__tokh"), affine(i))) for i in range(k)]
-        ).alias("sig"),
-    )
+    return hashed.select(*df.columns, _minhash_sig(k).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -252,11 +258,9 @@ def minhash_lsh_dedup(
     # a full extra split+concat pass over the corpus (measured ~25% of the
     # sf0.1 near-dup query). Each projection step keeps the expensive
     # multiply-referenced alias split (CollapseProject leaves it alone),
-    # so the shingle and base-hash arrays are computed exactly once.
-    def affine(i: int):
-        a_c, b_c = X.minhash_coeffs(i)
-        return lambda h: (F.lit(a_c) * h + F.lit(b_c)) % X.MINHASH_PRIME
-
+    # so the shingle and base-hash arrays are computed exactly once; the
+    # signature itself comes from the same _minhash_sig expression
+    # with_minhash uses, so the recipes cannot drift.
     shingled = _ensure_cpu_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         _shingle_set(text_col, shingle_n).alias("toks"),
@@ -264,13 +268,7 @@ def minhash_lsh_dedup(
     hashed = shingled.select(
         "id", "toks", F.transform("toks", X.token_base_hash).alias("__tokh")
     )
-    base = hashed.select(
-        "id",
-        "toks",
-        F.array(
-            *[F.array_min(F.transform(F.col("__tokh"), affine(i))) for i in range(k)]
-        ).alias("sig"),
-    )
+    base = hashed.select("id", "toks", _minhash_sig(k).alias("sig"))
     base = cache.swap(base) if cache is not None else base.persist()
     band_structs = F.array(
         *[

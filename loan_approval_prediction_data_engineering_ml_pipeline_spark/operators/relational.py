@@ -47,24 +47,33 @@ def null_audit(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return stacked.orderBy(F.desc("n_nulls"), F.asc("column_name"))
 
 
-def column_profile(df: DataFrame, cols: dict[str, "object"]) -> DataFrame:
+def column_profile(df: DataFrame, cols: dict[str, "object"], *, approx: bool = False) -> DataFrame:
     """P6/A2 generalized to the df.info()/describe() profile
-    (LP.ipynb:591-626): per-column null count, distinct count, min, max —
-    computed for EVERY column in ONE pass (each column's partial aggs are
-    fused into a single hash aggregate producing one struct per column;
-    the explode touches 1 row, so it is driver-cheap at any scale).
+    (LP.ipynb:591-626): per-column null count, distinct count, min, max
+    for EVERY column in one scan.
+
+    Cost honesty: with exact distinct counts (``approx=False``) Spark
+    plans the n countDistincts via RewriteDistinctAggregates — an Expand
+    multiplying every input row by n_cols+1 before the partial agg. That
+    is oracle-exact and fine at bench scale, but at 100 TB pass
+    ``approx=True``: approx_count_distinct swaps each distinct for a
+    mergeable HLL sketch — single pass, NO Expand, every aggregate fused
+    into one hash aggregate (the same exact-vs-approx trade the percentile
+    operators document; the oracle gate keeps the exact form).
 
     ``cols`` maps column name -> post-aggregation formatter applied to
     min/max before the string cast (identity for numerics; a date_format
     for timestamps so both engines print the same text). Formatting AFTER
     the agg keeps min/max computed on the native type, never on strings.
     """
+    nd = F.approx_count_distinct if approx else F.countDistinct
+
     def prof(name: str, fmt) -> Column:
         c = F.col(name)
         return F.struct(
             F.lit(name).alias("column_name"),
             F.sum(c.isNull().cast("long")).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
+            nd(c).alias("n_distinct"),
             fmt(F.min(c)).cast("string").alias("min_value"),
             fmt(F.max(c)).cast("string").alias("max_value"),
         )

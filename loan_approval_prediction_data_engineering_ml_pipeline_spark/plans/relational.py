@@ -109,9 +109,11 @@ _PROFILE_COLS: list[tuple[str, str]] = [
     oracle="\nUNION ALL\n".join(_profile_col_sql(c, f) for c, f in _PROFILE_COLS)
     + "\nORDER BY n_nulls DESC, column_name",
     description="P6/A2 + df.info()/describe() analog (LP.ipynb:591-626): "
-    "per-column nulls / distinct / min / max in ONE distributed pass "
-    "(struct-typed partial aggs fused into a single hash aggregate, "
-    "1-row explode after), sorted by null count desc",
+    "per-column nulls / distinct / min / max in one scan, sorted by null "
+    "count desc. Exact multi-column countDistinct plans an Expand "
+    "(rows x n_cols+1) — oracle-exact here; at 100 TB use "
+    "column_profile(approx=True): HLL sketches, no Expand, plan-asserted "
+    "in tests",
 )
 def null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

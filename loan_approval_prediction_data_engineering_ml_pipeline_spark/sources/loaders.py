@@ -164,24 +164,25 @@ def upsert_parquet_partitioned(
     spark = df.sparkSession
     touched = [r[0] for r in df.select(partition_col).distinct().collect()]
     incoming = df.withColumn("__src", F.lit(0))
+    # isin() never matches NULL (SQL three-valued logic), so a batch
+    # carrying the null partition needs an explicit isNull disjunct —
+    # otherwise existing __HIVE_DEFAULT_PARTITION__ rows are dropped from
+    # the merge and then overwritten away.
+    non_null = [v for v in touched if v is not None]
+    touched_pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        touched_pred = touched_pred | F.col(partition_col).isNull()
     try:
-        existing_all = spark.read.parquet(path)
+        existing_all = spark.read.schema(df.schema).parquet(path)
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" not in str(exc):
             raise
         merged = incoming
     else:
         # partition pruning: only the touched partitions are scanned.
-        # Partition-column type inference may widen the stored value (e.g.
-        # '2024-01-01' string → date); cast back to the incoming type so
-        # the union and key-dedupe compare like with like.
-        existing = (
-            existing_all.withColumn(
-                partition_col, F.col(partition_col).cast(df.schema[partition_col].dataType)
-            )
-            .filter(F.col(partition_col).isin(touched))
-            .withColumn("__src", F.lit(1))
-        )
+        # The explicit schema pins the partition column to the incoming
+        # type — no inference, so values compare like with like.
+        existing = existing_all.filter(touched_pred).withColumn("__src", F.lit(1))
         merged = incoming.unionByName(existing, allowMissingColumns=False)
     ordering = [F.col("__src").asc()]
     if order_col:
@@ -194,10 +195,13 @@ def upsert_parquet_partitioned(
     )
     # Stage the merged partitions (parquet can't atomically overwrite a
     # path it is reading), then dynamic-partition-overwrite the store:
-    # only partitions present in the staged frame are replaced.
+    # only partitions present in the staged frame are replaced. The
+    # staged read also declares the schema: inference could re-type a
+    # partition value (string '007' → int 7) and land the rewrite under
+    # a DIFFERENT partition directory, leaving the old one stale.
     staged = path.rstrip("/") + "__upsert_staging"
     deduped.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
-    final = spark.read.parquet(staged)
+    final = spark.read.schema(deduped.schema).parquet(staged)
     (
         final.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -292,9 +296,11 @@ def read_jdbc(
     the reference's single-cursor extract. Filters and projections push
     down to the database (Spark emits WHERE/SELECT accordingly).
 
-    Requires a JDBC driver jar on the classpath; this container ships
-    none, so the call will raise at load() — the plumbing is tested for
-    option construction only."""
+    Requires a JDBC driver jar on the classpath. Spark bundles Derby
+    (for the Hive metastore), whose embedded driver
+    (``org.apache.derby.jdbc.EmbeddedDriver``) powers the real
+    write→read round-trip test (``test_jdbc_round_trip_derby``);
+    external databases (MySQL/Postgres) need their own driver jar."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

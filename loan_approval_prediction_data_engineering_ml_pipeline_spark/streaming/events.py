@@ -235,11 +235,18 @@ def stream_upsert_sink(
     from ..sources.loaders import upsert_parquet_partitioned
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        upsert_parquet_partitioned(
-            batch_df, path, key_cols, partition_col, order_col=order_col
-        )
+        # The batch plan would otherwise recompute for the emptiness
+        # check, the touched-partition collect, and the merge write —
+        # persist once per trigger, release before the next.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            upsert_parquet_partitioned(
+                batch_df, path, key_cols, partition_col, order_col=order_col
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = df.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:

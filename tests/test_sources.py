@@ -143,3 +143,79 @@ def test_upsert_parquet_partitioned_touches_only_hot_partitions(spark, tmp_path)
     # idempotent reload (REPLACE INTO property) keeps counts stable
     upsert_parquet_partitioned(batch, path, ["id"], "dt", order_col="ver")
     assert spark.read.parquet(path).count() == 5
+
+
+def test_upsert_parquet_partitioned_null_partition(spark):
+    """isin() never matches NULL: rows in the null partition must still be
+    merged, not silently dropped and overwritten away."""
+    import tempfile
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        upsert_parquet_partitioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/store"
+        base = spark.createDataFrame(
+            [(1, "a", 1, None), (2, "b", 1, "2024-01-01")],
+            "id long, val string, ver long, dt string",
+        )
+        upsert_parquet_partitioned(base, path, ["id"], "dt", order_col="ver")
+        batch = spark.createDataFrame(
+            [(3, "c", 2, None)], "id long, val string, ver long, dt string"
+        )
+        upsert_parquet_partitioned(batch, path, ["id"], "dt", order_col="ver")
+        out = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
+        assert out == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_upsert_parquet_partitioned_string_partition_round_trip(spark):
+    """Partition values that don't survive type inference (zero-padded
+    strings) must not fork into a second partition directory leaving the
+    old rows alive."""
+    import glob
+    import tempfile
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        upsert_parquet_partitioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/store"
+        base = spark.createDataFrame(
+            [(1, "a", 1, "007")], "id long, val string, ver long, code string"
+        )
+        upsert_parquet_partitioned(base, path, ["id"], "code", order_col="ver")
+        batch = spark.createDataFrame(
+            [(1, "a2", 2, "007")], "id long, val string, ver long, code string"
+        )
+        upsert_parquet_partitioned(batch, path, ["id"], "code", order_col="ver")
+        dirs = sorted(
+            p.rsplit("/", 1)[-1] for p in glob.glob(f"{path}/code=*")
+        )
+        assert dirs == ["code=007"], dirs
+        out = spark.read.schema(base.schema).parquet(path).collect()
+        assert [(r["id"], r["val"], r["code"]) for r in out] == [(1, "a2", "007")]
+
+
+def test_column_profile_approx_mode_avoids_expand(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.relational import (
+        column_profile,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table as _lt,
+    )
+
+    li = _lt(spark, "/root/testdata/sf0.001", "lineitem")
+    ident = lambda x: x  # noqa: E731
+    cols = {"l_orderkey": ident, "l_quantity": ident, "l_discount": ident}
+    exact = column_profile(li, cols)
+    approx = column_profile(li, cols, approx=True)
+    # approx plan has no Expand; exact (oracle twin) does
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    e = {r["column_name"]: r["n_distinct"] for r in exact.collect()}
+    a = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
+    for c in cols:
+        # approx_count_distinct default rsd=0.05 — allow 2 sigma
+        assert abs(a[c] - e[c]) <= max(0.10 * e[c], 2), c
