@@ -53,7 +53,9 @@ HEADLINE = [
     "window_suite",
     "price_histogram",
     "near_dup_components",
-    # merged driver-tier queries (r2 registry curation)
+    # r2 additions: chunking/packing (local tier) + merged driver-tier queries
+    "doc_chunking",
+    "sequence_packing",
     "doc_profile",
     "lang_token_profile",
     "grouped_stats",

@@ -1,0 +1,104 @@
+"""Chunking / packing operators for LLM training-data preparation.
+
+Two standard context-window operations the reference (a loan-approval
+notebook) has no analog for, but any 100 TB pre-training pipeline needs:
+
+- ``chunk_documents``: split each document into fixed-size token windows
+  with overlap (retrieval/context chunking). Map-only: sequence +
+  slice + posexplode over the token array; output rows = total chunks.
+- ``pack_documents``: assign documents to fixed-token-budget training
+  sequences (offset packing: a running token offset, bin =
+  floor(start_offset / budget)). One window cumsum per packing group —
+  the greedy "concat and cut at budget boundaries" packing used for
+  pre-training batches, where a document may straddle a boundary (its
+  bin is where it STARTS; downstream truncation/continuation is the
+  trainer's policy). Exact next-fit (reset-on-overflow) needs per-group
+  recursion — deliberately not done distributed; offset packing is the
+  shape that scales and is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window as W
+
+from ..functions import text as X
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks.
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). The last chunk may be short; a
+    document shorter than one chunk yields exactly one chunk. Map-only
+    (explode of per-row chunk indexes) — no shuffle, no UDF; output
+    volume is corpus_tokens/stride rows, each carrying only its window.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = X.tokens(text_col)
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(idx).alias("chunk_id", "__i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__i") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__toks")) - F.col("__i") * stride, F.lit(chunk_tokens)
+            ).alias("chunk_len"),
+        )
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign each document a packing bin: documents are laid end-to-end
+    in deterministic (group, id) order and cut into ``budget``-token
+    sequences; a document's bin is where its first token lands.
+
+    One window cumsum per group (single shuffle on ``group_col``); bins
+    are deterministic under any partitioning because the order key is
+    the id, not arrival order. Bin totals can exceed ``budget`` by at
+    most one document — the trainer truncates or continues (offset
+    packing), which is what keeps this a one-pass distributed operator
+    instead of a per-group sequential fold.
+    """
+    part = [group_col] if group_col else []
+    w = W.partitionBy(*part).orderBy(id_col)
+    n_tok = X.token_count(text_col)
+    cum = F.sum(n_tok).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    start = (cum - n_tok).cast("long")
+    out_cols = [F.col(group_col)] if group_col else []
+    return df.select(
+        *out_cols,
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("long").alias("bin"),
+    )

@@ -679,6 +679,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "doc_chunking",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 56.0) AS INT)))
+                     AS chunk_id
+          FROM n)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+               AS chunk_text,
+           CAST(least(n - chunk_id * 56, 64) AS INT) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    description="Context-window chunking: each document split into 64-token "
+    "windows with 8-token overlap (stride 56) — sequence+slice+posexplode, "
+    "map-only, no shuffle/UDF; output volume is corpus_tokens/stride. The "
+    "retrieval/context chunking pass of an LLM data pipeline",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "sequence_packing",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle="""
+    WITH t AS (
+        SELECT lang, doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS bin
+    FROM t
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    ORDER BY lang, doc_id
+    """,
+    description="Sequence packing for pre-training batches: documents laid "
+    "end-to-end per language in deterministic id order, cut into 512-token "
+    "bins by start offset (offset packing — a doc's bin is where it "
+    "starts). One window cumsum per group, deterministic under any "
+    "partitioning; the greedy packing shape that stays one-pass at 100 TB",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, group_col="lang", budget=512).orderBy("lang", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing / quantization / end-to-end curation
 # ---------------------------------------------------------------------------

@@ -321,3 +321,53 @@ def test_lsh_signature_cache_handle(spark):
         assert out2.count() >= n1  # narrower bands only add candidates
         assert cache._current is not None
     assert cache._current is None  # context exit unpersisted
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(150))),  # 3 chunks
+         (1, " ".join(f"s{i}" for i in range(10)))],  # shorter than one chunk
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    rows = {r["doc_id"]: [] for r in out.collect()}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])):
+        rows[r["doc_id"]].append(r)
+    # doc 0: stride 56 -> chunks at 0,56,112; lens 64,64,38
+    assert [r["chunk_len"] for r in rows[0]] == [64, 64, 38]
+    c0, c1 = rows[0][0]["chunk_text"].split(" "), rows[0][1]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]  # overlap region shared
+    # stitching chunk cores reconstructs the document exactly
+    stitched = c0 + c1[8:] + rows[0][2]["chunk_text"].split(" ")[8:]
+    assert stitched == [f"t{i}" for i in range(150)]
+    # short doc: one chunk, full text
+    assert len(rows[1]) == 1 and rows[1][0]["chunk_len"] == 10
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    packed = pack_documents(docs, group_col="lang", budget=512)
+    # per-bin totals exceed the budget by at most one document's tokens
+    # (offset packing): total - last_doc < budget for every bin
+    per_bin = (
+        packed.groupBy("lang", "bin")
+        .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("mx"))
+    )
+    bad = per_bin.where(F.col("total") - F.col("mx") >= 512).count()
+    assert bad == 0
+    # deterministic under repartitioning
+    a = {(r["lang"], r["doc_id"], r["bin"]) for r in packed.collect()}
+    b = {
+        (r["lang"], r["doc_id"], r["bin"])
+        for r in pack_documents(docs.repartition(7), group_col="lang", budget=512).collect()
+    }
+    assert a == b
