@@ -1,9 +1,13 @@
 """Evaluation operators (A10, LP.ipynb:827-848 cell 21): confusion matrix
-as a grouped aggregate, classification metrics via MLlib evaluators."""
+as a grouped aggregate, classification metrics via MLlib evaluators,
+ranking metrics (ROC AUC / PR AUC) over the probability column."""
 
 from __future__ import annotations
 
-from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -29,6 +33,23 @@ def classification_metrics(pred: DataFrame, label_col: str = "label", pred_col: 
     ]:
         ev = MulticlassClassificationEvaluator(
             labelCol=label_col, predictionCol=pred_col, metricName=metric
+        )
+        out[key] = ev.evaluate(pred)
+    return out
+
+
+def ranking_metrics(
+    pred: DataFrame, label_col: str = "label", raw_col: str = "probability"
+) -> dict[str, float]:
+    """Threshold-free quality: areaUnderROC / areaUnderPR over the score
+    column (the classification_report has no analog; the reference never
+    looked at its probabilities beyond app.py's single-row display).
+    MLlib computes both from a distributed score-sorted aggregation —
+    no driver-side sort."""
+    out = {}
+    for metric, key in [("areaUnderROC", "roc_auc"), ("areaUnderPR", "pr_auc")]:
+        ev = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol=raw_col, metricName=metric
         )
         out[key] = ev.evaluate(pred)
     return out
