@@ -233,14 +233,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Embedding-cosine near-dup pairs with label blocking: "
     "tiled block-local BLAS Gram matrices via applyInPandas — Arrow "
     "ships each vector once per tile (O(n*d*chunks), not O(pairs*d)). "
-    "n_chunks=4 hash-tiles each label block so one task holds "
-    "O((block/4)^2), not O(block^2) — exact tiling, identical output, "
-    "so the bounded path IS the oracle-checked path; at 100 TB raise "
-    "n_chunks so a tile fits a task",
+    "adaptive hash-tiling (n_chunks=None) sizes tiles from the measured "
+    "max block occupancy: one task holds O(tile_target^2) regardless of "
+    "block growth — exact tiling, identical output, so the bounded path "
+    "IS the oracle-checked path; small blocks pay zero tile duplication",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=4)
+    return S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=None)
 
 
 @query(
@@ -272,7 +272,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=4)
+    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=None)
     comps = D.connected_components(pairs, "id_a", "id_b")
     return (
         emb.select("vec_id")

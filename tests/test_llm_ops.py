@@ -371,3 +371,24 @@ def test_pack_documents_budget_and_determinism(spark):
         for r in pack_documents(docs.repartition(7), group_col="lang", budget=512).collect()
     }
     assert a == b
+
+
+def test_cosine_pairs_gemm_adaptive_tiling(spark):
+    emb = load_table(spark, SF, "embeddings")
+    fixed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.cosine_pairs_gemm(emb, 0.4, block_col="label", n_chunks=4).collect()
+    }
+    adaptive = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.cosine_pairs_gemm(emb, 0.4, block_col="label", n_chunks=None).collect()
+    }
+    assert adaptive == fixed and len(adaptive) > 0
+    # a tiny tile_target must force multi-chunk tiling yet keep output exact
+    tiled = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.cosine_pairs_gemm(
+            emb, 0.4, block_col="label", n_chunks=None, tile_target=8
+        ).collect()
+    }
+    assert tiled == fixed
