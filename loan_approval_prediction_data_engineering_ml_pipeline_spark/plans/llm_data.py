@@ -739,6 +739,55 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs, group_col="lang", budget=512).orderBy("lang", "doc_id")
 
 
+@query(
+    "chunk_dedup",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 64.0) AS INT)))
+                     AS chunk_id
+          FROM n),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' '))
+                   AS fp
+        FROM c
+    )
+    SELECT fp AS fingerprint,
+           CAST(count(*) AS BIGINT)            AS n_copies,
+           min(doc_id * 100000 + chunk_id)     AS keeper_key
+    FROM chunks
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+    description="Chunk-level (paragraph-grain) exact dedup: documents cut "
+    "into non-overlapping 64-token windows, each fingerprinted (md5) and "
+    "grouped — repeated passages across DIFFERENT documents surface even "
+    "when no two whole documents match. Composition of chunk_documents "
+    "and the exact-dedup shuffle-hashes-only pattern; the standard "
+    "boilerplate-removal pass before pre-training",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=0)
+    fp = F.md5(F.col("chunk_text"))
+    return (
+        chunks.select(
+            fp.alias("fingerprint"),
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("ck"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("ck").alias("keeper_key"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing / quantization / end-to-end curation
 # ---------------------------------------------------------------------------
