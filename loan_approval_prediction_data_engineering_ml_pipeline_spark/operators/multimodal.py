@@ -135,6 +135,51 @@ def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
     return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
 
 
+def extract_audio_features(df: DataFrame, *, sample_rate: int = 16_000) -> DataFrame:
+    """Audio path of the multimodal contract: binary payload interpreted
+    as int16 PCM mono (the STUB stand-in for a real libsndfile/ffmpeg
+    decode), reduced to duration / RMS / zero-crossing-rate — the
+    waveform-level stats an audio curation pipeline filters on (silence,
+    clipping, junk). Same Arrow-batched mapInPandas contract as the
+    image/video paths; numpy-vectorized per clip."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = bytes(r["media"])
+                wave = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype=np.int16)
+                if len(wave) == 0:
+                    rows.append((int(r["doc_id"]), 0.0, 0.0, 0.0, 0.0))
+                    continue
+                x = wave.astype(np.float64) / 32768.0
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))).astype(np.float64))) if len(x) > 1 else 0.0
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        float(len(x) / sample_rate),
+                        float(np.sqrt(np.mean(x * x))),
+                        zc,
+                        float(np.max(np.abs(x))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_sec", "rms", "zero_crossing_rate", "peak"],
+            )
+
+    return df.select("doc_id", "media").mapInPandas(batches, out_schema)
+
+
 def sample_frames(df: DataFrame, *, every_n: int = 2) -> DataFrame:
     """Frame sampling: explode each video's frames, keep every n-th.
     One output row per kept frame (doc_id, frame_idx, frame bytes)."""

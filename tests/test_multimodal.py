@@ -57,3 +57,25 @@ def test_frame_sampling(media_df):
 def test_real_decode_is_marked_unimplemented():
     with pytest.raises(NotImplementedError):
         M.decode_real(b"")
+
+
+def test_extract_audio_features(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_features,
+    )
+
+    base = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    media = attach_fake_media(base, width=16, height=16, n_frames=2)
+    out = extract_audio_features(media, sample_rate=16_000)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        # 16*16*2 = 512 bytes -> 256 int16 samples -> 0.016 s
+        assert r["duration_sec"] == 256 / 16_000
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["rms"] <= r["peak"] <= 1.0
+    # deterministic: same media -> same features
+    again = {r["doc_id"]: r["rms"] for r in extract_audio_features(media).collect()}
+    assert {r["doc_id"]: r["rms"] for r in rows} == again
