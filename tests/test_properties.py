@@ -108,3 +108,38 @@ def test_string_mode_imputer_idempotent(spark):
     twice = model.transform(once)
     assert once.collect() == twice.collect()
     assert once.where(F.col("c").isNull()).count() == 0
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=6),
+    chunk=st.integers(min_value=4, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_any_document(spark, n_toks, chunk, overlap_frac):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(n_toks)],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(n_toks):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # stitch: first chunk whole, then drop each chunk's overlap prefix
+        stitched = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            stitched += r["chunk_text"].split(" ")[overlap:]
+        assert stitched == [f"w{i}_{j}" for j in range(n)], (n, chunk, overlap)
+        # every chunk obeys the size bound; all but the last are full
+        assert all(r["chunk_len"] <= chunk for r in rows)
+        assert all(r["chunk_len"] == chunk for r in rows[:-1])
+        # chunk starts advance by stride
+        assert len(rows) == 1 + max(0, -(-(n - chunk) // stride))
