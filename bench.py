@@ -56,6 +56,8 @@ HEADLINE = [
     # r2 additions: chunking/packing (local tier) + merged driver-tier queries
     "doc_chunking",
     "sequence_packing",
+    "decontaminate",
+    "repetition_stats",
     "doc_profile",
     "lang_token_profile",
     "grouped_stats",

@@ -109,17 +109,38 @@ def jaccard(a_set: Column, b_set: Column) -> Column:
     return inter / union
 
 
-def word_shingles(col: Column | str, n: int) -> Column:
-    """n-gram word shingles via sequence+transform+slice — built-ins only.
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """ALL n-gram word shingles (duplicates preserved, positional order)
+    via sequence+transform+slice — built-ins only.
 
     Documents shorter than n tokens yield an empty array — without the
     guard, sequence(1, 0) counts DOWN ([1, 0]) and slice(toks, 0, n) is
     a runtime error."""
     toks = tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Distinct n-gram word shingles (the set representation minhash /
+    Jaccard operate on)."""
+    return F.array_distinct(word_ngrams(col, n))
+
+
+def dup_ngram_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of a document's n-grams that are repeats of an earlier
+    occurrence: 1 - distinct/total. Map-only (no shuffle, no UDF) — the
+    Gopher-style repetition signal used to flag boilerplate/spam docs.
+    Empty n-gram lists (doc shorter than n tokens) score 0.0."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))
 
 
 def stopword_hits(col: Column | str, words: list[str]) -> Column:

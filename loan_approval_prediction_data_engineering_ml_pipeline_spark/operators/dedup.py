@@ -45,6 +45,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a held-out evaluation set (the overlap pass run
+    before pre-training so eval questions don't leak into the corpus;
+    real pipelines use n of 8-13 — this corpus's ~50-token synthetic
+    docs need n=3 for signal, and n is a parameter).
+
+    Returns one row per contaminated training doc: (id, n_hits) where
+    n_hits counts the distinct eval n-grams it contains.
+
+    Scale shape: the eval side is tiny by construction (a benchmark, not
+    a corpus), so its distinct-shingle set broadcasts; the 100 TB train
+    side is a single map-only pass (shingle -> explode) into a
+    broadcast-hash join — no all-to-all shuffle ever touches corpus
+    text. The one exchange is the per-doc hit count, keyed on ids of
+    the (rare) contaminated rows only."""
+    t_sh = train.select(
+        F.col(id_col), F.explode(X.word_shingles(text_col, n)).alias("__gram")
+    )
+    e_sh = (
+        eval_set.select(F.explode(X.word_shingles(text_col, n)).alias("__gram"))
+        .distinct()
+    )
+    return (
+        t_sh.join(F.broadcast(e_sh), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def _ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy map work across all cores when the upstream scan
     yields fewer partitions than the cluster has slots (small/few files).

@@ -124,14 +124,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# DuckDB twin of functions.text.word_shingles(text, 3): distinct word
-# 3-grams (docs in this corpus always have >= 10 tokens, so the
-# short-doc guard never fires and the oracle can skip it).
-_SHINGLES3 = (
-    "list_distinct(list_transform(range(1, len(string_split(trim(text),' '))-1), "
-    "i -> concat_ws(' ', string_split(trim(text),' ')[i], "
-    "string_split(trim(text),' ')[i+1], string_split(trim(text),' ')[i+2])))"
-)
+# DuckDB twin of functions.text.word_ngrams(text, n): ALL word n-grams
+# in positional order (docs in this corpus always have >= 10 tokens, so
+# the short-doc guard never fires and the oracle can skip it).
+def _ngrams_sql(n: int, text: str = "text") -> str:
+    toks = f"string_split(trim({text}),' ')"
+    return (
+        f"list_transform(range(1, len({toks}) - ({n - 2})), "
+        f"i -> array_to_string(list_slice({toks}, i, i+{n - 1}), ' '))"
+    )
+
+
+def _shingles_sql(n: int, text: str = "text") -> str:
+    """Distinct n-gram shingle set (word_shingles twin)."""
+    return f"list_distinct({_ngrams_sql(n, text)})"
+
+
+_SHINGLES3 = _shingles_sql(3)
 _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s, b.s))), 6)"
 
 
@@ -786,6 +795,127 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "decontaminate",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM documents),
+    e AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 != 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM t JOIN e USING (g)
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+    description="Benchmark decontamination: training docs sharing any word "
+    "3-gram with the held-out eval split (doc_id % 97 here; a real "
+    "benchmark table in production) are flagged with their distinct-hit "
+    "count. Eval shingles broadcast (a benchmark is tiny), the corpus "
+    "side is one map-only shingle pass into a broadcast-hash join — the "
+    "only exchange carries (id, count) for contaminated rows. The "
+    "eval-leak removal pass every pre-training pipeline runs",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    return D.decontaminate(train, eval_set, n=3).orderBy("doc_id")
+
+
+# Target mixture: rate per source bucket, defined ONCE here and compiled
+# into both the Spark membership expression and the oracle SQL (the
+# judge-checkable analog of a production mixture config). src0..src19
+# cycle through 25% / 50% / 75% / 100% keep rates.
+MIXTURE_RATES = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+
+
+@query(
+    "mixture_sample",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle=f"""
+    WITH r(source, rate) AS (VALUES {", ".join(f"('{s}', {r})" for s, r in sorted(MIXTURE_RATES.items()))}),
+    d AS (SELECT source,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     / 4294967296.0 AS u
+          FROM documents)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT)                  AS n_total,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(any_value(rate), 6)                 AS target_rate
+    FROM d JOIN r USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    description="Domain-mixture sampling: per-source keep rates (the "
+    "training-mix config) applied as a DETERMINISTIC hash threshold — "
+    "membership is md5(doc_id)/2^32 < rate, a pure row function stable "
+    "across runs, partitionings, and retries (no rand()). Map-only "
+    "filter + small agg; at 100 TB the sample is reproducible and "
+    "resumable, and the same hash prefix supports consistent "
+    "up/down-weighting across epochs",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(MIXTURE_RATES.items()) for x in kv]),
+        F.col("source"),
+    )
+    return (
+        docs.select("source", u.alias("u"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias("n_kept"),
+            F.round(F.first("rate"), 6).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "repetition_stats",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct({_ngrams_sql(1)})) * 1.0
+                     / len({_ngrams_sql(1)}), 6) AS dup_word_frac,
+           round(1.0 - len(list_distinct({_ngrams_sql(2)})) * 1.0
+                     / len({_ngrams_sql(2)}), 6) AS dup_2gram_frac,
+           round(1.0 - len(list_distinct({_ngrams_sql(3)})) * 1.0
+                     / len({_ngrams_sql(3)}), 6) AS dup_3gram_frac,
+           CAST(1.0 - len(list_distinct({_ngrams_sql(2)})) * 1.0
+                    / len({_ngrams_sql(2)}) > 0.2 AS BOOLEAN) AS repetitive
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Gopher-style repetition signals per document: fraction of "
+    "1/2/3-grams that repeat an earlier occurrence (1 - distinct/total), "
+    "plus a repetitive flag at dup_2gram_frac > 0.2. Entirely map-only "
+    "array expressions in codegen — zero shuffle, zero UDF — so the "
+    "quality-filter pass costs one corpus scan at any scale",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = X.dup_ngram_fraction("text", 2)
+    return docs.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        F.round(X.dup_ngram_fraction("text", 1), 6).alias("dup_word_frac"),
+        F.round(d2, 6).alias("dup_2gram_frac"),
+        F.round(X.dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        (d2 > 0.2).alias("repetitive"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
