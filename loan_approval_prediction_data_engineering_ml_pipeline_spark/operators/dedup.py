@@ -45,6 +45,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against a persisted corpus fingerprint
+    index — the production ingest shape: the 100 TB corpus is never
+    rescanned, only its (already-written) fingerprint table is joined.
+
+    ``index`` is any frame with a ``fingerprint`` column (the output of
+    ``exact_dedup`` persists naturally as this index). Returns one row
+    per batch doc with ``status``: ``dup_corpus`` (fingerprint already
+    in the index), ``dup_batch`` (repeat within the batch; first
+    occurrence by id wins), or ``new``.
+
+    Scale shape: the batch (small) joins the index on 16-byte hashes —
+    with the index stored bucketed by fingerprint the batch shuffles to
+    the index layout and the index side is Exchange-free; the
+    within-batch window partitions by fingerprint, same key, same
+    shuffle. Corpus text is never touched."""
+    from pyspark.sql import Window
+
+    fp = X.fingerprint_md5(F.col(text_col))
+    b = batch.select(F.col(id_col), fp.alias("fingerprint")).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("fingerprint").orderBy(id_col)),
+    )
+    ex = index.select("fingerprint").distinct().withColumn("__in_corpus", F.lit(True))
+    return b.join(ex, "fingerprint", "left").select(
+        id_col,
+        F.when(F.col("__in_corpus"), F.lit("dup_corpus"))
+        .when(F.col("__rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "fingerprint",
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,
@@ -67,7 +106,7 @@ def decontaminate(
     broadcast-hash join — no all-to-all shuffle ever touches corpus
     text. The one exchange is the per-doc hit count, keyed on ids of
     the (rare) contaminated rows only."""
-    t_sh = train.select(
+    t_sh = _ensure_cpu_parallelism(train).select(
         F.col(id_col), F.explode(X.word_shingles(text_col, n)).alias("__gram")
     )
     e_sh = (

@@ -798,6 +798,39 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup",
+    tier="local",  # new-capability slot: the driver tier is at its 50-query cap
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents),
+    inc AS (SELECT doc_id, f,
+                   row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp WHERE doc_id % 10 = 0),
+    ex AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 != 0)
+    SELECT inc.doc_id,
+           CASE WHEN ex.f IS NOT NULL THEN 'dup_corpus'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           inc.f AS fingerprint
+    FROM inc LEFT JOIN ex ON inc.f = ex.f
+    ORDER BY doc_id
+    """,
+    description="Incremental ingest dedup: an incoming batch (doc_id % 10 "
+    "here; a fresh crawl shard in production) is deduped against the "
+    "PERSISTED corpus fingerprint index — the corpus itself is never "
+    "rescanned. Each batch doc is classified new / dup_corpus / "
+    "dup_batch (first id wins within the batch). Batch joins the index "
+    "on 16-byte hashes; with the index bucketed by fingerprint only the "
+    "small batch shuffles — the O(corpus) cost is paid once at index "
+    "build, not per ingest round",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index = D.exact_dedup(docs.where(F.col("doc_id") % 10 != 0))
+    return D.incremental_exact_dedup(batch, index).orderBy("doc_id")
+
+
+@query(
     "decontaminate",
     tier="local",  # new-capability slot: the driver tier is at its 50-query cap
     oracle=f"""
@@ -906,15 +939,44 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality-filter pass costs one corpus scan at any scale",
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    d2 = X.dup_ngram_fraction("text", 2)
-    return docs.select(
+    # Implementation notes (measured at sf0.1):
+    # - each n-gram array materializes ONCE in a staged projection:
+    #   naively referencing dup_ngram_fraction twice per n re-evaluates
+    #   the n-gram construction per reference (no common-subexpression
+    #   elimination across projection aliases) — 20x slower.
+    # - n-grams come from MLlib's NGram transformer (a Scala function,
+    #   JVM-side) rather than F.transform+slice: Catalyst higher-order
+    #   lambdas are CodegenFallback (interpreted) and pay a multi-second
+    #   per-JVM JIT warm-up; NGram is ~2x faster steady-state and halves
+    #   cold-start. functions.text.word_ngrams remains the pure-
+    #   expression equivalent (and the oracle-SQL definition of record).
+    # - the fixture scan yields 1 partition at sf<=0.1 — spread the
+    #   CPU-heavy map across cores (no-op at corpus scale where the
+    #   scan already has >= cores splits).
+    from pyspark.ml.feature import NGram
+
+    docs = D._ensure_cpu_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", X.tokens("text").alias("__toks"))
+    grams = NGram(n=3, inputCol="__toks", outputCol="__g3").transform(
+        NGram(n=2, inputCol="__toks", outputCol="__g2").transform(toks)
+    )
+    sized = grams.select(
         "doc_id",
-        X.token_count("text").cast("long").alias("n_tokens"),
-        F.round(X.dup_ngram_fraction("text", 1), 6).alias("dup_word_frac"),
-        F.round(d2, 6).alias("dup_2gram_frac"),
-        F.round(X.dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
-        (d2 > 0.2).alias("repetitive"),
+        F.size("__toks").alias("__t1"),
+        F.size(F.array_distinct("__toks")).alias("__d1"),
+        F.size("__g2").alias("__t2"),
+        F.size(F.array_distinct("__g2")).alias("__d2"),
+        F.size("__g3").alias("__t3"),
+        F.size(F.array_distinct("__g3")).alias("__d3"),
+    )
+    frac = lambda t, d: F.when(F.col(t) > 0, 1.0 - F.col(d) / F.col(t)).otherwise(F.lit(0.0))  # noqa: E731
+    return sized.select(
+        "doc_id",
+        F.col("__t1").cast("long").alias("n_tokens"),
+        F.round(frac("__t1", "__d1"), 6).alias("dup_word_frac"),
+        F.round(frac("__t2", "__d2"), 6).alias("dup_2gram_frac"),
+        F.round(frac("__t3", "__d3"), 6).alias("dup_3gram_frac"),
+        (frac("__t2", "__d2") > 0.2).alias("repetitive"),
     ).orderBy("doc_id")
 
 

@@ -132,3 +132,35 @@ def test_semi_anti_join_single_pass(spark):
 
     plan = _formatted_plan(spark, "semi_anti_join")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # The eval (benchmark) side must broadcast: a sort-merge join here
+    # would shuffle the exploded corpus shingles — the 100 TB killer.
+    plan = _formatted_plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_single_corpus_exchange(spark):
+    # Map-only signal computation: the only exchanges allowed are the
+    # parallelism spread (RoundRobin) and the deterministic output sort
+    # — no aggregation/join shuffle may appear.
+    plan = _formatted_plan(spark, "repetition_stats")
+    import re
+
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"rangepartitioning", "roundrobinpartitioning", "RoundRobinPartitioning"} or all(
+        k.lower().startswith(("range", "roundrobin")) for k in kinds
+    ), kinds
+
+
+def test_incremental_dedup_never_rescans_corpus_text(spark):
+    # The batch joins the INDEX (fingerprints), and the index build here
+    # reads the corpus once; the join itself must key on fingerprint —
+    # text never appears in a shuffle's output schema.
+    plan = _formatted_plan(spark, "incremental_dedup")
+    assert "fingerprint" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Exchange hashpartitioning"):
+            assert "text" not in line, line
