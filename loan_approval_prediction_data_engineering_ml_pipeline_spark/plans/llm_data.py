@@ -1147,7 +1147,7 @@ _QUALITY_SQL = """
     SELECT lang, source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
-           round(avg(q), 6) AS avg_quality
+           round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
     FROM near
     GROUP BY lang, source
     ORDER BY lang, source
@@ -1181,7 +1181,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(X.token_count("text")).cast("long").alias("total_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # q is pre-rounded to 6dp, so decimal(18,6) holds it exactly and
+            # the sum is order-independent (float avg flips the 6dp rounding
+            # at ulp boundaries depending on partition/merge order — observed
+            # as a once-in-many-runs parity flake). Both sides then do the
+            # identical double division, so the hash can never drift.
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
         )
         .orderBy("lang", "source")
     )
