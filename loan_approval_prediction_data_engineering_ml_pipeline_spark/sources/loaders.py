@@ -42,15 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
     # timestamp semantics match the DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects outright. Read nanos as raw INT64 and
-        # truncate to microseconds — the same ns→us truncation DuckDB
-        # applies — keeping NTZ semantics (session tz is pinned UTC).
+        # events.parquet has shipped as both TIMESTAMP(NANOS) — which
+        # Spark's vectorized reader rejects outright — and TIMESTAMP(MICROS).
+        # Handle either: nanosAsLong surfaces a nanos column as raw INT64,
+        # which we truncate to micros (the same ns→us truncation DuckDB
+        # applies); a micros column arrives as a timestamp already and only
+        # needs the NTZ cast (session tz is pinned UTC).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            ts_col = F.timestamp_micros(F.expr("ts DIV 1000"))
+        else:
+            ts_col = F.col("ts")
+        df = df.withColumn("ts", ts_col.cast("timestamp_ntz")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if validate and name in TABLE_SCHEMAS:

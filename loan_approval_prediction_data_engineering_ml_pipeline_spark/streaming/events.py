@@ -24,17 +24,28 @@ from ..sources.schemas import TABLE_SCHEMAS
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events fixture.
 
-    Same nanos handling as the batch loader (sources/loaders.py): the
-    file stores TIMESTAMP(NANOS), which Spark reads only as raw INT64 —
-    truncate to microseconds. The watermark/window columns need a true
-    TIMESTAMP type (session tz pinned UTC by the session factory).
+    Same ts handling as the batch loader (sources/loaders.py): the file
+    has shipped as both TIMESTAMP(NANOS) (readable only as raw INT64 via
+    nanosAsLong — truncate to micros) and TIMESTAMP(MICROS) (a native
+    timestamp). The streaming source needs a declared schema, so probe
+    the footer with a zero-row batch read and declare accordingly. The
+    watermark/window columns need a true TIMESTAMP type (session tz
+    pinned UTC by the session factory).
     """
+    import os
+
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, LongType
+    )
     raw_schema = ", ".join(
         [
             "event_id long",
-            "ts long",  # nanos-as-long
+            "ts long" if ts_is_long else "ts timestamp",
             "user_id long",
             "event_type string",
             "value double",
@@ -49,7 +60,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
 
 
 def windowed_counts(
