@@ -1,0 +1,297 @@
+"""Event-sequence analytics named queries: funnel conversion, cohort
+retention, Markov transitions, user journeys, and SCD2 interval
+derivation over the ``events`` table.
+
+The reference has no event-sequence surface; these are the
+product-analytics operators a user of a full engine runs on the same
+clickstream the streaming module ingests (SURVEY.md §2.8 extension
+surface). Every query here is a composition of windows + aggregations
+over ONE hash partitioning on ``user_id`` — the design point at 100 TB
+is "shuffle the fact table once per query, never join it to itself
+pairwise". Each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from ..sources.loaders import load_table
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_signup
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_signup THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    )
+    SELECT CAST(count(DISTINCT CASE WHEN t_signup IS NOT NULL THEN user_id END) AS BIGINT) AS n_signup,
+           CAST(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS BIGINT) AS n_click,
+           CAST(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase,
+           round(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END)
+                 / nullif(count(DISTINCT CASE WHEN t_signup IS NOT NULL THEN user_id END), 0.0), 6) AS click_rate,
+           round(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END)
+                 / nullif(count(DISTINCT CASE WHEN t_signup IS NOT NULL THEN user_id END), 0.0), 6) AS purchase_rate
+    FROM s3
+    """,
+    description="Ordered 3-step funnel (signup -> first click after "
+    "signup -> first purchase after that click) as three chained "
+    "min-over-user windows — ONE shuffle on user_id, no self-joins; "
+    "the classic per-step-subquery formulation would scan the fact "
+    "table three times",
+    tier="local",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    ts = F.col("ts")
+    staged = (
+        ev.withColumn(
+            "t_signup",
+            F.min(F.when(F.col("event_type") == "signup", ts)).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (ts >= F.col("t_signup")), ts
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (ts >= F.col("t_click")), ts
+                )
+            ).over(w),
+        )
+    )
+    n_signup = F.count_distinct(
+        F.when(F.col("t_signup").isNotNull(), F.col("user_id"))
+    )
+    n_click = F.count_distinct(F.when(F.col("t_click").isNotNull(), F.col("user_id")))
+    n_purchase = F.count_distinct(
+        F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))
+    )
+    return staged.agg(
+        n_signup.alias("n_signup"),
+        n_click.alias("n_click"),
+        n_purchase.alias("n_purchase"),
+        F.round(n_click / F.nullif(n_signup.cast("double"), F.lit(0.0)), 6).alias(
+            "click_rate"
+        ),
+        F.round(n_purchase / F.nullif(n_signup.cast("double"), F.lit(0.0)), 6).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort_d
+        FROM events
+    )
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_week,
+           CAST((CAST(date_trunc('week', ts) AS DATE) - cohort_d) / 7 AS BIGINT) AS weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM firsts
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="Weekly cohort retention matrix: users cohorted by the "
+    "ISO week of their first event, distinct-active counted per "
+    "(cohort, weeks-since) — first-seen via min-over-user window (one "
+    "user_id shuffle) instead of a groupBy+self-join back to the fact",
+    tier="local",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts")
+    cohort_d = F.date_trunc("week", F.min("ts").over(W.partitionBy("user_id"))).cast(
+        "date"
+    )
+    week_d = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.withColumn("cohort_d", cohort_d)
+        .withColumn(
+            "weeks_since",
+            (F.datediff(week_d, F.col("cohort_d")) / 7).cast("long"),
+        )
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM lagged
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="First-order Markov transition matrix of event types "
+    "per user (lag window + grouped count + row-normalized "
+    "probability) — the sequence-model feature a clickstream pipeline "
+    "feeds; one user_id shuffle, one (prev,next) shuffle of 25 keys",
+    tier="local",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    lagged = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    counts = (
+        lagged.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.withColumn(
+            "p",
+            F.round(
+                F.col("n") / F.sum("n").over(W.partitionBy("prev_type")), 6
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "user_journey",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), journeys AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+        FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+    FROM journeys
+    GROUP BY journey
+    HAVING count(*) > 1
+    ORDER BY n_users DESC, journey
+    """,
+    description="Common user journeys: each user's first 5 event types "
+    "joined '>'-separated, then frequency-ranked (shared prefixes "
+    "surface onboarding paths). row_number + struct-sorted collect_list "
+    "keeps ordering deterministic on (ts, event_id) ties; one user_id "
+    "shuffle + one journey-string shuffle",
+    tier="local",
+)
+def user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    ).where(F.col("rn") <= 5)
+    journeys = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") > 1)
+        .orderBy(F.desc("n_users"), "journey")
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), starts AS (
+        SELECT user_id, event_type AS state, ts AS effective_from
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state,
+           strftime(effective_from, '{_TS_FMT_SQL}') AS effective_from,
+           strftime(lead(effective_from)
+                        OVER (PARTITION BY user_id ORDER BY effective_from),
+                    '{_TS_FMT_SQL}') AS effective_to,
+           CAST(lead(effective_from)
+                    OVER (PARTITION BY user_id ORDER BY effective_from) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM starts
+    ORDER BY user_id, effective_from
+    """,
+    description="SCD Type-2 interval derivation: collapse each user's "
+    "event-type run-lengths into validity intervals "
+    "[effective_from, effective_to) with an is_current flag — the "
+    "dimension-history shape a warehouse MERGE maintains, derived here "
+    "from the raw change log with lag+filter+lead over one user_id "
+    "shuffle (no pairwise self-join)",
+    tier="local",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(worder))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("effective_from"),
+        )
+    )
+    wseq = W.partitionBy("user_id").orderBy("effective_from")
+    to_ts = F.lead("effective_from").over(wseq)
+    return starts.select(
+        "user_id",
+        "state",
+        F.date_format("effective_from", _TS_FMT).alias("effective_from"),
+        F.date_format(to_ts, _TS_FMT).alias("effective_to"),
+        to_ts.isNull().alias("is_current"),
+    ).orderBy("user_id", "effective_from")

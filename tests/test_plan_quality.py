@@ -164,3 +164,27 @@ def test_incremental_dedup_never_rescans_corpus_text(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Exchange hashpartitioning"):
             assert "text" not in line, line
+
+
+def test_scd2_intervals_single_user_exchange(spark):
+    # lag-filter-lead chain: both window passes partition on user_id, so
+    # Catalyst must plan exactly ONE hash exchange — a second one means
+    # the interval derivation re-shuffled the fact table. (The final
+    # orderBy adds a range exchange, which is allowed.)
+    import re
+
+    df = QUERIES["scd2_intervals"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_funnel_windows_share_one_fact_exchange(spark):
+    # Three chained min-over-user windows must reuse a single user_id
+    # exchange; the only other hash exchange allowed is the tiny
+    # count_distinct expand — never a second fact-table shuffle.
+    import re
+
+    df = QUERIES["funnel_conversion"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "SortMergeJoin" not in plan  # no self-join formulation
