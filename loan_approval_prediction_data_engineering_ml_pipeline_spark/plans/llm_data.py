@@ -1194,3 +1194,112 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "source_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS total
+        FROM counts
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           round(-sum((n / total) * ln(n / total)), 6) AS lang_entropy,
+           round(1.0 - sum((n / total) * (n / total)), 6) AS lang_gini
+    FROM tot
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="Per-source language diversity: Shannon entropy and "
+    "Gini impurity of each source's language mix — the mixture-health "
+    "signal a corpus curator tracks per crawl/domain. Two aggregations "
+    "over (source,lang) keys (tiny post-agg cardinality); the fact scan "
+    "is a single pass",
+    tier="local",
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.withColumn("total", F.sum("n").over(W.partitionBy("source")))
+    p = F.col("n") / F.col("total")
+    return (
+        tot.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+            F.round(F.lit(1.0) - F.sum(p * p), 6).alias("lang_gini"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT source, count(*) AS sz FROM vocab GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.source_a
+    JOIN sizes sb ON sb.source = inter.source_b
+    ORDER BY jaccard DESC, source_a, source_b
+    LIMIT 30
+    """,
+    description="Pairwise vocabulary Jaccard between sources: distinct "
+    "(source, token) vocab -> token-keyed self-join counts "
+    "intersections (each token contributes at most "
+    "|sources-it-appears-in| choose 2 pairs — never a doc-level "
+    "cross-product), broadcast size map completes |A or B| = "
+    "|A|+|B|-|A and B|. The cross-source contamination / domain-overlap "
+    "signal for mixture design; cost is O(vocab x avg-source-fanout^2), "
+    "independent of corpus row count",
+    tier="local",
+)
+def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(X.tokens("text")).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("source", "source_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("source", "source_b").withColumnRenamed("sz", "sz_b")
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            n_union.cast("long").alias("n_union"),
+            F.round(F.col("n_common") / n_union, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+        .limit(30)
+    )
