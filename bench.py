@@ -62,6 +62,12 @@ HEADLINE = [
     "lang_token_profile",
     "grouped_stats",
     "semi_anti_join",
+    # r2 additions: event-sequence analytics + corpus mixture signals
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_intervals",
+    "rolling_active_users",
+    "vocab_overlap",
 ]
 
 
