@@ -295,3 +295,92 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(to_ts, _TS_FMT).alias("effective_to"),
         to_ts.isNull().alias("is_current"),
     ).orderBy("user_id", "effective_from")
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du),
+    wau AS (
+        SELECT d.day, count(DISTINCT du.user_id) AS active_7d
+        FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    ), dau AS (
+        SELECT day, count(*) AS active_1d FROM du GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.active_1d AS BIGINT) AS active_1d,
+           CAST(wau.active_7d AS BIGINT) AS active_7d
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY day
+    """,
+    description="Rolling 7-day active users per day (DAU + trailing WAU). "
+    "Sliding distinct-count windows don't compose with window frames, so "
+    "the scale formulation is contribute-explode: distinct (day,user) "
+    "pairs each fan out to the <=7 as-of days they keep active, then one "
+    "distinct-count per day — O(7x) map-side fanout of an already-"
+    "deduplicated pair set, never a range self-join of the fact table. "
+    "The DuckDB oracle uses the equivalent range join",
+    tier="local",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("active_1d"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        # semi-join drops the phantom trailing days past the data's end
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_1d",
+            "active_7d",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars
+    FROM ranked WHERE rn <= 10
+    ORDER BY lang, doc_id
+    """,
+    description="Deterministic stratified sampling: exactly N docs per "
+    "language, chosen by ranking on md5(doc_id) — membership is a pure "
+    "function of the row (stable under retries, AQE re-plans, and "
+    "repartitioning, unlike rand()-based sampleBy). One shuffle on the "
+    "strata key; at scale swap row_number for a per-stratum hash "
+    "threshold when N is a rate rather than a count",
+    tier="local",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
