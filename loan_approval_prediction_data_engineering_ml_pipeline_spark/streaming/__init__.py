@@ -1,6 +1,7 @@
 from .events import (  # noqa: F401
     correlated_pairs_stream,
     deduped_stream,
+    enriched_stream,
     read_events_stream,
     run_stream_to_table,
     session_aggregates,

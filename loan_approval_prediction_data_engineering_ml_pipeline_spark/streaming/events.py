@@ -219,6 +219,25 @@ def correlated_pairs_stream(
     )
 
 
+def enriched_stream(
+    events: DataFrame,
+    profiles: DataFrame,
+    *,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: enrich each arriving event with a static
+    profile/feature table — the online feature-lookup pattern (batch-
+    computed user features served against the live stream).
+
+    The static side is broadcast per micro-batch (hinted explicitly:
+    profile tables are dim-sized), so the stream side never shuffles and
+    no join state accumulates — unlike stream-stream joins, stream-static
+    joins are stateless. If the profile table outgrows broadcast range,
+    pre-bucket it by the key and drop the hint: the per-batch join
+    becomes a bucket-local sort-merge."""
+    return events.join(F.broadcast(profiles), key, "left")
+
+
 def stream_upsert_sink(
     df: DataFrame,
     path: str,

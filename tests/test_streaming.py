@@ -167,3 +167,32 @@ def test_stream_upsert_sink_idempotent_partitioned_ingest(spark, tmp_path):
     ingest("cp2")
     again = spark.read.parquet(store)
     assert again.count() == batch.count()
+
+
+def test_stream_static_enrichment_matches_batch_join(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        enriched_stream,
+    )
+
+    # static profile table: batch-computed per-user features
+    ev_batch = load_table(spark, SF, "events")
+    profiles = ev_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    stream = read_events_stream(spark, SF)
+    enriched = enriched_stream(stream, profiles).select(
+        "event_id", "user_id", "n_events", "avg_value"
+    )
+    run_stream_to_table(enriched, "stream_enriched", output_mode="append")
+    got = spark.table("stream_enriched")
+    want = ev_batch.join(profiles, "user_id", "left").select(
+        "event_id", "user_id", "n_events", "avg_value"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # stateless: every event is enriched (profiles cover all users here)
+    assert got.where(F.col("n_events").isNull()).isEmpty()
