@@ -658,3 +658,121 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+    WITH flags AS (
+        SELECT CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END AS null_orderkey,
+               CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END AS nonpositive_quantity,
+               CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END AS nonpositive_price,
+               CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END AS discount_out_of_range,
+               CASE WHEN l_tax IS NULL OR l_tax < 0 THEN 1 ELSE 0 END AS negative_tax,
+               CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END AS bad_returnflag,
+               CASE WHEN l_shipdate IS NULL
+                      OR l_shipdate < DATE '1992-01-01'
+                      OR l_shipdate > DATE '1998-12-31' THEN 1 ELSE 0 END AS shipdate_out_of_range
+        FROM lineitem
+    ), wide AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(null_orderkey) AS BIGINT) AS null_orderkey,
+               CAST(sum(nonpositive_quantity) AS BIGINT) AS nonpositive_quantity,
+               CAST(sum(nonpositive_price) AS BIGINT) AS nonpositive_price,
+               CAST(sum(discount_out_of_range) AS BIGINT) AS discount_out_of_range,
+               CAST(sum(negative_tax) AS BIGINT) AS negative_tax,
+               CAST(sum(bad_returnflag) AS BIGINT) AS bad_returnflag,
+               CAST(sum(shipdate_out_of_range) AS BIGINT) AS shipdate_out_of_range
+        FROM flags
+    )
+    SELECT rule, n_violations, n_rows,
+           round(n_violations * 1.0 / n_rows, 6) AS violation_rate
+    FROM (
+        SELECT 'null_orderkey' AS rule, null_orderkey AS n_violations, n_rows FROM wide
+        UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity, n_rows FROM wide
+        UNION ALL SELECT 'nonpositive_price', nonpositive_price, n_rows FROM wide
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, n_rows FROM wide
+        UNION ALL SELECT 'negative_tax', negative_tax, n_rows FROM wide
+        UNION ALL SELECT 'bad_returnflag', bad_returnflag, n_rows FROM wide
+        UNION ALL SELECT 'shipdate_out_of_range', shipdate_out_of_range, n_rows FROM wide
+    )
+    ORDER BY rule
+    """,
+    description="Data-quality gate: declarative rule set (null keys, "
+    "nonpositive amounts, out-of-range discount/tax/dates, bad enums) "
+    "evaluated as conditional sums in ONE scan + aggregate, then "
+    "unpivoted to a (rule, n_violations, rate) report — the expectation-"
+    "validation step an ingest pipeline runs before promoting a batch. "
+    "Adding a rule adds a column to the same single pass, not a new job",
+    tier="local",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "nonpositive_quantity": F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0),
+        "nonpositive_price": F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0),
+        "discount_out_of_range": F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "negative_tax": F.col("l_tax").isNull() | (F.col("l_tax") < 0),
+        "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_out_of_range": F.col("l_shipdate").isNull()
+        | (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+        | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),
+    }
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in rules.items()
+        ],
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, n_violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{r}', {r}" for r in rules),
+            )
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    ).orderBy("rule")
+
+
+@query(
+    "sketch_distinct_rollup",
+    # No DuckDB oracle: the estimate is Apache DataSketches HLL — exact
+    # correctness is asserted in tests (merge-associativity + error
+    # bound vs exact countDistinct), not hash-compare.
+    description="Re-aggregatable distinct-count sketches: per-event-type "
+    "HLL sketches of user_id, with the corpus-wide distinct derived by "
+    "MERGING the per-group sketches (hll_union_agg), never re-scanning "
+    "the fact table. This is the 100 TB cardinality pattern: store "
+    "per-partition/per-day sketch bytes (KBs), answer any rollup by "
+    "sketch union. Estimates are deterministic for fixed data; accuracy "
+    "vs exact is bounded in test_sketch_rollup_error_bound",
+    tier="local",
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    groups = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_distinct_users"),
+        "n_events",
+    )
+    overall = per_type.agg(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return groups.unionByName(overall).orderBy("scope")
