@@ -210,3 +210,28 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sketch_rollup_error_bound(spark):
+    """HLL sketch rollup: per-group estimates within rsd of exact, and
+    the merged-sketch global estimate equals running one global sketch
+    (merge associativity — the property that lets 100 TB cardinality
+    questions be answered from stored per-partition sketch bytes)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = {r["scope"]: r["est_distinct_users"] for r in
+           QUERIES["sketch_distinct_rollup"].fn(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["ALL"] = ev.agg(F.countDistinct("user_id").alias("n")).first()["n"]
+    for scope, est in out.items():
+        assert abs(est - exact[scope]) <= max(3, 0.1 * exact[scope]), (scope, est, exact[scope])
+    # merge associativity: union of per-group sketches == one global sketch
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert out["ALL"] == direct
