@@ -776,3 +776,138 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     )
     return groups.unionByName(overall).orderBy("scope")
+
+
+@query(
+    "winsorize_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(l_extendedprice), 4) AS mean_raw,
+           round(avg(greatest(lo, least(hi, l_extendedprice))), 4) AS mean_winsorized
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    description="Winsorization (outlier clipping at p5/p95 per group) — "
+    "the robust-feature prep an ML pipeline applies before scaling. "
+    "Per-group exact quantile bounds (3-row table) broadcast back onto "
+    "the fact scan; clip is a codegen greatest/least, and the report "
+    "compares raw vs winsorized means. Two fact scans (bounds + apply), "
+    "both pruned to 2 columns",
+    tier="local",
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    price = F.col("l_extendedprice")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), price))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when((price < F.col("lo")) | (price > F.col("hi")), 1).otherwise(0)).alias(
+                "n_clipped"
+            ),
+            F.round(F.avg(price), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "chi_square_lang_source",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ), rows_t AS (
+        SELECT lang, sum(o) AS rt FROM cells GROUP BY lang
+    ), cols_t AS (
+        SELECT source, sum(o) AS ct FROM cells GROUP BY source
+    ), n AS (SELECT sum(o) AS total FROM cells)
+    SELECT round(sum((o - rt * ct / total) * (o - rt * ct / total) / (rt * ct / total)), 6) AS chi2,
+           CAST((count(DISTINCT c.lang) - 1) * (count(DISTINCT c.source) - 1) AS BIGINT) AS dof
+    FROM cells c JOIN rows_t USING (lang) JOIN cols_t USING (source), n
+    """,
+    description="Chi-square independence test on the lang x source "
+    "contingency table — does language mix vary by source? (the "
+    "statistical twin of source_entropy). One fact aggregation to cell "
+    "counts; row/col totals and expected counts are joins between "
+    "kilobyte aggregates. Note: zero-count cells contribute nothing "
+    "here (observed-cells formulation, matching the oracle exactly)",
+    tier="local",
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    total = cells.agg(F.sum("o").alias("total"))
+    e = F.col("rt") * F.col("ct") / F.col("total")
+    return (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+            (
+                (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+@query(
+    "quantile_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT l_extendedprice,
+               ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        FROM lineitem
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 4) AS lo,
+           round(max(l_extendedprice), 4) AS hi,
+           round(avg(l_extendedprice), 6) AS mean
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    description="Equal-frequency (quartile) binning via ntile over a "
+    "deterministic total order — the QuantileDiscretizer twin with "
+    "exact bin edges. CAVEAT: a global (unpartitioned) window funnels "
+    "every row through ONE task — fine at fixture scale and exactly "
+    "oracle-matchable, but the 100 TB path is approx-quantile cut "
+    "points computed once and applied map-side as a codegen CASE "
+    "(same output surface; swap asserted nowhere because the exact "
+    "and approx bin edges legitimately differ)",
+    tier="local",
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_extendedprice",
+        F.ntile(4)
+        .over(W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        )
+        .orderBy("bin")
+    )

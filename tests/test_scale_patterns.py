@@ -235,3 +235,31 @@ def test_sketch_rollup_error_bound(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).first()["e"]
     assert out["ALL"] == direct
+
+
+def test_bin_by_quantiles_map_side(spark):
+    """Approx-quantile binning: every row assigned, bins monotone in the
+    value, per-bin counts near-equal (sketch error only), and the plan
+    contains NO Window/sort — the cut points are applied as a codegen
+    CASE after one sketch pass."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.relational import (
+        bin_by_quantiles,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    out = bin_by_quantiles(li, "l_extendedprice", n_bins=4)
+    counts = {r["bin"]: r["n"] for r in
+              out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == li.count()
+    assert set(counts) == {1, 2, 3, 4}
+    for b, n in counts.items():
+        assert abs(n - total / 4) < 0.02 * total, (b, n)
+    # monotone: max(value) in bin b <= min(value) in bin b+1
+    edges = {r["bin"]: (r["lo"], r["hi"]) for r in
+             out.groupBy("bin").agg(F.min("l_extendedprice").alias("lo"),
+                                    F.max("l_extendedprice").alias("hi")).collect()}
+    for b in (1, 2, 3):
+        assert edges[b][1] <= edges[b + 1][0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
