@@ -266,3 +266,27 @@ def test_ranking_metrics_auc(spark, loan_df):
     assert m["roc_auc"] >= 0.80
     assert m["pr_auc"] >= 0.85
     assert m["roc_auc"] <= 1.0 and m["pr_auc"] <= 1.0
+
+
+def test_feature_importances_named_and_normalized(spark, loan_df):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.evaluate import (
+        feature_importances,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import (
+        build_pipeline,
+        candidate_models,
+    )
+
+    model = build_pipeline(candidate_models()["RandomForestClassifier"]).fit(loan_df)
+    scored = model.transform(loan_df)
+    pairs = feature_importances(model, scored)
+    names = [n for n, _ in pairs]
+    assert len(pairs) >= 10  # numerics + one-hot slots
+    assert abs(sum(v for _, v in pairs) - 1.0) < 1e-6
+    assert all(v >= 0 for _, v in pairs)
+    # the fixture's labels are credit-history-dominant by construction:
+    # the one-hot/numeric slot for Credit_History must rank top-3
+    top3 = " ".join(names[:3])
+    assert "Credit_History" in top3, pairs[:5]
+    # every name is a real column or a one-hot slot of one
+    assert all(n and not n.startswith("f") or "_" in n for n in names)
