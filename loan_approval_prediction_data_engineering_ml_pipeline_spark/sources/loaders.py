@@ -257,6 +257,22 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, *, header: bo
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar interchange format for Hive-side
+    consumers. Same pushdown/pruning properties as parquet in Spark's
+    reader; zlib by default."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan; pass a declared schema to validate-by-position rather
+    than trusting file metadata (same discipline as load_table)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def compact_parquet(spark: SparkSession, path: str, *, target_files: int | None = None, target_rows_per_file: int = 1_000_000) -> None:
     """Small-files compaction: rewrite a parquet dataset into ~target_files
     outputs via coalesce (no shuffle). Streaming sinks and over-parallel

@@ -219,3 +219,26 @@ def test_column_profile_approx_mode_avoids_expand(spark):
     for c in cols:
         # approx_count_distinct default rsd=0.05 — allow 2 sigma
         assert abs(a[c] - e[c]) <= max(0.10 * e[c], 2), c
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    assert back.exceptAll(orders).isEmpty() and orders.exceptAll(back).isEmpty()
+    # filters reach the ORC scan (pushdown parity with parquet)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_orc(spark, path).where("o_totalprice > 100000.0").explain("formatted")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]" in buf.getvalue()
