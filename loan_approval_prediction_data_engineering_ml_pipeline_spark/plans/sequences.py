@@ -384,3 +384,43 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "latest_per_key",
+    oracle=f"""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '{_TS_FMT_SQL}') AS ts, value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    description="Latest-row-per-key (CDC compaction / the read side of "
+    "REPLACE INTO): row_number over (key, recency) keeps exactly one "
+    "row per user with a deterministic (ts, event_id) tie-break. One "
+    "shuffle on the key; at 100 TB this is the standard "
+    "changelog-to-snapshot materialization, and the same window runs "
+    "incrementally inside upsert_parquet_partitioned",
+    tier="local",
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        ev.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            "value",
+        )
+        .orderBy("user_id")
+    )

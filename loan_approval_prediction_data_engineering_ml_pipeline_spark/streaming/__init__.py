@@ -5,6 +5,7 @@ from .events import (  # noqa: F401
     read_events_stream,
     run_stream_to_table,
     session_aggregates,
+    transition_stream,
     user_running_stats,
     windowed_counts,
 )

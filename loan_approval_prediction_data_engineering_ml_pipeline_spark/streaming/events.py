@@ -151,6 +151,49 @@ def user_running_stats(
     )
 
 
+def transition_stream(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming Markov transitions: per user, each arriving event is
+    paired with that user's PREVIOUS event type — state is one string
+    per user carried across micro-batches (the sequence-model feature
+    stream, batch twin: ``event_transitions``).
+
+    Within a micro-batch the rows of a key arrive unordered, so the
+    group sorts its batch by (ts, event_id) before chaining — the same
+    deterministic order the batch window uses. Emits (prev_type,
+    next_type) rows; the consumer aggregates counts (stream or batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "prev_type string, next_type string"
+    state_schema = "last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        prevs: list[str] = []
+        nexts: list[str] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last is not None:
+                    prevs.append(last)
+                    nexts.append(t)
+                last = t
+        state.update((last,))
+        yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def deduped_stream(
     events: DataFrame,
     *,

@@ -263,3 +263,21 @@ def test_bin_by_quantiles_map_side(spark):
         assert edges[b][1] <= edges[b + 1][0]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark):
+    """freqItems (a one-pass streaming-summary sketch) must return a
+    SUPERSET of the items whose true frequency exceeds the support
+    threshold — the guarantee that makes it usable as a candidate
+    filter before an exact count at 100 TB (false positives possible,
+    false negatives not)."""
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    support = 0.15
+    approx = set(ev.freqItems(["event_type"], support).first()[0])
+    total = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] / total > support
+    }
+    assert exact <= approx, (exact, approx)

@@ -196,3 +196,24 @@ def test_stream_static_enrichment_matches_batch_join(spark):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     # stateless: every event is enriched (profiles cover all users here)
     assert got.where(F.col("n_events").isNull()).isEmpty()
+
+
+def test_transition_stream_matches_batch_transitions(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        transition_stream,
+    )
+
+    stream = read_events_stream(spark, SF)
+    run_stream_to_table(transition_stream(stream), "stream_transitions", output_mode="append")
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.table("stream_transitions")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in QUERIES["event_transitions"].fn(spark, SF).collect()
+    }
+    assert got == want
