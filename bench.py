@@ -68,6 +68,7 @@ HEADLINE = [
     "scd2_intervals",
     "rolling_active_users",
     "vocab_overlap",
+    "ann_ivf",  # persisted-index probe (build amortized at first run)
 ]
 
 

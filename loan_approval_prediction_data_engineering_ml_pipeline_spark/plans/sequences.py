@@ -424,3 +424,68 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, round(sum(value), 4) AS spend_w1
+        FROM events
+        WHERE event_type = 'purchase' AND CAST(ts AS DATE) < DATE '2024-01-15'
+        GROUP BY user_id
+    ), w2 AS (
+        SELECT user_id, round(sum(value), 4) AS spend_w2
+        FROM events
+        WHERE event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-15'
+        GROUP BY user_id
+    )
+    SELECT coalesce(w1.user_id, w2.user_id) AS user_id,
+           spend_w1, spend_w2,
+           CASE WHEN w1.user_id IS NULL THEN 'only_late'
+                WHEN w2.user_id IS NULL THEN 'only_early'
+                ELSE 'both' END AS presence,
+           round(coalesce(spend_w2, 0.0) - coalesce(spend_w1, 0.0), 4) AS delta
+    FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+    ORDER BY user_id
+    """,
+    description="Full-outer reconciliation: per-user purchase spend in "
+    "two halves of the month, joined full-outer so users present in "
+    "only one period surface explicitly (the ledger-diff / snapshot-"
+    "compare shape). Both sides pre-aggregate before the join, so the "
+    "full-outer shuffle carries one row per (user, period) — never raw "
+    "events",
+    tier="local",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-15").cast("date")
+    w1 = (
+        ev.where(F.to_date("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("spend_w1"))
+    )
+    w2 = (
+        ev.where(F.to_date("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("spend_w2"))
+    )
+    a, b = w1.alias("a"), w2.alias("b")
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            "spend_w1",
+            "spend_w2",
+            F.when(F.col("a.user_id").isNull(), "only_late")
+            .when(F.col("b.user_id").isNull(), "only_early")
+            .otherwise("both")
+            .alias("presence"),
+            F.round(
+                F.coalesce(F.col("spend_w2"), F.lit(0.0))
+                - F.coalesce(F.col("spend_w1"), F.lit(0.0)),
+                4,
+            ).alias("delta"),
+        )
+        .orderBy("user_id")
+    )
