@@ -911,3 +911,71 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "user_type_sets",
+    oracle="""
+    WITH sets AS (
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',') AS type_set
+        FROM events GROUP BY user_id
+    )
+    SELECT type_set, CAST(count(*) AS BIGINT) AS n_users
+    FROM sets GROUP BY type_set
+    ORDER BY n_users DESC, type_set
+    """,
+    description="Array-function surface: per-user sorted distinct "
+    "event-type set rendered canonically, then set-frequency (which "
+    "behavioral footprints exist and how common is each). collect_set "
+    "-> array_sort -> array_join keeps the value deterministic for "
+    "hashing; two aggregations, both on already-small keys",
+    tier="local",
+)
+def user_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_set")
+    )
+    return (
+        sets.groupBy("type_set")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "type_set")
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS mom_delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM monthly
+    ORDER BY month
+    """,
+    description="Month-over-month revenue growth: monthly aggregate then "
+    "lag window — the standard reporting time series. The window runs "
+    "over the TINY aggregated table (one row per month), so the global "
+    "ordering is free; never window the raw fact table for period-level "
+    "reports",
+    tier="local",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("month")
