@@ -281,3 +281,50 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark):
         if r["n"] / total > support
     }
     assert exact <= approx, (exact, approx)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AQE skew-join path must actually engage on a skewed key: 90%
+    of fact rows share one key, so post-shuffle one partition dwarfs the
+    median and OptimizeSkewedJoin splits it (SortMergeJoin(skew=true) in
+    the final adaptive plan). This is the runtime defense the engine
+    relies on at 100 TB before reaching for manual salting; thresholds
+    are production-sized, so scale them down to make the fixture
+    eligible."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        fact = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 500_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        # execute THIS DataFrame's own queryExecution so executedPlan is
+        # the finalized adaptive plan (a noop-write or count() builds a
+        # separate execution and would show isFinalPlan=false)
+        j._jdf.queryExecution().executedPlan().execute().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
