@@ -143,3 +143,53 @@ def test_chunking_reconstructs_any_document(spark, n_toks, chunk, overlap_frac):
         assert all(r["chunk_len"] == chunk for r in rows[:-1])
         # chunk starts advance by stride
         assert len(rows) == 1 + max(0, -(-(n - chunk) // stride))
+
+
+@SLOW_OK
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=8,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_bin_by_quantiles_partitions_any_data(spark, vals, n_bins):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.relational import (
+        bin_by_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = bin_by_quantiles(df, "x", n_bins=n_bins).collect()
+    # total: every row lands in exactly one bin in [1, n_bins]
+    assert len(out) == len(vals)
+    assert all(1 <= r["bin"] <= n_bins for r in out)
+    # monotone: sorting by value never decreases the bin
+    by_val = sorted(out, key=lambda r: r["x"])
+    bins = [r["bin"] for r in by_val]
+    assert bins == sorted(bins)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pagerank_invariants_on_random_chains(spark, vals):
+    # interpret consecutive value signs as a small deterministic graph:
+    # vertex i -> vertex (i+1) % n, plus i -> 0 when vals[i] > 0
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    n = max(2, min(6, len(vals)))
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, 0) for i in range(1, n) if vals[i % len(vals)] > 0]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    ranks = {r["vertex"]: r["rank"] for r in
+             pagerank(df, tol=1e-6, max_iter=120).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+    assert all(v > 0 for v in ranks.values())
