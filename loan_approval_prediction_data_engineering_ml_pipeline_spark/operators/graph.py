@@ -4,10 +4,11 @@ Spark has no built-in PageRank on DataFrames (GraphX is RDD/Scala-only),
 so this is the DataFrame-native power iteration: ranks and edges are
 plain DataFrames co-partitioned on the join key, each iteration is one
 join + one aggregation, and lineage is cut with ``localCheckpoint``
-every few rounds (the same discipline as
-``operators.dedup.connected_components`` — without it the plan doubles
-per iteration and the driver OOMs on plan strings long before the data
-hurts).
+every round (the same discipline as
+``operators.dedup.connected_components`` — without it the per-iteration
+scalar actions re-execute the whole un-materialized chain, and the plan
+string grows until the driver chokes long before the data hurts; the
+(vertex, rank) table being materialized is tiny next to the edge list).
 
 Scale accounting (100 TB / 1000 executors): state per iteration is one
 (vertex, rank) row per vertex — the edge list dominates storage and is
@@ -30,7 +31,6 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank on a directed edge list.
 
@@ -60,11 +60,21 @@ def pagerank(
         .select("src", "dst", "out_deg")
         .localCheckpoint(eager=True)
     )
+    # the dangling-vertex set (no out-edges) is static — derive it once,
+    # not once per iteration
+    dangling_vertices = vertices.join(
+        out_deg, vertices.vertex == out_deg.src, "left_anti"
+    ).localCheckpoint(eager=True)
 
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    # each iteration runs two scalar actions (dangling mass, delta) plus
+    # the next round's join; materialize ranks EVERY round — the
+    # (vertex, rank) table is tiny next to the edge list, and without it
+    # each action re-executes the un-checkpointed join chain
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    delta = float("inf")
 
-    for it in range(max_iter):
+    for _it in range(max_iter):
         # mass sent along edges: rank/out_deg to each neighbor
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.vertex)
@@ -74,7 +84,7 @@ def pagerank(
         )
         # rank mass held by dangling vertices, redistributed uniformly
         dangling = (
-            ranks.join(out_deg, ranks.vertex == out_deg.src, "left_anti")
+            ranks.join(dangling_vertices, "vertex", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
@@ -88,9 +98,8 @@ def pagerank(
                     * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
         delta = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), F.col("n.vertex") == F.col("o.vertex"))

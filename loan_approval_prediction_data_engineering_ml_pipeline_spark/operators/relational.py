@@ -212,4 +212,7 @@ def bin_by_quantiles(
     expr = F.lit(len(cuts) + 1)
     for i in range(len(cuts) - 1, -1, -1):
         expr = F.when(v <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(expr)
+    # approxQuantile ignored nulls when placing the cuts; without this
+    # guard every NULL would fall through the <= chain into the TOP bin
+    expr = F.when(v.isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn("bin", expr)

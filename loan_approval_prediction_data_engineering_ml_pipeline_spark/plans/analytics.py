@@ -669,7 +669,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END AS nonpositive_price,
                CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END AS discount_out_of_range,
                CASE WHEN l_tax IS NULL OR l_tax < 0 THEN 1 ELSE 0 END AS negative_tax,
-               CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END AS bad_returnflag,
+               CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END AS bad_returnflag,
                CASE WHEN l_shipdate IS NULL
                       OR l_shipdate < DATE '1992-01-01'
                       OR l_shipdate > DATE '1998-12-31' THEN 1 ELSE 0 END AS shipdate_out_of_range
@@ -716,7 +716,8 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("l_discount") < 0)
         | (F.col("l_discount") > 1),
         "negative_tax": F.col("l_tax").isNull() | (F.col("l_tax") < 0),
-        "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "bad_returnflag": F.col("l_returnflag").isNull()
+        | ~F.col("l_returnflag").isin("A", "N", "R"),
         "shipdate_out_of_range": F.col("l_shipdate").isNull()
         | (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
         | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),

@@ -244,24 +244,24 @@ def user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_intervals",
     oracle=f"""
     WITH changes AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         FROM events
     ), starts AS (
-        SELECT user_id, event_type AS state, ts AS effective_from
+        SELECT user_id, event_type AS state, ts AS effective_from, event_id
         FROM changes
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, state,
            strftime(effective_from, '{_TS_FMT_SQL}') AS effective_from,
            strftime(lead(effective_from)
-                        OVER (PARTITION BY user_id ORDER BY effective_from),
+                        OVER (PARTITION BY user_id ORDER BY effective_from, event_id),
                     '{_TS_FMT_SQL}') AS effective_to,
            CAST(lead(effective_from)
-                    OVER (PARTITION BY user_id ORDER BY effective_from) IS NULL
+                    OVER (PARTITION BY user_id ORDER BY effective_from, event_id) IS NULL
                 AS BOOLEAN) AS is_current
     FROM starts
-    ORDER BY user_id, effective_from
+    ORDER BY user_id, effective_from, state
     """,
     description="SCD Type-2 interval derivation: collapse each user's "
     "event-type run-lengths into validity intervals "
@@ -284,9 +284,12 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_type").alias("state"),
             F.col("ts").alias("effective_from"),
+            "event_id",
         )
     )
-    wseq = W.partitionBy("user_id").orderBy("effective_from")
+    # tie-break on event_id: two change points can share a timestamp,
+    # and an un-tie-broken lead() would be nondeterministic there
+    wseq = W.partitionBy("user_id").orderBy("effective_from", "event_id")
     to_ts = F.lead("effective_from").over(wseq)
     return starts.select(
         "user_id",
@@ -294,7 +297,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_from", _TS_FMT).alias("effective_from"),
         F.date_format(to_ts, _TS_FMT).alias("effective_to"),
         to_ts.isNull().alias("is_current"),
-    ).orderBy("user_id", "effective_from")
+    ).orderBy("user_id", "effective_from", "state")
 
 
 @query(
@@ -381,7 +384,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", rn)
         .where(F.col("rn") <= 10)
         .drop("rn")
-        .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
 

@@ -175,9 +175,14 @@ def transition_stream(
         last = state.get[0] if state.exists else None
         prevs: list[str] = []
         nexts: list[str] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for t in pdf["event_type"]:
+        # a large group arrives as MULTIPLE Arrow chunks in arbitrary
+        # order — concatenate before sorting, or the chain order is
+        # only locally correct within each chunk
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            for t in batch["event_type"]:
                 if last is not None:
                     prevs.append(last)
                     nexts.append(t)

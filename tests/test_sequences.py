@@ -51,16 +51,16 @@ def test_scd2_intervals_tile_each_user_timeline(spark):
 
 
 def test_rolling_wau_bounds_dau(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+
     out = QUERIES["rolling_active_users"].fn(spark, SF).collect()
-    n_users = (
-        QUERIES["rolling_active_users"]
-        .fn(spark, SF)
-        .agg(F.max("active_7d"))
-        .first()[0]
+    total_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
     )
     for r in out:
-        assert r["active_1d"] <= r["active_7d"] <= max(n_users, r["active_7d"])
-        assert r["active_1d"] >= 1
+        assert 1 <= r["active_1d"] <= r["active_7d"] <= total_users
 
 
 def test_stratified_sample_exact_per_stratum(spark):
