@@ -69,6 +69,7 @@ HEADLINE = [
     "rolling_active_users",
     "vocab_overlap",
     "ann_ivf",  # persisted-index probe (build amortized at first run)
+    "bigram_lm_outliers",
 ]
 
 

@@ -1303,3 +1303,70 @@ def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "source_a", "source_b")
         .limit(30)
     )
+
+
+@query(
+    "bigram_lm_outliers",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok, pos
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+              FROM documents)
+    ), bigrams AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+        QUALIFY w2 IS NOT NULL
+    ), c12 AS (
+        SELECT w1, w2, count(*) AS n12 FROM bigrams GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1
+    ), v AS (SELECT count(DISTINCT tok) AS vocab FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((n12 + 1.0) / (n1 + vocab))), 6) AS avg_logprob
+    FROM bigrams JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY doc_id
+    ORDER BY avg_logprob ASC, doc_id
+    LIMIT 20
+    """,
+    description="Corpus bigram language model as a quality filter "
+    "(KenLM-style): train add-one-smoothed bigram probabilities on the "
+    "corpus itself, score each document by mean log P(w2|w1), and "
+    "surface the 20 most surprising documents — the low-likelihood "
+    "outliers a data-filtering pipeline drops or audits. All relational: "
+    "posexplode -> lead-per-doc bigrams -> two count aggregates -> "
+    "join-back -> per-doc mean. The model table is (distinct bigrams) "
+    "rows — shuffles carry counts, never text; at 100 TB the bigram "
+    "table is built once and reused as a broadcast/bucketed dim",
+    tier="local",
+)
+def bigram_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
+    )
+    worder = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(worder))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = toks.select("tok").distinct().count()  # scalar: one cheap job
+    logp = F.log((F.col("n12") + 1.0) / (F.col("n1") + F.lit(float(vocab))))
+    return (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(20)
+    )
