@@ -217,6 +217,71 @@ def upsert_parquet_partitioned(
     _delete_path(spark, staged)
 
 
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Targeted row deletion from a hive-partitioned parquet store (the
+    right-to-be-forgotten / retention-purge shape): only partitions that
+    actually contain a requested key are read, anti-joined, and
+    rewritten — cold partitions keep byte-identical files.
+
+    ``keys`` carries the key columns (extra columns ignored). The
+    touched-partition list comes from an inner join of the store's
+    partition column against the (small, broadcast) key set, so the
+    probe is partition-pruned too. Returns the number of rows deleted.
+
+    At 100 TB: deletion cost is O(partitions containing the keys), not
+    O(store); run it batched (accumulate delete requests, purge daily)
+    so each partition is rewritten once per cycle, not once per request.
+    """
+    key_set = keys.select(*key_cols).distinct()
+    store = spark.read.parquet(path)
+    touched = [
+        r[0]
+        for r in store.join(F.broadcast(key_set), key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    non_null = [v for v in touched if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        pred = pred | F.col(partition_col).isNull()
+    affected = store.filter(pred)
+    kept = affected.join(F.broadcast(key_set), key_cols, "left_anti")
+    n_deleted = affected.count() - kept.count()
+    staged = path.rstrip("/") + "__delete_staging"
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    final = spark.read.schema(kept.schema).parquet(staged)
+    # collect surviving partitions BEFORE the staging dir is deleted
+    # (``final`` reads from it)
+    kept_parts = {
+        r[0] for r in final.select(partition_col).distinct().collect()
+    }
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    _delete_path(spark, staged)
+    # dynamic overwrite only replaces partitions PRESENT in the staged
+    # frame — a partition whose every row was deleted is absent from it
+    # and would silently survive. Remove those directories explicitly.
+    for v in set(touched) - kept_parts:
+        part_dir = (
+            f"{partition_col}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+        )
+        _delete_path(spark, path.rstrip("/") + "/" + part_dir)
+    return n_deleted
+
+
 def save_as_table(spark: SparkSession, df: DataFrame, name: str, path: str) -> None:
     """S5 analog: persist + register. Parquet-backed, schema from the frame."""
     df.write.mode("overwrite").parquet(path)

@@ -242,3 +242,47 @@ def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         read_orc(spark, path).where("o_totalprice > 100000.0").explain("formatted")
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]" in buf.getvalue()
+
+
+def test_delete_keys_partitioned_purges_only_hot_partitions(spark, tmp_path):
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        delete_keys_partitioned,
+    )
+
+    path = str(tmp_path / "store")
+    rows = [(uid, day, uid * 10 + day) for uid in range(6) for day in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "user_id int, day int, v int")
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    def file_sigs(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    cold_before = file_sigs(3)
+    # delete users 0 and 1 from day 1 and 2 only (day 3 is cold)
+    keys = spark.createDataFrame(
+        [(0, 1), (1, 1), (0, 2), (1, 2)], "user_id int, day int"
+    )
+    n = delete_keys_partitioned(spark, path, keys, ["user_id", "day"], "day")
+    assert n == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 18 - 4
+    assert back.where("user_id < 2 AND day < 3").isEmpty()
+    # cold partition files untouched (same names, same mtimes)
+    assert file_sigs(3) == cold_before
+
+    # fully-emptied partition: delete every remaining key of day 1 —
+    # its directory must disappear, not silently survive
+    all_day1 = spark.read.parquet(path).where("day = 1").select("user_id", "day")
+    n2 = delete_keys_partitioned(spark, path, all_day1, ["user_id", "day"], "day")
+    assert n2 == 4
+    assert not os.path.exists(os.path.join(path, "day=1"))
+    assert spark.read.parquet(path).where("day = 1").isEmpty()
+    # no-op delete returns 0
+    assert delete_keys_partitioned(spark, path, keys, ["user_id", "day"], "day") == 0
