@@ -65,6 +65,9 @@ def pagerank(
     dangling_vertices = vertices.join(
         out_deg, vertices.vertex == out_deg.src, "left_anti"
     ).localCheckpoint(eager=True)
+    # most cleaned graphs have NO dangling vertices — skip the per-round
+    # dangling-mass job entirely in that case
+    has_dangling = dangling_vertices.limit(1).count() > 0
 
     # each iteration runs two scalar actions (dangling mass, delta) plus
     # the next round's join; materialize ranks EVERY round — the
@@ -87,6 +90,8 @@ def pagerank(
             ranks.join(dangling_vertices, "vertex", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
+            if has_dangling
+            else 0.0
         )
         new_ranks = (
             vertices.join(contribs, vertices.vertex == contribs.dst, "left")

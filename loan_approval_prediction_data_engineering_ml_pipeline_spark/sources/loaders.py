@@ -144,6 +144,40 @@ def upsert_parquet(
     _delete_path(spark, staged)
 
 
+def _touched_partition_predicate(partition_col: str, values: list):
+    """Null-safe membership predicate: isin() never matches NULL (SQL
+    three-valued logic), so a value list carrying None needs an explicit
+    isNull disjunct — otherwise existing __HIVE_DEFAULT_PARTITION__ rows
+    silently drop out of the merge/purge."""
+    non_null = [v for v in values if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
+def _stage_and_dynamic_overwrite(
+    df: DataFrame, path: str, partition_col: str, staged: str
+) -> DataFrame:
+    """Stage ``df`` (parquet can't atomically overwrite a path it is
+    reading), then dynamic-partition-overwrite the store: only partitions
+    present in the staged frame are replaced. The staged read declares
+    the schema: inference could re-type a partition value (string '007'
+    → int 7) and land the rewrite under a DIFFERENT partition directory,
+    leaving the old one stale. Returns the staged frame (caller must
+    ``_delete_path(staged)`` when done with it)."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    final = spark.read.schema(df.schema).parquet(staged)
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return final
+
+
 def upsert_parquet_partitioned(
     df: DataFrame,
     path: str,
@@ -170,14 +204,7 @@ def upsert_parquet_partitioned(
     spark = df.sparkSession
     touched = [r[0] for r in df.select(partition_col).distinct().collect()]
     incoming = df.withColumn("__src", F.lit(0))
-    # isin() never matches NULL (SQL three-valued logic), so a batch
-    # carrying the null partition needs an explicit isNull disjunct —
-    # otherwise existing __HIVE_DEFAULT_PARTITION__ rows are dropped from
-    # the merge and then overwritten away.
-    non_null = [v for v in touched if v is not None]
-    touched_pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    if any(v is None for v in touched):
-        touched_pred = touched_pred | F.col(partition_col).isNull()
+    touched_pred = _touched_partition_predicate(partition_col, touched)
     try:
         existing_all = spark.read.schema(df.schema).parquet(path)
     except AnalysisException as exc:
@@ -199,21 +226,8 @@ def upsert_parquet_partitioned(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    # Stage the merged partitions (parquet can't atomically overwrite a
-    # path it is reading), then dynamic-partition-overwrite the store:
-    # only partitions present in the staged frame are replaced. The
-    # staged read also declares the schema: inference could re-type a
-    # partition value (string '007' → int 7) and land the rewrite under
-    # a DIFFERENT partition directory, leaving the old one stale.
     staged = path.rstrip("/") + "__upsert_staging"
-    deduped.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
-    final = spark.read.schema(deduped.schema).parquet(staged)
-    (
-        final.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    _stage_and_dynamic_overwrite(deduped, path, partition_col, staged)
     _delete_path(spark, staged)
 
 
@@ -230,16 +244,36 @@ def delete_keys_partitioned(
     rewritten — cold partitions keep byte-identical files.
 
     ``keys`` carries the key columns (extra columns ignored). The
-    touched-partition list comes from an inner join of the store's
-    partition column against the (small, broadcast) key set, so the
-    probe is partition-pruned too. Returns the number of rows deleted.
+    touched-partition discovery is a full probe of the store UNLESS the
+    key set includes ``partition_col`` (then the semi-join prunes) — so
+    for pure-id delete requests, pre-join the requests to a
+    (key → partition) index, or accept one probing scan per purge cycle.
+    Returns the number of rows deleted.
 
-    At 100 TB: deletion cost is O(partitions containing the keys), not
-    O(store); run it batched (accumulate delete requests, purge daily)
-    so each partition is rewritten once per cycle, not once per request.
+    At 100 TB: the rewrite cost is O(partitions containing the keys),
+    not O(store); run it batched (accumulate delete requests, purge
+    daily) so each partition is rewritten once per cycle, not once per
+    request.
     """
     key_set = keys.select(*key_cols).distinct()
-    store = spark.read.parquet(path)
+    # partition-type inference is the silent killer here: a string
+    # partition dir day=007 inferred as int 7 would make the rewrite
+    # land under day=7 and leave the "deleted" rows alive under day=007.
+    # Read with inference off so partition values stay strings and
+    # round-trip to the exact same directory names; data columns keep
+    # their parquet types either way.
+    inference_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved_inference = spark.conf.get(inference_conf, None)
+    spark.conf.set(inference_conf, "false")
+    try:
+        # schema (incl. the now-string partition column) is resolved at
+        # read time, so the conf only needs to cover this call
+        store = spark.read.parquet(path)
+    finally:
+        if saved_inference is None:
+            spark.conf.unset(inference_conf)
+        else:
+            spark.conf.set(inference_conf, saved_inference)
     touched = [
         r[0]
         for r in store.join(F.broadcast(key_set), key_cols, "left_semi")
@@ -249,34 +283,30 @@ def delete_keys_partitioned(
     ]
     if not touched:
         return 0
-    non_null = [v for v in touched if v is not None]
-    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    if any(v is None for v in touched):
-        pred = pred | F.col(partition_col).isNull()
-    affected = store.filter(pred)
+    affected = store.filter(_touched_partition_predicate(partition_col, touched))
     kept = affected.join(F.broadcast(key_set), key_cols, "left_anti")
-    n_deleted = affected.count() - kept.count()
+    n_affected = affected.count()
     staged = path.rstrip("/") + "__delete_staging"
-    kept.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
-    final = spark.read.schema(kept.schema).parquet(staged)
+    final = _stage_and_dynamic_overwrite(kept, path, partition_col, staged)
+    # count survivors from the (small) staged copy — not by re-running
+    # the anti-join against the store a second time
+    n_deleted = n_affected - final.count()
     # collect surviving partitions BEFORE the staging dir is deleted
     # (``final`` reads from it)
-    kept_parts = {
-        r[0] for r in final.select(partition_col).distinct().collect()
-    }
-    (
-        final.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    kept_parts = {r[0] for r in final.select(partition_col).distinct().collect()}
     _delete_path(spark, staged)
     # dynamic overwrite only replaces partitions PRESENT in the staged
     # frame — a partition whose every row was deleted is absent from it
-    # and would silently survive. Remove those directories explicitly.
+    # and would silently survive. Remove those directories explicitly,
+    # using Spark's OWN partition-path escaping (a value with a space or
+    # colon writes as e.g. source=web%20crawl; a hand-built f-string
+    # path would miss it and the purge would silently no-op).
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for v in set(touched) - kept_parts:
         part_dir = (
-            f"{partition_col}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+            if v is None
+            else f"{esc.escapePathName(partition_col)}={esc.escapePathName(str(v))}"
         )
         _delete_path(spark, path.rstrip("/") + "/" + part_dir)
     return n_deleted

@@ -286,3 +286,29 @@ def test_delete_keys_partitioned_purges_only_hot_partitions(spark, tmp_path):
     assert spark.read.parquet(path).where("day = 1").isEmpty()
     # no-op delete returns 0
     assert delete_keys_partitioned(spark, path, keys, ["user_id", "day"], "day") == 0
+
+
+def test_delete_keys_partitioned_escaped_partition_values(spark, tmp_path):
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        delete_keys_partitioned,
+    )
+
+    path = str(tmp_path / "store_esc")
+    rows = [(1, "web crawl", 10), (2, "web crawl", 20), (3, "books:v2", 30)]
+    spark.createDataFrame(rows, "id int, source string, v int").write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(path)
+    # the colon value writes under a Hive-escaped directory name; the
+    # space stays literal — both must round-trip through the purge
+    dirs = {d for d in os.listdir(path) if d.startswith("source=")}
+    assert dirs == {"source=web crawl", "source=books%3Av2"}, dirs
+    # empty out BOTH partitions (escaped and space-containing)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    n = delete_keys_partitioned(spark, path, keys, ["id"], "source")
+    assert n == 3
+    # the fully-emptied directories are actually gone, escaped or not
+    assert not os.path.exists(os.path.join(path, "source=books%3Av2"))
+    assert not os.path.exists(os.path.join(path, "source=web crawl"))
+    assert spark.read.schema("id int, source string, v int").parquet(path).isEmpty()
