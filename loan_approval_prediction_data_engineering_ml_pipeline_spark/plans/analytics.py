@@ -980,3 +980,81 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     ).orderBy("month")
+
+
+@query(
+    "daily_value_percentiles",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(max(value), 6) AS mx
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="Daily latency-band style report: exact p50/p95/max of "
+    "event value per day — the SLO dashboard aggregate. One shuffle on "
+    "~30 day keys; the percentile buffers hold one day's values each "
+    "(bounded by day volume, not corpus size). At 100 TB: "
+    "approx_percentile per day, or pre-aggregated t-digest sketches "
+    "merged like the HLL rollup",
+    tier="local",
+)
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.max("value"), 6).alias("mx"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+    WITH freqs AS (
+        SELECT tok, count(*) AS f
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freqs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS r2
+    FROM ranked
+    """,
+    description="Zipf's-law fit over the corpus vocabulary: token "
+    "frequencies ranked, then OLS slope of ln(freq) on ln(rank) — "
+    "natural text sits near -1; synthetic or templated corpora deviate, "
+    "making this a cheap distribution-shift diagnostic for training "
+    "data. Token counts shuffle once; the ranked regression runs over "
+    "the (vocab-sized) frequency table, and regr_slope/regr_r2 are "
+    "single-pass moment aggregates",
+    tier="local",
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freqs.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("f"), "tok"))
+    )
+    lf, lr = F.log("f"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
