@@ -306,16 +306,26 @@ def ivf_query(
     n_probe: int = 4,
     id_col: str = "vec_id",
     exclude_id: int | None = None,
+    include_cell: bool = False,
 ) -> DataFrame:
     """Probe half of the IVF lifecycle: rank the persisted centroids by
     distance to ``query_vec`` (driver-side — n_lists rows), then scan
     ONLY the top ``n_probe`` cell partitions (partition pruning,
-    plan-asserted in tests) and return cosine top-k."""
+    plan-asserted in tests) and return cosine top-k.
+
+    Ranking ties break on cell id so the probed set is a pure function
+    of (persisted index, query vector) — that determinism is what lets
+    the DuckDB oracle re-derive the probe set from the same persisted
+    parquet and verify the restricted top-k exactly.
+
+    ``include_cell=True`` adds each hit's cell id to the output, making
+    the probe restriction externally auditable."""
     centers = spark.read.parquet(path + "/centroids").collect()
     order = sorted(
         centers,
-        key=lambda r: sum(
-            (r["centroid"][i] - query_vec[i]) ** 2 for i in range(len(query_vec))
+        key=lambda r: (
+            sum((r["centroid"][i] - query_vec[i]) ** 2 for i in range(len(query_vec))),
+            r["cell"],
         ),
     )
     probe = [r["cell"] for r in order[:n_probe]]
@@ -324,8 +334,11 @@ def ivf_query(
         cells = cells.where(F.col(id_col) != exclude_id)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = V.cosine(F.col("arr"), qlit)
+    cols = [F.col(id_col), F.round(cos, 6).alias("cosine")]
+    if include_cell:
+        cols.append(F.col("cell"))
     return (
-        cells.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        cells.select(*cols)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
