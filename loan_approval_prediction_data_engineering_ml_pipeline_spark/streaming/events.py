@@ -157,44 +157,90 @@ def transition_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming Markov transitions: per user, each arriving event is
-    paired with that user's PREVIOUS event type — state is one string
-    per user carried across micro-batches (the sequence-model feature
-    stream, batch twin: ``event_transitions``).
+    paired with that user's PREVIOUS event type (the sequence-model
+    feature stream, batch twin: ``event_transitions``).
 
-    Within a micro-batch the rows of a key arrive unordered, so the
-    group sorts its batch by (ts, event_id) before chaining — the same
-    deterministic order the batch window uses. Emits (prev_type,
-    next_type) rows; the consumer aggregates counts (stream or batch)."""
+    Event-time-correct across micro-batches (ADVICE r2): arriving
+    events are BUFFERED in state and a transition is emitted only once
+    the watermark passes its event — by then every earlier event has
+    either arrived (buffered, so it chains first) or been dropped as
+    late by the watermark filter, so the emitted chain equals the batch
+    chain over the ≤-watermark prefix regardless of how arrivals split
+    across micro-batches. An EventTimeTimeout re-invokes idle keys as
+    the watermark advances so buffered events flush without needing new
+    data for that key. Emits (prev_type, next_type, next_ts); the
+    consumer aggregates counts (stream or batch).
+
+    State per user = last emitted type + the (ts, id, type) buffer of
+    events inside the watermark horizon — bounded by events-per-user
+    per watermark interval, same bound every watermarked stateful op
+    here carries. Events newer than (max event time - watermark delay)
+    stay pending until the watermark passes them; on an unbounded
+    stream that is the correct answer, and the replay test accounts for
+    it explicitly."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "prev_type string, next_type string"
-    state_schema = "last_type string"
+    out_schema = "prev_type string, next_type string, next_ts timestamp"
+    state_schema = (
+        "last_type string, buf_ts array<long>, buf_eid array<long>, buf_type array<string>"
+    )
 
     def update(key, pdfs, state: GroupState):
-        last = state.get[0] if state.exists else None
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            last, bts, beid, btyp = state.get
+            bts, beid, btyp = list(bts or []), list(beid or []), list(btyp or [])
+        else:
+            last, bts, beid, btyp = None, [], [], []
+        # a large group arrives as MULTIPLE Arrow chunks in arbitrary
+        # order — buffer everything before ordering, or the chain order
+        # is only locally correct within each chunk
+        for pdf in pdfs:
+            if len(pdf):
+                # pin ns resolution before the int cast: Arrow may hand
+                # pandas datetime64[us] or [ns] depending on version
+                bts.extend(
+                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+                )
+                beid.extend(pdf["event_id"].tolist())
+                btyp.extend(pdf["event_type"].tolist())
+        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
+        ready = [i for i in order if bts[i] // 1000 <= wm]
+        pending = [i for i in order if bts[i] // 1000 > wm]
         prevs: list[str] = []
         nexts: list[str] = []
-        # a large group arrives as MULTIPLE Arrow chunks in arbitrary
-        # order — concatenate before sorting, or the chain order is
-        # only locally correct within each chunk
-        chunks = list(pdfs)
-        if chunks:
-            batch = pd.concat(chunks, ignore_index=True)
-            batch = batch.sort_values(["ts", "event_id"])
-            for t in batch["event_type"]:
-                if last is not None:
-                    prevs.append(last)
-                    nexts.append(t)
-                last = t
-        state.update((last,))
-        yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+        nts: list[int] = []
+        for i in ready:
+            if last is not None:
+                prevs.append(last)
+                nexts.append(btyp[i])
+                nts.append(bts[i])
+            last = btyp[i]
+        state.update(
+            (
+                last,
+                [bts[i] for i in pending],
+                [beid[i] for i in pending],
+                [btyp[i] for i in pending],
+            )
+        )
+        # wake this key on the next watermark advance even if no new
+        # data arrives for it — that is what flushes the buffer
+        state.setTimeoutTimestamp(wm + 1)
+        yield pd.DataFrame(
+            {
+                "prev_type": prevs,
+                "next_type": nexts,
+                "next_ts": pd.to_datetime(pd.Series(nts, dtype="int64"), unit="us"),
+            }
+        )
 
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
 
@@ -335,10 +381,16 @@ def stream_upsert_sink(
     q.awaitTermination()
 
 
-def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> None:
+def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append") -> dict:
     """Drive a streaming frame to completion over the (finite) fixture and
     land results in an in-memory table ``name`` — availableNow semantics:
-    process everything currently in the source, then stop."""
+    process everything currently in the source, then stop.
+
+    Returns run metrics scraped from the query progress — peak state-store
+    rows and micro-batch count — so benches can report the state footprint
+    alongside wall time (VERDICT r2 #4)."""
+    import json as _json
+
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -347,3 +399,11 @@ def run_stream_to_table(df: DataFrame, name: str, *, output_mode: str = "append"
         .start()
     )
     q.awaitTermination()
+    peak = 0
+    progress = q.recentProgress
+    for p in progress:
+        if not isinstance(p, dict):
+            p = _json.loads(p.json)
+        for so in p.get("stateOperators") or []:
+            peak = max(peak, int(so.get("numRowsTotal") or 0))
+    return {"peak_state_rows": peak, "n_batches": len(progress)}

@@ -199,21 +199,113 @@ def test_stream_static_enrichment_matches_batch_join(spark):
 
 
 def test_transition_stream_matches_batch_transitions(spark):
+    """Full-fixture replay: the stream must emit EXACTLY the batch
+    chain restricted to events the final watermark passed — events
+    newer than (max ts - delay) are correctly still pending when a
+    finite replay ends (that is production append-mode semantics, the
+    same reason the windowed tests run complete mode)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.relational import (
+        load_table,
+    )
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
         transition_stream,
     )
+    from pyspark.sql import Window as W
 
     stream = read_events_stream(spark, SF)
     run_stream_to_table(transition_stream(stream), "stream_transitions", output_mode="append")
     got = {
-        (r["prev_type"], r["next_type"]): r["n"]
-        for r in spark.table("stream_transitions")
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (r["prev_type"], r["next_type"], r["next_ts"])
+        for r in spark.table("stream_transitions").collect()
     }
+    from datetime import timedelta
+
+    ev = load_table(spark, SF, "events")
+    wm_final = ev.agg(F.max("ts").alias("m")).first()["m"] - timedelta(hours=2)
+    wm_lit = F.lit(wm_final).cast(ev.schema["ts"].dataType)
+    lagged = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
     want = {
-        (r["prev_type"], r["next_type"]): r["n"]
-        for r in QUERIES["event_transitions"].fn(spark, SF).collect()
+        (r["prev_type"], r["event_type"], r["ts"])
+        for r in lagged.where(
+            F.col("prev_type").isNotNull() & (F.col("ts") <= wm_lit)
+        ).collect()
     }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_transition_stream_cross_batch_event_time_order(spark, tmp_path):
+    """ADVICE r2: a user's events split across micro-batches OUT of
+    event-time order (but inside the watermark) must chain in event-time
+    order, not arrival order. Four single-file micro-batches with every
+    5th event displaced one batch later; the emitted chain must equal
+    the batch chain over the ≤-final-watermark prefix."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        transition_stream,
+    )
+
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    types = ["view", "click", "purchase", "error", "login"]
+    events = [
+        # 3 users x 48 events, one every 30 min over 24 h
+        (user * 1000 + i, t0 + timedelta(minutes=30 * i), user, types[(user + i) % 5])
+        for user in (1, 2, 3)
+        for i in range(48)
+    ]
+    events.sort(key=lambda e: (e[1], e[0]))
+    chunks = [[] for _ in range(4)]
+    for j, e in enumerate(events):
+        k = min(j * 4 // len(events), 3)
+        # displace every 5th event one micro-batch later: cross-batch
+        # disorder of up to one 6 h chunk span, inside the 7 h watermark
+        if j % 5 == 0 and k < 3:
+            k += 1
+        chunks[k].append(e)
+    src = tmp_path / "events_in"
+    os.makedirs(src)
+    for k, chunk in enumerate(chunks):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e[0] for e in chunk], pa.int64()),
+                "ts": pa.array([e[1] for e in chunk], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([e[2] for e in chunk], pa.int64()),
+                "event_type": pa.array([e[3] for e in chunk], pa.string()),
+            }
+        )
+        f = str(src / f"chunk{k}.parquet")
+        pq.write_table(tbl, f)
+        # the file source orders batches by modification time
+        os.utime(f, (1_700_000_000 + 60 * k, 1_700_000_000 + 60 * k))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_to_table(
+        transition_stream(stream, watermark="7 hours"),
+        "stream_transitions_xbatch",
+        output_mode="append",
+    )
+    got = {
+        (r["prev_type"], r["next_type"], r["next_ts"])
+        for r in spark.table("stream_transitions_xbatch").collect()
+    }
+    # batch chain over ALL events, restricted to the final watermark
+    wm_final = max(e[1] for e in events) - timedelta(hours=7)
+    want = set()
+    for user in (1, 2, 3):
+        seq = sorted((e for e in events if e[2] == user), key=lambda e: (e[1], e[0]))
+        for prev, nxt in zip(seq, seq[1:]):
+            if nxt[1] <= wm_final:
+                want.add((prev[3], nxt[3], nxt[1].replace(tzinfo=None)))
+    assert len(want) > 90  # the displacement must not gut the flushed prefix
     assert got == want
