@@ -70,6 +70,12 @@ HEADLINE = [
     "vocab_overlap",
     "ann_ivf",  # persisted-index probe (build amortized at first run)
     "bigram_lm_outliers",
+    # r3 additions (VERDICT r2 #4/#5): the streaming engine itself —
+    # full availableNow replays, wall time dominated by the state-store
+    # path — plus the approx-percentile twin of grouped_stats
+    "streaming_hourly",
+    "transition_stream_replay",
+    "grouped_stats_approx",
 ]
 
 
@@ -107,6 +113,25 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+
+    # one extra instrumented replay per streaming query: peak state-store
+    # rows + micro-batch count (wall time is already in the timed rows)
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (  # noqa: E402
+        read_events_stream,
+        run_stream_to_table,
+        transition_stream,
+        windowed_counts,
+    )
+
+    streaming_state = {}
+    for name, build, mode in [
+        ("streaming_hourly", windowed_counts, "complete"),
+        ("transition_stream_replay", transition_stream, "append"),
+    ]:
+        streaming_state[name] = run_stream_to_table(
+            build(read_events_stream(spark, sf_dir)), f"__state_probe_{name}", output_mode=mode
+        )
+
     print(
         json.dumps(
             {
@@ -116,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "iters": iters,
+                "streaming_state": streaming_state,
             }
         )
     )

@@ -226,6 +226,53 @@ def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_stats_approx",
+    tier="local",
+    oracle=None,  # approximate by construction (KLL-style sketch); the
+    # error bound vs the exact twin is asserted in
+    # tests/test_scale_patterns.py and the measured crossover recorded
+    # in SCALE.md — this is the 100x default, grouped_stats the oracle
+    description="The 100-TB spelling of grouped_stats: percentile_approx "
+    "(mergeable sketch, single pass, bounded memory per group) replaces "
+    "exact interpolated percentiles; same two-branch split so the eight "
+    "moment aggregates stay in whole-stage codegen. Accuracy 10000 "
+    "(~1e-4 rank error) — tune DOWN for wider groups at scale",
+)
+def grouped_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(qty).alias("n"),
+        F.round(F.avg(qty), 6).alias("mean"),
+        F.round(F.stddev_samp(qty), 6).alias("stddev"),
+        F.round(F.min(qty), 6).alias("min"),
+        F.round(F.max(qty), 6).alias("max"),
+        F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(qty, price), 4).alias("cov_qty_price"),
+        F.round(F.covar_pop(qty, F.col("l_discount")), 6).alias("cov_qty_disc"),
+    )
+    acc = F.lit(10000)
+    pcts = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx(qty, F.lit(0.5), acc), 6).alias("median"),
+        F.percentile_approx(
+            price, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)), acc
+        ).alias("__p"),
+    )
+    return (
+        moments.join(pcts, "l_returnflag")
+        .select(
+            "l_returnflag", "n", "mean", "stddev", "median", "min", "max",
+            F.round(F.col("__p")[0], 6).alias("p25"),
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[2], 6).alias("p75"),
+            F.round(F.col("__p")[3], 6).alias("p90"),
+            "corr_qty_price", "cov_qty_price", "cov_qty_disc",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "distinct_categories",
     tier="local",  # A9 surface is contained in every groupBy; merged-out of the capped driver set
     oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",

@@ -30,6 +30,16 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(jpath, True)
 
 
+# Analyzed-handle cache: re-calling spark.read.parquet on the same path
+# re-lists the directory and re-reads footers (~80 ms/table of pure
+# driver overhead that lands in EVERY query's wall time — the bulk of
+# the star_join_agg "regression" chased in VERDICT r2 #6). Fixture
+# parquet is immutable within a process, so the analyzed DataFrame
+# (an immutable logical plan) is reused. Keyed by applicationId so a
+# fresh driver session never sees another session's handles.
+_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = True) -> DataFrame:
     """Read one fixture table from parquet.
 
@@ -41,6 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
     # The driver calls queries() with its own SparkSession; pin UTC so
     # timestamp semantics match the DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cache_key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
+    cached = _HANDLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet has shipped as both TIMESTAMP(NANOS) — which
         # Spark's vectorized reader rejects outright — and TIMESTAMP(MICROS).
@@ -66,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
             raise ValueError(
                 f"schema drift in {name}: expected {expected}, got {actual}"
             )
+    _HANDLE_CACHE[cache_key] = df
     return df
 
 
@@ -142,6 +157,26 @@ def upsert_parquet(
     final = spark.read.parquet(staged)
     final.write.mode("overwrite").parquet(path)
     _delete_path(spark, staged)
+
+
+# Hive/Spark partition-path escaping, ported to Python (charset from
+# Spark's ExternalCatalogUtils.charToEscape — a fixed set: ASCII control
+# chars 0x01-0x1F, 0x7F, and  " # % ' * / : = ? \ { [ ] ^ ). A Python
+# port instead of a spark._jvm call: the Py4J internal API is
+# version-fragile and absent under Spark Connect. Parity with the JVM
+# implementation is asserted in tests/test_sources.py.
+_HIVE_PATH_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ["\x7f", '"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "{", "[", "]", "^"]
+)
+
+
+def escape_hive_path_name(s: str) -> str:
+    """Escape a partition column name or value exactly the way Spark
+    writes partition directories (e.g. ``web crawl`` → ``web%20crawl``);
+    a hand-built f-string path would miss these and a purge of the
+    partition would silently no-op."""
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_PATH_ESCAPE_CHARS else c for c in s)
 
 
 def _touched_partition_predicate(partition_col: str, values: list):
@@ -256,6 +291,9 @@ def delete_keys_partitioned(
     request.
     """
     key_set = keys.select(*key_cols).distinct()
+    # eqNullSafe, not name-equality: a delete request with a NULL key
+    # column must still match its rows (NULL = x is NULL under
+    # three-valued logic, so a plain equi-join would silently keep them)
     # partition-type inference is the silent killer here: a string
     # partition dir day=007 inferred as int 7 would make the rewrite
     # land under day=7 and leave the "deleted" rows alive under day=007.
@@ -274,9 +312,14 @@ def delete_keys_partitioned(
             spark.conf.unset(inference_conf)
         else:
             spark.conf.set(inference_conf, saved_inference)
+    import functools
+
+    key_match = functools.reduce(
+        lambda a, b: a & b, [store[c].eqNullSafe(key_set[c]) for c in key_cols]
+    )
     touched = [
         r[0]
-        for r in store.join(F.broadcast(key_set), key_cols, "left_semi")
+        for r in store.join(F.broadcast(key_set), key_match, "left_semi")
         .select(partition_col)
         .distinct()
         .collect()
@@ -284,7 +327,7 @@ def delete_keys_partitioned(
     if not touched:
         return 0
     affected = store.filter(_touched_partition_predicate(partition_col, touched))
-    kept = affected.join(F.broadcast(key_set), key_cols, "left_anti")
+    kept = affected.join(F.broadcast(key_set), key_match, "left_anti")
     n_affected = affected.count()
     staged = path.rstrip("/") + "__delete_staging"
     final = _stage_and_dynamic_overwrite(kept, path, partition_col, staged)
@@ -298,15 +341,13 @@ def delete_keys_partitioned(
     # dynamic overwrite only replaces partitions PRESENT in the staged
     # frame — a partition whose every row was deleted is absent from it
     # and would silently survive. Remove those directories explicitly,
-    # using Spark's OWN partition-path escaping (a value with a space or
-    # colon writes as e.g. source=web%20crawl; a hand-built f-string
-    # path would miss it and the purge would silently no-op).
-    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    # matching Spark's partition-path escaping exactly (see
+    # escape_hive_path_name; JVM parity asserted in tests).
     for v in set(touched) - kept_parts:
         part_dir = (
             f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
             if v is None
-            else f"{esc.escapePathName(partition_col)}={esc.escapePathName(str(v))}"
+            else f"{escape_hive_path_name(partition_col)}={escape_hive_path_name(str(v))}"
         )
         _delete_path(spark, path.rstrip("/") + "/" + part_dir)
     return n_deleted
@@ -439,6 +480,49 @@ def write_jdbc(df: DataFrame, url: str, table: str, *, mode: str = "append", pro
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def replace_into_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    incoming: DataFrame,
+    key_cols: list[str],
+    *,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """MySQL ``REPLACE INTO`` emulation for dialects without it (the
+    reference's DDL is MySQL and its loader relies on REPLACE INTO's
+    delete+insert-on-PK-conflict, MY.ipynb:434-504; Derby and most ANSI
+    dialects have no equivalent reachable through JDBC batch inserts).
+
+    Snapshot-merge-overwrite: read the current table, keep the incoming
+    row wherever keys collide, overwrite. ``incoming`` must be unique on
+    ``key_cols`` (REPLACE INTO's own statement-order tie-break has no
+    deterministic distributed analog). The merged frame is
+    localCheckpoint'ed BEFORE the overwrite — the JDBC overwrite drops
+    the very table the plan reads, so lineage must be cut first.
+
+    This is the dialect-compat shim: at scale prefer database-side MERGE
+    (where the dialect has one) or the partitioned parquet upsert above."""
+    try:
+        current = read_jdbc(spark, url, table, properties=properties).load()
+    except Exception:
+        current = None
+    if current is None:
+        merged = incoming
+    else:
+        tagged = current.withColumn("__src", F.lit(0)).unionByName(
+            incoming.select(*current.columns).withColumn("__src", F.lit(1))
+        )
+        w = W.partitionBy(*key_cols).orderBy(F.desc("__src"))
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    merged = merged.localCheckpoint(eager=True)
+    write_jdbc(merged, url, table, mode="overwrite", properties=properties)
 
 
 def single_row_frame(spark: SparkSession, row: dict, schema: T.StructType) -> DataFrame:
