@@ -155,6 +155,7 @@ def transition_stream(
     events: DataFrame,
     *,
     watermark: str = "2 hours",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Streaming Markov transitions: per user, each arriving event is
     paired with that user's PREVIOUS event type (the sequence-model
@@ -171,74 +172,122 @@ def transition_stream(
     data for that key. Emits (prev_type, next_type, next_ts); the
     consumer aggregates counts (stream or batch).
 
-    State per user = last emitted type + the (ts, id, type) buffer of
-    events inside the watermark horizon — bounded by events-per-user
-    per watermark interval, same bound every watermarked stateful op
-    here carries. Events newer than (max event time - watermark delay)
-    stay pending until the watermark passes them; on an unbounded
-    stream that is the correct answer, and the replay test accounts for
-    it explicitly."""
+    State is keyed on hash(user_id) %% n_buckets, NOT on user_id: a
+    per-user grouping pays the Arrow/pandas per-group overhead once per
+    USER per micro-batch (~1 ms each — the dominant cost when keys are
+    plentiful and small, measured 2x the whole replay wall time at
+    sf0.1), while bucketing amortizes it over n_buckets groups and
+    chains every user inside a bucket with one vectorized
+    groupby-shift. Same correctness: a user's events all land in one
+    bucket. Size n_buckets to saturate executors — state partitioning
+    (and therefore cluster parallelism) follows the bucket key.
+
+    Per-bucket state = each user's last emitted type + the (user, ts,
+    id, type) buffer of events inside the watermark horizon — bounded
+    by events per watermark interval, same bound every watermarked
+    stateful op here carries. Events newer than (max event time -
+    watermark delay) stay pending until the watermark passes them; on
+    an unbounded stream that is the correct answer, and the replay test
+    accounts for it explicitly."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "prev_type string, next_type string, next_ts timestamp"
-    state_schema = (
-        "last_type string, buf_ts array<long>, buf_eid array<long>, buf_type array<string>"
-    )
+    # the event buffer is ONE pickled-numpy blob, not per-element arrays:
+    # state encode/decode walks every element of an array column, and in
+    # a replay's first batch the buffer holds the whole fixture — the
+    # blob form cuts state (de)serialization from per-event to per-bucket
+    state_schema = "lt_user array<long>, lt_type array<string>, buf binary"
 
     def update(key, pdfs, state: GroupState):
+        import pickle
+
         wm = state.getCurrentWatermarkMs()
         if state.exists:
-            last, bts, beid, btyp = state.get
-            bts, beid, btyp = list(bts or []), list(beid or []), list(btyp or [])
+            lt_user, lt_type, blob = state.get
+            last_map = dict(zip(lt_user or [], lt_type or []))
+            if blob:
+                b_user, b_ts, b_eid, b_typ = pickle.loads(bytes(blob))
+                users, tss, eids, typs = [b_user], [b_ts], [b_eid], [b_typ]
+            else:
+                users, tss, eids, typs = [], [], [], []
         else:
-            last, bts, beid, btyp = None, [], [], []
-        # a large group arrives as MULTIPLE Arrow chunks in arbitrary
-        # order — buffer everything before ordering, or the chain order
-        # is only locally correct within each chunk
+            last_map = {}
+            users, tss, eids, typs = [], [], [], []
         for pdf in pdfs:
             if len(pdf):
+                users.append(pdf["user_id"].to_numpy("int64"))
                 # pin ns resolution before the int cast: Arrow may hand
                 # pandas datetime64[us] or [ns] depending on version
-                bts.extend(
-                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+                tss.append(
+                    pdf["ts"].astype("datetime64[ns]").to_numpy("int64") // 1000
                 )
-                beid.extend(pdf["event_id"].tolist())
-                btyp.extend(pdf["event_type"].tolist())
-        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
-        ready = [i for i in order if bts[i] // 1000 <= wm]
-        pending = [i for i in order if bts[i] // 1000 > wm]
-        prevs: list[str] = []
-        nexts: list[str] = []
-        nts: list[int] = []
-        for i in ready:
-            if last is not None:
-                prevs.append(last)
-                nexts.append(btyp[i])
-                nts.append(bts[i])
-            last = btyp[i]
-        state.update(
-            (
-                last,
-                [bts[i] for i in pending],
-                [beid[i] for i in pending],
-                [btyp[i] for i in pending],
+                eids.append(pdf["event_id"].to_numpy("int64"))
+                typs.append(pdf["event_type"].to_numpy(object))
+        if users:
+            user = np.concatenate(users)
+            ts = np.concatenate(tss)
+            eid = np.concatenate(eids)
+            typ = np.concatenate(typs)
+        else:
+            user = np.empty(0, "int64")
+            ts = np.empty(0, "int64")
+            eid = np.empty(0, "int64")
+            typ = np.empty(0, object)
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid, typ = user[order], ts[order], eid[order], typ[order]
+        flushed = ts // 1000 <= wm
+        r_user, r_ts, r_typ = user[flushed], ts[flushed], typ[flushed]
+        if len(r_user):
+            # chain within each user: prev = row above when same user,
+            # else that user's carried last_map entry (vectorized; the
+            # per-event Python loop this replaces was the hot path)
+            prev = np.empty(len(r_user), dtype=object)
+            prev[1:] = r_typ[:-1]
+            first_of_user = np.empty(len(r_user), dtype=bool)
+            first_of_user[0] = True
+            first_of_user[1:] = r_user[1:] != r_user[:-1]
+            starts = np.flatnonzero(first_of_user)
+            for i in starts:  # one hop per USER, not per event
+                prev[i] = last_map.get(int(r_user[i]))
+            keep = np.array([p is not None for p in prev[starts]])
+            mask = np.ones(len(r_user), dtype=bool)
+            mask[starts[~keep]] = False
+            out = pd.DataFrame(
+                {
+                    "prev_type": prev[mask],
+                    "next_type": r_typ[mask],
+                    "next_ts": pd.to_datetime(pd.Series(r_ts[mask]), unit="us"),
+                }
             )
+            ends = np.r_[starts[1:] - 1, len(r_user) - 1]
+            for i in ends:  # one hop per USER
+                last_map[int(r_user[i])] = r_typ[i]
+        else:
+            out = pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "next_ts": pd.Series(dtype="datetime64[ns]"),
+                }
+            )
+        pending = ~flushed
+        blob = (
+            pickle.dumps((user[pending], ts[pending], eid[pending], typ[pending]))
+            if pending.any()
+            else None
         )
-        # wake this key on the next watermark advance even if no new
+        state.update((list(map(int, last_map.keys())), list(last_map.values()), blob))
+        # wake this bucket on the next watermark advance even if no new
         # data arrives for it — that is what flushes the buffer
         state.setTimeoutTimestamp(wm + 1)
-        yield pd.DataFrame(
-            {
-                "prev_type": prevs,
-                "next_type": nexts,
-                "next_ts": pd.to_datetime(pd.Series(nts, dtype="int64"), unit="us"),
-            }
-        )
+        yield out
 
     return (
         events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        .withColumn("__bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+        .groupBy("__bucket")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
