@@ -373,6 +373,11 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(root, tag, kind)
 
 
+# per-process memo for the ann_ivf staleness guard (one fingerprint
+# comparison per index per process, not per query call)
+_FRESH_INDEXES: set[str] = set()
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.where(F.col("vec_id") == vec_id).select(V.as_double("embedding").alias("v")).first()
@@ -429,6 +434,19 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.build_ivf_index(
             load_table(spark, sf_dir, "embeddings"), idx, n_lists=8, seed=42
         )
+    elif idx not in _FRESH_INDEXES:
+        # staleness guard: the committed index must describe the CURRENT
+        # embeddings table (the fixture can be regenerated out from under
+        # a committed index). Cheap id-set fingerprint, checked once per
+        # process; a stale index is rebuilt in place so the probe and the
+        # DuckDB oracle keep reading the same (new) files.
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = spark.read.parquet(os.path.join(idx, "cells"))
+        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        if (a["n"], a["s"]) != (b["n"], b["s"]):
+            S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    _FRESH_INDEXES.add(idx)
     return S.ivf_query(
         spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_probe=3, exclude_id=0,
         include_cell=True,
@@ -454,6 +472,32 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return S.lsh_index_query(
         spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_planes=4, n_tables=4, exclude_id=0
+    )
+
+
+@query(
+    "ann_pq",
+    tier="local",
+    oracle=None,  # approximate by construction; recall vs brute force +
+    # exact-ADC-agreement are pinned in tests/test_llm_ops.py
+    description="Product-quantization ANN (Jégou et al. 2011): corpus "
+    "encoded once to m=8 one-byte codes (32x smaller than the float "
+    "vectors — the RAM-resident regime at 100 TB); the probe inlines an "
+    "asymmetric-distance table as a literal and scores with one codegen "
+    "aggregate over the code array — map-only, no shuffle, "
+    "TakeOrderedAndProject top-k",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    idx = _index_dir(sf_dir, "pq8x16")
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        S.build_pq_index(
+            load_table(spark, sf_dir, "embeddings"), idx, m=8, k=16, seed=42
+        )
+    return S.pq_query_rerank(
+        spark, idx, load_table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir, 0), 10, shortlist=100, exclude_id=0,
     )
 
 
