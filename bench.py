@@ -102,15 +102,21 @@ def main() -> None:
         .save()
     )
 
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in names}
     # interleave rounds (run the whole suite iters times) so one query's
-    # JVM-warming effect doesn't systematically favor its own later reps
+    # JVM-warming effect doesn't systematically favor its own later reps;
+    # 5 rounds (up from 3) because a single GC/compilation stall window
+    # late in the 38-query suite can cover 2 of 3 reps of one query and
+    # poison its median (observed ~2x spikes on dedup_minhash_lsh)
     for _ in range(iters):
         for name in names:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        # settle the JVM between rounds so one round's garbage doesn't
+        # stall the next round's first queries
+        spark._jvm.System.gc()
 
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
 

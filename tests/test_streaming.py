@@ -309,3 +309,51 @@ def test_transition_stream_cross_batch_event_time_order(spark, tmp_path):
                 want.add((prev[3], nxt[3], nxt[1].replace(tzinfo=None)))
     assert len(want) > 90  # the displacement must not gut the flushed prefix
     assert got == want
+
+
+def test_stateful_streams_run_on_rocksdb_state_store(spark):
+    """SCALE.md names RocksDB as the cluster state store (HDFS-backed is
+    the local default). Prove the engine's stateful queries run
+    UNCHANGED on it — windowed agg and the custom applyInPandasWithState
+    operator (binary state + event-time timeouts) — and produce the same
+    answers. Spark bundles rocksdbjni; only the conf changes."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        run_stream_to_table,
+        transition_stream,
+        windowed_counts,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        m1 = run_stream_to_table(
+            windowed_counts(read_events_stream(spark, SF)),
+            "rocks_hourly",
+            output_mode="complete",
+        )
+        got = {
+            (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.table("rocks_hourly").collect()
+        }
+        batch = {
+            (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+            for r in QUERIES["events_hourly"].fn(spark, SF).collect()
+        }
+        assert got == batch
+        assert m1["peak_state_rows"] > 0
+        m2 = run_stream_to_table(
+            transition_stream(read_events_stream(spark, SF)),
+            "rocks_transitions",
+            output_mode="append",
+        )
+        assert m2["n_batches"] >= 2  # data batch + timeout flush batch
+        assert spark.table("rocks_transitions").count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
