@@ -1,0 +1,111 @@
+"""Incremental-maintenance operators: partition-incremental rollup
+refresh (fingerprint change detection, cold partitions byte-identical)
+and SCD2 change-batch merge (incremental application == from-scratch
+history reconstruction)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+    incremental_rollup,
+    scd2_merge,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_state(path: str) -> dict[str, tuple[int, float]]:
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _agg(fact):
+    return fact.groupBy("dt", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+def test_incremental_rollup_touches_only_changed_partitions(spark, tmp_path):
+    store = str(tmp_path / "rollup")
+    fact = load_table(spark, SF, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    n_days = fact.select("dt").distinct().count()
+
+    # first refresh: everything builds
+    assert incremental_rollup(spark, fact, store, "dt", _agg) == n_days
+    got = {tuple(r) for r in spark.read.parquet(store).select(F.col("dt").cast("string"), "event_type", "n", "total").collect()}
+    want = {tuple(r) for r in _agg(fact).collect()}
+    assert got == want
+
+    # second refresh, nothing changed: zero partitions, files untouched
+    before = _file_state(store)
+    assert incremental_rollup(spark, fact, store, "dt", _agg) == 0
+    assert _file_state(store) == before
+
+    # change ONE day: only its partition rewrites, the rest byte-identical
+    hot = fact.select("dt").orderBy("dt").first()["dt"]
+    extra = fact.where(F.col("dt") == hot).limit(5).withColumn("value", F.col("value") + 100)
+    fact2 = fact.unionByName(extra)
+    before = _file_state(store)
+    assert incremental_rollup(spark, fact2, store, "dt", _agg) == 1
+    after = _file_state(store)
+    changed_files = {f for f in set(before) | set(after) if before.get(f) != after.get(f)}
+    assert changed_files, "hot partition must be rewritten"
+    assert all(f"dt={hot}" in f or not f.startswith("dt=") for f in changed_files), changed_files
+    got2 = {tuple(r) for r in spark.read.parquet(store).select(F.col("dt").cast("string"), "event_type", "n", "total").collect()}
+    assert got2 == {tuple(r) for r in _agg(fact2).collect()}
+
+    # drop a day entirely: its store partition is deleted
+    gone = fact2.select("dt").orderBy(F.desc("dt")).first()["dt"]
+    fact3 = fact2.where(F.col("dt") != gone)
+    assert incremental_rollup(spark, fact3, store, "dt", _agg) == 1
+    assert not os.path.exists(os.path.join(store, f"dt={gone}"))
+    got3 = {tuple(r) for r in spark.read.parquet(store).select(F.col("dt").cast("string"), "event_type", "n", "total").collect()}
+    assert got3 == {tuple(r) for r in _agg(fact3).collect()}
+
+
+def test_scd2_merge_incremental_equals_history_reconstruction(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    batches = [
+        # (key, segment, limit, eff)
+        [(1, "gold", 100.0, "2024-01-01"), (2, "silver", 50.0, "2024-01-01"),
+         (3, "bronze", 10.0, "2024-01-01")],
+        # key 1 changes, key 2 identical (no-op), key 4 new
+        [(1, "platinum", 200.0, "2024-02-01"), (2, "silver", 50.0, "2024-02-01"),
+         (4, "gold", 120.0, "2024-02-01")],
+        # key 1 changes again, key 3 changes
+        [(1, "gold", 150.0, "2024-03-01"), (3, "silver", 60.0, "2024-03-01")],
+    ]
+    schema = "cust_id int, segment string, credit_limit double, eff_ts string"
+    for b in batches:
+        scd2_merge(
+            spark, dim, spark.createDataFrame(b, schema),
+            ["cust_id"], ["segment", "credit_limit"],
+        )
+    rows = {
+        (r["cust_id"], r["segment"], r["credit_limit"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    expected = {
+        (1, "gold", 100.0, "2024-01-01", "2024-02-01", False),
+        (1, "platinum", 200.0, "2024-02-01", "2024-03-01", False),
+        (1, "gold", 150.0, "2024-03-01", None, True),
+        (2, "silver", 50.0, "2024-01-01", None, True),   # identical change: no-op
+        (3, "bronze", 10.0, "2024-01-01", "2024-03-01", False),
+        (3, "silver", 60.0, "2024-03-01", None, True),
+        (4, "gold", 120.0, "2024-02-01", None, True),
+    }
+    assert rows == expected
+    # exactly one current row per key, intervals contiguous per key
+    cur = spark.read.parquet(dim).where("is_current")
+    assert cur.count() == cur.select("cust_id").distinct().count() == 4
