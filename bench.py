@@ -76,6 +76,7 @@ HEADLINE = [
     "streaming_hourly",
     "transition_stream_replay",
     "grouped_stats_approx",
+    "ann_pq",  # PQ shortlist + exact rerank (build amortized at first run)
 ]
 
 

@@ -193,3 +193,57 @@ def test_pagerank_invariants_on_random_chains(spark, vals):
              pagerank(df, tol=1e-6, max_iter=120).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-5
     assert all(v > 0 for v in ranks.values())
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(  # a CDC stream: per batch, a dict of key -> (segment, limit)
+        st.dictionaries(
+            st.integers(min_value=1, max_value=4),
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from([1.0, 2.0])),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_scd2_merge_equals_reference_reconstruction(spark, tmp_path_factory, batches):
+    """Applying arbitrary change batches incrementally must equal the
+    from-scratch SCD2 reconstruction: per key, one interval per
+    consecutive-distinct attribute value, closed at the next change's
+    eff_ts, exactly one open current row."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+        scd2_merge,
+    )
+
+    dim = str(tmp_path_factory.mktemp("scd2") / "dim")
+    for i, batch in enumerate(batches):
+        rows = [(k, seg, lim, f"t{i:03d}") for k, (seg, lim) in sorted(batch.items())]
+        scd2_merge(
+            spark,
+            dim,
+            spark.createDataFrame(rows, "k int, seg string, lim double, eff_ts string"),
+            ["k"],
+            ["seg", "lim"],
+        )
+
+    # Python reference: replay the same batches per key
+    hist: dict[int, list] = {}
+    for i, batch in enumerate(batches):
+        for k, (seg, lim) in sorted(batch.items()):
+            rows = hist.setdefault(k, [])
+            if rows and (rows[-1][0], rows[-1][1]) == (seg, lim):
+                continue  # identical change: no-op
+            if rows:
+                rows[-1] = (rows[-1][0], rows[-1][1], rows[-1][2], f"t{i:03d}", False)
+            rows.append((seg, lim, f"t{i:03d}", None, True))
+    expected = {
+        (k, seg, lim, vf, vt, cur)
+        for k, rows in hist.items()
+        for seg, lim, vf, vt, cur in rows
+    }
+    got = {
+        (r["k"], r["seg"], r["lim"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    assert got == expected
