@@ -478,8 +478,50 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pq",
     tier="local",
-    oracle=None,  # approximate by construction; recall vs brute force +
-    # exact-ADC-agreement are pinned in tests/test_llm_ops.py
+    # Approximate vs brute force, but EXACT given the persisted index
+    # (same argument as ann_ivf): the ADC shortlist is a deterministic
+    # function of (committed codebooks, committed codes, query vector)
+    # and the rerank is exact cosine over the shortlist — so DuckDB can
+    # re-derive the whole pipeline from the same committed parquet.
+    # Rounding to 6dp BEFORE the shortlist cut matches the Spark side so
+    # cutoff ties resolve identically (then vec_id asc on both).
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ),
+    qn AS (
+      SELECT list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+      FROM q
+    ),
+    books AS (
+      SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
+             CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('/root/repo/.indexes/sf0.01/pq8x16/codebooks/*.parquet')
+    ),
+    tab AS (
+      SELECT j, code, list_dot_product(centroid, nv[j*8+1 : j*8+8]) AS ip
+      FROM books, qn
+    ),
+    cvec AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, codes
+      FROM read_parquet('/root/repo/.indexes/sf0.01/pq8x16/codes/*.parquet')
+      WHERE vec_id != 0
+    ),
+    scores AS (
+      SELECT c.vec_id, round(sum(t.ip), 6) AS pq_score
+      FROM (SELECT vec_id, r.j, codes[r.j+1] AS code FROM cvec, range(8) r(j)) c
+      JOIN tab t ON t.j = c.j AND t.code = c.code
+      GROUP BY c.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM scores ORDER BY pq_score DESC, vec_id LIMIT 100
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qn.nv), 6) AS cosine
+    FROM embeddings e JOIN shortlist USING (vec_id), qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
     description="Product-quantization ANN (Jégou et al. 2011): corpus "
     "encoded once to m=8 one-byte codes (32x smaller than the float "
     "vectors — the RAM-resident regime at 100 TB); the probe inlines an "
