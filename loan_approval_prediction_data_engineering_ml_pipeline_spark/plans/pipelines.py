@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..session import scoped_conf
 from .registry import query
 from .relational import events_hourly
 
@@ -43,11 +44,12 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count (fixed at first checkpoint), and each partition
     # carries per-batch store maintenance + snapshot I/O — size it to the
     # state (3.6k window×type rows here), not to the CPU count: 8 cuts
-    # ~0.5s/replay of pure store overhead vs 32 at this scale
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # ~0.5s/replay of pure store overhead vs 32 at this scale. Scoped so
+    # the setting never leaks to later queries on the shared session.
     table = f"__stream_hourly_{abs(hash(sf_dir)) % 10**8}"
-    stream = read_events_stream(spark, sf_dir)
-    run_stream_to_table(windowed_counts(stream), table, output_mode="complete")
+    with scoped_conf(spark, spark_sql_shuffle_partitions="8"):
+        stream = read_events_stream(spark, sf_dir)
+        run_stream_to_table(windowed_counts(stream), table, output_mode="complete")
     return spark.table(table).orderBy("hour", "event_type")
 
 
@@ -67,11 +69,11 @@ def transition_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_events_stream, run_stream_to_table, transition_stream
 
     # state partitions sized to the per-user state (~1.5k users), see
-    # streaming_hourly
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # streaming_hourly; scoped so it never leaks past the replay
     table = f"__stream_transitions_{abs(hash(sf_dir)) % 10**8}"
-    stream = read_events_stream(spark, sf_dir)
-    run_stream_to_table(transition_stream(stream), table, output_mode="append")
+    with scoped_conf(spark, spark_sql_shuffle_partitions="8"):
+        stream = read_events_stream(spark, sf_dir)
+        run_stream_to_table(transition_stream(stream), table, output_mode="append")
     return spark.table(table).orderBy("next_ts", "prev_type", "next_type")
 
 
@@ -90,12 +92,14 @@ def ml_loan_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.split import stratified_split
     from ..sources.loan_fixtures import generate_loan_tables
 
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     t = generate_loan_tables(spark, seed=42)
     df = prepare_loan_frame(t["applicant_info"], t["financial_info"], t["loan_info"])
     train, test = stratified_split(df, "label", test_size=0.2, seed=42)
     clf = LogisticRegression(maxIter=500, labelCol="label", featuresCol="features")
-    model = build_pipeline(clf).fit(train)
+    # the eager MLlib fit wants the session default (32 locally); scoped so
+    # a caller-tuned session is restored afterwards
+    with scoped_conf(spark, spark_sql_shuffle_partitions="32"):
+        model = build_pipeline(clf).fit(train)
     return confusion_matrix(model.transform(test)).select(
         F.col("label").cast("int").alias("label"),
         F.col("prediction").cast("int").alias("prediction"),

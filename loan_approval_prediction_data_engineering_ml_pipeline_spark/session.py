@@ -18,11 +18,43 @@ point and merely *scaled down* for local testing:
 
 from __future__ import annotations
 
+import contextlib
 import os
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_UNSET = object()
+
+
+@contextlib.contextmanager
+def scoped_conf(spark: SparkSession, **confs: str) -> Iterator[None]:
+    """Temporarily set session confs, restoring prior values on exit.
+
+    Registry queries must be order-independent: a query that tunes
+    ``spark.sql.shuffle.partitions`` for its own eager work (a streaming
+    replay, an MLlib fit) must not leak that setting into whatever runs
+    next on the shared session. Keys are passed with ``_`` in place of
+    ``.`` (``spark_sql_shuffle_partitions=...``) for keyword ergonomics.
+    """
+    prior: dict[str, object] = {}
+    keys = {k.replace("_", "."): str(v) for k, v in confs.items()}
+    for key, value in keys.items():
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:
+            prior[key] = _UNSET
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, old in prior.items():
+            if old is _UNSET:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def get_spark(
