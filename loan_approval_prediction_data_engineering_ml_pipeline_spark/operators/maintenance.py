@@ -27,7 +27,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.loaders import _delete_path, _stage_and_dynamic_overwrite, escape_hive_path_name
+from ..sources.loaders import (
+    _delete_path,
+    _path_exists,
+    _stage_and_dynamic_overwrite,
+    escape_hive_path_name,
+)
 
 
 def _partition_fingerprints(df: DataFrame, partition_col: str) -> DataFrame:
@@ -71,12 +76,12 @@ def incremental_rollup(
     manifest_path = store_path.rstrip("/") + "__manifest"
     fp = _partition_fingerprints(fact, partition_col)
 
+    # existence is checked explicitly: a manifest READ failure (corrupt
+    # footer, transient FS error) must propagate, not silently trigger a
+    # full 'first refresh' rewrite (ADVICE r3)
     old: DataFrame | None = None
-    if not full_rebuild:
-        try:
-            old = spark.read.parquet(manifest_path)
-        except Exception:
-            old = None
+    if not full_rebuild and _path_exists(spark, manifest_path):
+        old = spark.read.parquet(manifest_path)
 
     if old is None:
         changed = [r[0] for r in fp.select(partition_col).collect()]
@@ -155,11 +160,12 @@ def scd2_merge(
     partition granularity is :func:`incremental_rollup`)."""
     import functools
 
-    try:
+    # path-missing is the ONLY condition that means 'store is empty';
+    # any read failure on an existing store propagates — overwriting on
+    # e.g. a transient FS error would destroy the SCD2 history (ADVICE r3)
+    empty = not _path_exists(spark, dim_path)
+    if not empty:
         dim = spark.read.parquet(dim_path)
-        empty = False
-    except Exception:
-        empty = True
     ch = changes.select(
         *key_cols, *attr_cols, F.col(eff_col).alias("__eff")
     )

@@ -377,6 +377,16 @@ def _index_dir(sf_dir: str, kind: str) -> str:
 # comparison per index per process, not per query call)
 _FRESH_INDEXES: set[str] = set()
 
+# Oracle SQL strings are registered once at import; template the index
+# path from the SAME root _index_dir resolves (repo-relative or
+# SPARK_GRAFT_INDEX_DIR) so the Spark probe and the DuckDB oracle
+# provably read identical files wherever the repo lives (ADVICE r3).
+# The driver's oracle runs at sf0.01; tests/_retag_oracle rewrites the
+# sf tag (not the root) for other SFs.
+_ORACLE_IVF_DIR = _index_dir("sf0.01", "ivf8")
+_ORACLE_PQ_DIR = _index_dir("sf0.01", "pq8x16")
+_ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
+
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -393,13 +403,13 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     # the restricted top-k in DuckDB from the SAME committed parquet the
     # Spark probe scans (.indexes/ is in git for sf0.001/sf0.01).
     # tests/test_oracle_parity.py retags the sf0.01 path for other SFs.
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
     ),
     cent AS (
       SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
-      FROM read_parquet('/root/repo/.indexes/sf0.01/ivf8/centroids/*.parquet')
+      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
     ),
     probe AS (
       SELECT cell FROM cent, q
@@ -410,7 +420,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
       SELECT CAST(vec_id AS BIGINT) AS vec_id,
              CAST(arr AS DOUBLE[]) AS arr,
              CAST(cell AS INT) AS cell
-      FROM read_parquet('/root/repo/.indexes/sf0.01/ivf8/cells/*/*.parquet',
+      FROM read_parquet('{_ORACLE_IVF_DIR}/cells/*/*.parquet',
                         hive_partitioning=1)
       WHERE CAST(cell AS INT) IN (SELECT cell FROM probe) AND vec_id != 0
     )
@@ -485,7 +495,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derive the whole pipeline from the same committed parquet.
     # Rounding to 6dp BEFORE the shortlist cut matches the Spark side so
     # cutoff ties resolve identically (then vec_id asc on both).
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
     ),
@@ -496,7 +506,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     books AS (
       SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
              CAST(centroid AS DOUBLE[]) AS centroid
-      FROM read_parquet('/root/repo/.indexes/sf0.01/pq8x16/codebooks/*.parquet')
+      FROM read_parquet('{_ORACLE_PQ_DIR}/codebooks/*.parquet')
     ),
     tab AS (
       SELECT j, code, list_dot_product(centroid, nv[j*8+1 : j*8+8]) AS ip
@@ -504,7 +514,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cvec AS (
       SELECT CAST(vec_id AS BIGINT) AS vec_id, codes
-      FROM read_parquet('/root/repo/.indexes/sf0.01/pq8x16/codes/*.parquet')
+      FROM read_parquet('{_ORACLE_PQ_DIR}/codes/*.parquet')
       WHERE vec_id != 0
     ),
     scores AS (

@@ -30,14 +30,29 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(jpath, True)
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop FS existence probe. Merge/upsert operators use
+    this to distinguish 'store not initialized yet' from read FAILURES
+    (corrupt footer, transient FS error, permissions) — treating any
+    read exception as 'empty' would let a transient error silently
+    replace the full store with just the incoming batch (ADVICE r3)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 # Analyzed-handle cache: re-calling spark.read.parquet on the same path
 # re-lists the directory and re-reads footers (~80 ms/table of pure
 # driver overhead that lands in EVERY query's wall time — the bulk of
 # the star_join_agg "regression" chased in VERDICT r2 #6). Fixture
 # parquet is immutable within a process, so the analyzed DataFrame
 # (an immutable logical plan) is reused. Keyed by applicationId so a
-# fresh driver session never sees another session's handles.
-_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# fresh driver session never sees another session's handles; entries
+# from dead applicationIds are evicted on insert so a long-lived
+# process restarting sessions doesn't accumulate dead JVM handles.
+# The key includes ``validate`` so a validate=False read can never
+# short-circuit a later validate=True call's schema-drift check.
+_HANDLE_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = True) -> DataFrame:
@@ -51,7 +66,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
     # The driver calls queries() with its own SparkSession; pin UTC so
     # timestamp semantics match the DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cache_key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, os.path.normpath(sf_dir), name, validate)
     cached = _HANDLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -80,6 +96,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
             raise ValueError(
                 f"schema drift in {name}: expected {expected}, got {actual}"
             )
+    for dead in [k for k in _HANDLE_CACHE if k[0] != app_id]:
+        del _HANDLE_CACHE[dead]
     _HANDLE_CACHE[cache_key] = df
     return df
 
@@ -507,22 +525,47 @@ def replace_into_jdbc(
     (where the dialect has one) or the partitioned parquet upsert above."""
     try:
         current = read_jdbc(spark, url, table, properties=properties).load()
-    except Exception:
+    except Exception as exc:
+        # ONLY a missing target table means "create from incoming" —
+        # REPLACE INTO's first-load shape. Any other read failure
+        # (connection drop, permissions, corrupt table) must propagate:
+        # swallowing it would overwrite the whole table with just the
+        # incoming batch (ADVICE r3). Dialect markers: Derby 42X05 /
+        # "does not exist", MySQL 42S02 / ER_NO_SUCH_TABLE (1146),
+        # Postgres 42P01 / "does not exist", ANSI "not found".
+        msg = str(exc)
+        if not any(
+            marker in msg
+            for marker in ("42X05", "42S02", "42P01", "1146", "does not exist", "not found")
+        ):
+            raise
         current = None
     if current is None:
-        merged = incoming
-    else:
-        tagged = current.withColumn("__src", F.lit(0)).unionByName(
-            incoming.select(*current.columns).withColumn("__src", F.lit(1))
-        )
-        w = W.partitionBy(*key_cols).orderBy(F.desc("__src"))
-        merged = (
-            tagged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-        )
+        merged = incoming.localCheckpoint(eager=True)
+        # first load: table absent → create it (forwarding properties so
+        # createTableColumnTypes DDL reaches the CREATE TABLE)
+        write_jdbc(merged, url, table, mode="overwrite", properties=properties)
+        return
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        incoming.select(*current.columns).withColumn("__src", F.lit(1))
+    )
+    w = W.partitionBy(*key_cols).orderBy(F.desc("__src"))
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
     merged = merged.localCheckpoint(eager=True)
-    write_jdbc(merged, url, table, mode="overwrite", properties=properties)
+    # truncate=true: DELETE-then-INSERT into the EXISTING table instead of
+    # DROP+CREATE-with-default-types — real REPLACE INTO preserves the
+    # target's DDL (VARCHAR widths, keys), so must we (ADVICE r3)
+    write_jdbc(
+        merged,
+        url,
+        table,
+        mode="overwrite",
+        properties={**(properties or {}), "truncate": "true"},
+    )
 
 
 def single_row_frame(spark: SparkSession, row: dict, schema: T.StructType) -> DataFrame:

@@ -109,3 +109,47 @@ def test_scd2_merge_incremental_equals_history_reconstruction(spark, tmp_path):
     # exactly one current row per key, intervals contiguous per key
     cur = spark.read.parquet(dim).where("is_current")
     assert cur.count() == cur.select("cust_id").distinct().count() == 4
+
+
+def test_scd2_merge_raises_on_corrupt_store_instead_of_overwriting(spark, tmp_path):
+    """ADVICE r3: only path-absence means 'empty store'. A store that
+    EXISTS but cannot be read (corrupt footer here; transient FS error
+    or permissions in production) must raise — silently treating it as
+    empty would overwrite the full SCD2 history with the change batch."""
+    import pytest
+
+    dim = str(tmp_path / "dim_corrupt")
+    os.makedirs(dim)
+    with open(os.path.join(dim, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    batch = spark.createDataFrame(
+        [(1, "gold", 100.0, "2024-01-01")],
+        "cust_id int, segment string, credit_limit double, eff_ts string",
+    )
+    with pytest.raises(Exception):
+        scd2_merge(spark, dim, batch, ["cust_id"], ["segment", "credit_limit"])
+    # the corrupt store was not replaced by the change batch
+    with open(os.path.join(dim, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
+
+
+def test_incremental_rollup_raises_on_corrupt_manifest(spark, tmp_path):
+    """Same contract for the rollup manifest: a refresh must not silently
+    degrade to a full first-run rewrite when the manifest read fails."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    manifest = store + "__manifest"
+    fact = (
+        load_table(spark, SF, "events")
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    incremental_rollup(spark, fact, store, "dt", _agg)
+    # corrupt the manifest in place
+    import glob
+
+    for p in glob.glob(os.path.join(manifest, "*.parquet")):
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    with pytest.raises(Exception):
+        incremental_rollup(spark, fact, store, "dt", _agg)

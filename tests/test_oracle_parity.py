@@ -26,7 +26,9 @@ def _retag_oracle(sql: str) -> str:
     sf0.01), so persisted-index paths are baked in at the sf0.01 tag;
     swap the tag when parity runs at a different scale."""
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    return sql.replace("/.indexes/sf0.01/", f"/.indexes/{tag}/")
+    # index paths are templated from _index_dir's root (repo-relative or
+    # SPARK_GRAFT_INDEX_DIR), so only the sf tag segment needs rewriting
+    return sql.replace("/sf0.01/", f"/{tag}/")
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -404,3 +404,22 @@ def test_jdbc_mysql_dialect_quirks_on_derby(spark, tmp_path):
         2: ("Y", 9999.0),   # replaced (incoming wins on PK conflict)
         4: ("N", 1234.0),   # inserted
     }
+
+    # ADVICE r3: the overwrite uses truncate=true, so the merge must NOT
+    # drop/recreate the table — the original createTableColumnTypes DDL
+    # (VARCHAR(3) width enforcement) survives the REPLACE emulation,
+    # exactly as a real REPLACE INTO preserves table DDL
+    with pytest.raises(Exception, match="truncation|22001|APPROVED"):
+        write_jdbc(too_long, url, "loan_status", mode="append", properties=props)
+
+    # ADVICE r3: a read failure that is NOT table-absence must propagate,
+    # never be treated as 'table empty' (which would overwrite the store
+    # with just the incoming batch). A bogus driver class fails the
+    # connection itself — clearly not a missing-table condition.
+    with pytest.raises(Exception):
+        replace_into_jdbc(
+            spark, url, "loan_status", incoming, ["loan_id"],
+            properties={"driver": "org.no.such.Driver"},
+        )
+    survived = read_jdbc(spark, url, "loan_status", properties=props).load()
+    assert survived.count() == 3  # store untouched by the failed merge

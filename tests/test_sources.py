@@ -61,6 +61,19 @@ def test_schema_drift_detection(spark, tmp_path):
         load_table(spark, str(tmp_path), "customer")
 
 
+def test_handle_cache_never_skips_validation(spark, tmp_path):
+    """ADVICE r3: a validate=False read must not poison the handle cache —
+    a later validate=True call on the same (sf_dir, table) still runs the
+    schema-drift check."""
+    bad = str(tmp_path / "customer.parquet")
+    spark.createDataFrame([(1, "x")], ["c_custkey", "wrong_col"]).write.parquet(bad)
+    # unvalidated read succeeds and is cached under its own key
+    df = load_table(spark, str(tmp_path), "customer", validate=False)
+    assert df.count() == 1
+    with pytest.raises(ValueError, match="schema drift"):
+        load_table(spark, str(tmp_path), "customer")  # validate=True default
+
+
 def test_csv_roundtrip_declared_schema(spark, tmp_path):
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import read_csv
 
