@@ -465,12 +465,42 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_bucketed",
-    tier="local",  # rows-only in the driver anyway; recall + partition-pruning plan assertions live in tests, ann_ivf carries the persisted-index lifecycle in the driver set
-    oracle=None,  # approximate by construction; tests measure recall vs brute force
+    tier="local",  # ann_ivf carries the persisted-index lifecycle in the capped driver set
+    # Approximate vs brute force, but EXACT given the persisted index
+    # (same argument as ann_ivf/ann_pq, VERDICT r3 #2): the probe set is
+    # the query vector's own (table_id, bucket) signature — and since the
+    # query IS corpus vector 0, the committed index already records that
+    # signature, so DuckDB re-derives the probe buckets from vec_id 0's
+    # index rows (an independent path from the Spark probe's driver-side
+    # hyperplane dot products), the candidate set by bucket membership,
+    # and the exact top-k over candidates.
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    probe AS (
+      SELECT CAST(table_id AS INT) AS table_id, CAST(bucket AS INT) AS bucket
+      FROM read_parquet('{_ORACLE_LSH_DIR}/*/*/*.parquet', hive_partitioning=1)
+      WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT DISTINCT i.vec_id
+      FROM read_parquet('{_ORACLE_LSH_DIR}/*/*/*.parquet', hive_partitioning=1) i
+      JOIN probe ON CAST(i.table_id AS INT) = probe.table_id
+                AND CAST(i.bucket AS INT) = probe.bucket
+      WHERE i.vec_id != 0
+    )
+    SELECT c.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
     description="Multi-table hyperplane-LSH ANN with the persisted-index "
     "lifecycle: 4 tables x 4 sign bits written once PARTITIONED BY "
     "(table_id, bucket); the probe computes the query's buckets "
-    "driver-side and scans only those partitions (pruning, not a join)",
+    "driver-side and scans only those partitions (pruning, not a join); "
+    "oracle-verified against the committed index",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -480,6 +510,19 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.build_lsh_index(
             load_table(spark, sf_dir, "embeddings"), idx, n_planes=4, n_tables=4
         )
+    elif idx not in _FRESH_INDEXES:
+        # staleness guard, same as ann_ivf: the committed index must
+        # describe the CURRENT embeddings table or probe and oracle
+        # would read diverging signatures
+        emb = load_table(spark, sf_dir, "embeddings")
+        stored = spark.read.parquet(idx)
+        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        b = stored.select("vec_id").distinct().agg(
+            F.count("*").alias("n"), F.sum("vec_id").alias("s")
+        ).first()
+        if (a["n"], a["s"]) != (b["n"], b["s"]):
+            S.build_lsh_index(emb, idx, n_planes=4, n_tables=4)
+    _FRESH_INDEXES.add(idx)
     return S.lsh_index_query(
         spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_planes=4, n_tables=4, exclude_id=0
     )

@@ -11,11 +11,139 @@ the driver's correctness gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import scoped_conf
 from .registry import query
 from .relational import events_hourly
+
+# ---------------------------------------------------------------------------
+# Committed loan fixture — the committed-index recipe (ann_ivf/ann_pq)
+# applied to the ML dataflow (VERDICT r3 #5): the joined loan frame WITH
+# its stratified-split membership is persisted under .fixtures/ so the
+# DuckDB oracle can re-derive every deterministic fit-time aggregate
+# (impute medians, modes, category cardinalities, scaler moments, split
+# sizes) from the SAME rows the MLlib fit consumes. Spark-side staleness
+# is fingerprint-guarded per process.
+# ---------------------------------------------------------------------------
+
+_LOAN_FIXTURE_DIR = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+    ),
+)
+_LOAN_JOINED = os.path.join(_LOAN_FIXTURE_DIR, "loan_joined")
+
+# pipeline column lists (mirrors ml.pipeline.build_preprocessor defaults)
+_PP_NUMERIC = [
+    "ApplicantIncome", "CoapplicantIncome", "LoanAmount",
+    "Loan_Amount_Term", "Credit_History", "Dependents_num", "Total_Income",
+]
+_PP_CATEGORICAL = ["Gender", "Married", "Education", "Self_Employed", "Property_Area"]
+_PP_NULL_AUDIT = _PP_NUMERIC + _PP_CATEGORICAL + ["Dependents"]
+
+_loan_fixture_fresh = False
+
+
+def _frame_fingerprint(df: DataFrame) -> tuple:
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+        for c in sorted(df.columns)
+    ]
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(20,0)")).alias("h"),
+    ).first()
+    return (r["n"], r["h"])
+
+
+def _ensure_loan_fixture(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build (seed-deterministic) the joined loan frame + split column,
+    verify the committed parquet matches it (rebuild if stale), and
+    return (train, test, full)."""
+    global _loan_fixture_fresh
+    from ..ml.pipeline import prepare_loan_frame
+    from ..ml.split import stratified_split
+    from ..sources.loaders import _path_exists
+    from ..sources.loan_fixtures import generate_loan_tables
+
+    t = generate_loan_tables(spark, seed=42)
+    df = prepare_loan_frame(t["applicant_info"], t["financial_info"], t["loan_info"])
+    train, test = stratified_split(df, "label", test_size=0.2, seed=42)
+    live = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )
+    if not _loan_fixture_fresh:
+        stale = True
+        if _path_exists(spark, _LOAN_JOINED):
+            committed = spark.read.parquet(_LOAN_JOINED)
+            stale = _frame_fingerprint(committed) != _frame_fingerprint(live)
+        if stale:
+            live.coalesce(1).write.mode("overwrite").parquet(_LOAN_JOINED)
+        _loan_fixture_fresh = True
+    return train, test, df
+
+
+def _preprocess_oracle() -> str:
+    """DuckDB re-derivation of every fit-time aggregate from the
+    committed fixture. quantile_disc matches Spark Imputer's exact
+    median (element at the lower-middle rank — probed empirically);
+    mode tie-break is (count desc, value asc) = sklearn/our
+    StringModeImputer; scaler moments are avg/stddev_samp over the
+    median-imputed train columns."""
+    fix = _LOAN_JOINED
+    parts = []
+    meds = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, quantile_disc({c}, 0.5) AS v FROM tr" for c in _PP_NUMERIC
+    )
+    for c in _PP_NULL_AUDIT:
+        parts.append(
+            f"SELECT 'null_count' AS stat, '{c}' AS col, "
+            f"CAST(count(*) - count({c}) AS DOUBLE) AS value, "
+            f"CAST(NULL AS VARCHAR) AS svalue FROM j"
+        )
+    parts.append(
+        "SELECT 'class_count', 'label_' || CAST(CAST(label AS INT) AS VARCHAR), "
+        "CAST(count(*) AS DOUBLE), CAST(NULL AS VARCHAR) FROM j GROUP BY label"
+    )
+    parts.append(
+        "SELECT 'split_count', split || '_label_' || CAST(CAST(label AS INT) AS VARCHAR), "
+        "CAST(count(*) AS DOUBLE), CAST(NULL AS VARCHAR) FROM j GROUP BY split, label"
+    )
+    for c in _PP_NUMERIC:
+        parts.append(
+            f"SELECT 'impute_median', '{c}', "
+            f"round(CAST((SELECT v FROM meds WHERE col = '{c}') AS DOUBLE), 6), "
+            f"CAST(NULL AS VARCHAR)"
+        )
+        imp = f"coalesce({c}, (SELECT v FROM meds WHERE col = '{c}'))"
+        parts.append(
+            f"SELECT 'scaled_mean', '{c}', round(avg({imp}), 6), CAST(NULL AS VARCHAR) FROM tr"
+        )
+        parts.append(
+            f"SELECT 'scaled_std', '{c}', round(stddev_samp({imp}), 6), CAST(NULL AS VARCHAR) FROM tr"
+        )
+    for c in _PP_CATEGORICAL:
+        parts.append(
+            f"SELECT 'mode', '{c}', CAST(NULL AS DOUBLE), "
+            f"(SELECT {c} FROM tr WHERE {c} IS NOT NULL GROUP BY {c} "
+            f"ORDER BY count(*) DESC, {c} ASC LIMIT 1)"
+        )
+        parts.append(
+            f"SELECT 'n_categories', '{c}', CAST(count(DISTINCT {c}) AS DOUBLE), "
+            f"CAST(NULL AS VARCHAR) FROM tr"
+        )
+    body = " UNION ALL ".join(parts)
+    return (
+        f"WITH j AS (SELECT * FROM read_parquet('{fix}/*.parquet')), "
+        f"tr AS (SELECT * FROM j WHERE split = 'train'), "
+        f"meds AS ({meds}) "
+        f"SELECT stat, col, value, svalue FROM ({body}) ORDER BY stat, col"
+    )
 
 _STREAM_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -55,15 +183,36 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "transition_stream_replay",
-    oracle=None,  # custom stateful operator (applyInPandasWithState);
-    # stream≡batch equivalence vs the event_transitions twin is asserted
-    # in tests/test_streaming.py, including cross-micro-batch
-    # out-of-event-time-order arrivals
+    # The stateful operator emits a transition only once the watermark
+    # (max event time - 2h) passes its event, so the replay's output is
+    # EXACTLY the per-user lag chain over the ≤-watermark prefix — which
+    # DuckDB re-derives independently (VERDICT r3 #2). Watermark
+    # arithmetic is in milliseconds on both sides (Spark tracks event
+    # time in ms; epoch_ms floors the same way).
+    oracle="""
+    WITH wm AS (
+      SELECT epoch_ms(max(ts)) - 7200000 AS wm_ms FROM events
+    ),
+    pfx AS (
+      SELECT user_id, ts, event_id, event_type FROM events, wm
+      WHERE epoch_ms(ts) <= wm_ms
+    ),
+    lagged AS (
+      SELECT event_type AS next_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM pfx
+    )
+    SELECT prev_type, next_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS next_ts
+    FROM lagged WHERE prev_type IS NOT NULL
+    ORDER BY next_ts, prev_type, next_type
+    """,
     tier="local",
     description="Streaming Markov-transition replay: watermark-buffered "
     "applyInPandasWithState chains each user's events in event-time "
     "order across micro-batches; benched alongside its batch twin "
-    "(VERDICT r2 #4)",
+    "(VERDICT r2 #4); hash-checked against the DuckDB lag chain over "
+    "the ≤-watermark prefix",
 )
 def transition_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_events_stream, run_stream_to_table, transition_stream
@@ -74,7 +223,81 @@ def transition_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_conf(spark, spark_sql_shuffle_partitions="8"):
         stream = read_events_stream(spark, sf_dir)
         run_stream_to_table(transition_stream(stream), table, output_mode="append")
-    return spark.table(table).orderBy("next_ts", "prev_type", "next_type")
+    return (
+        spark.table(table)
+        .select(
+            "prev_type",
+            "next_type",
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("next_ts"),
+        )
+        .orderBy("next_ts", "prev_type", "next_type")
+    )
+
+
+@query(
+    "ml_preprocess_fit_stats",
+    oracle=_preprocess_oracle(),
+    description="Every deterministic fit-time aggregate of the reference's "
+    "preprocessing dataflow (LP.ipynb:748-763), emitted from the ACTUAL "
+    "fitted MLlib models — Imputer surrogate medians, StringModeImputer "
+    "modes, StringIndexer category cardinalities, StandardScaler "
+    "means/stds, stratified-split sizes, null audit — and hash-checked "
+    "against a DuckDB re-derivation over the committed fixture "
+    "(.fixtures/loan_joined). Shrinks the ML pipeline's unverified "
+    "surface to the classifier fit alone (VERDICT r3 #5)",
+)
+def ml_preprocess_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import ImputerModel, StandardScalerModel, StringIndexerModel
+
+    from ..ml.pipeline import build_preprocessor
+    from ..ml.transformers import StringModeImputerModel
+
+    train, test, full = _ensure_loan_fixture(spark)
+    pre = Pipeline(stages=build_preprocessor()).fit(train)
+
+    imputer = next(s for s in pre.stages if isinstance(s, ImputerModel))
+    mode_imp = next(s for s in pre.stages if isinstance(s, StringModeImputerModel))
+    indexers = {
+        s.getInputCol(): s for s in pre.stages if isinstance(s, StringIndexerModel)
+    }
+    scaler = next(s for s in pre.stages if isinstance(s, StandardScalerModel))
+
+    surrogate = imputer.surrogateDF.first().asDict()
+    modes = mode_imp.modes
+    # scaler vectors are ordered like the numeric assembler's inputCols
+    means, stds = list(scaler.mean), list(scaler.std)
+
+    rows: list[tuple] = []
+    # null audit over the full joined frame (one agg pass)
+    nulls = full.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in _PP_NULL_AUDIT
+        ]
+    ).first()
+    for c in _PP_NULL_AUDIT:
+        rows.append(("null_count", c, float(nulls[c]), None))
+    for r in full.groupBy("label").count().collect():
+        rows.append(("class_count", f"label_{int(r['label'])}", float(r["count"]), None))
+    for split_name, frame in (("train", train), ("test", test)):
+        for r in frame.groupBy("label").count().collect():
+            rows.append(
+                ("split_count", f"{split_name}_label_{int(r['label'])}", float(r["count"]), None)
+            )
+    for i, c in enumerate(_PP_NUMERIC):
+        rows.append(("impute_median", c, round(float(surrogate[c]), 6), None))
+        rows.append(("scaled_mean", c, round(float(means[i]), 6), None))
+        rows.append(("scaled_std", c, round(float(stds[i]), 6), None))
+    for c in _PP_CATEGORICAL:
+        rows.append(("mode", c, None, modes[c]))
+        # labelsArray excludes nulls; handleInvalid='keep' adds a virtual
+        # bucket at index len(labels), so len(labels) IS the seen-category
+        # cardinality
+        rows.append(("n_categories", c, float(len(indexers[c].labels)), None))
+    return spark.createDataFrame(
+        rows, "stat string, col string, value double, svalue string"
+    ).orderBy("stat", "col")
 
 
 @query(
