@@ -70,14 +70,104 @@ HEADLINE = [
     "vocab_overlap",
     "ann_ivf",  # persisted-index probe (build amortized at first run)
     "bigram_lm_outliers",
-    # r3 additions (VERDICT r2 #4/#5): the streaming engine itself —
-    # full availableNow replays, wall time dominated by the state-store
-    # path — plus the approx-percentile twin of grouped_stats
-    "streaming_hourly",
-    "transition_stream_replay",
     "grouped_stats_approx",
     "ann_pq",  # PQ shortlist + exact rerank (build amortized at first run)
 ]
+
+# The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
+# their OWN interleaved loop AFTER every batch round completes: a replay
+# leaves state-store maintenance threads + memory-sink heap behind that
+# tax whichever query runs next by ~40% (measured r4 — grouped_stats_approx
+# benched 5.4s mid-suite vs 0.8s standalone), so streaming must never
+# precede a batch timing.
+STREAMING_HEADLINE = [
+    "streaming_hourly",
+    "transition_stream_replay",
+]
+
+
+def maintenance_bench(spark, sf_dir: str) -> dict:
+    """Write-side operators (VERDICT r3 #6): the 100 TB cost center is the
+    refresh path the reference's full-reload (MY.ipynb:513-527) couldn't
+    pay. Measures, on the day-partitioned events rollup: full rebuild vs
+    one-changed-day incremental refresh (the headline ratio), plus
+    partition-granular upsert, key purge, and an SCD2 change-batch merge."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+        incremental_rollup,
+        scd2_merge,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        delete_keys_partitioned,
+        load_table,
+        upsert_parquet_partitioned,
+    )
+
+    out: dict = {}
+    work = tempfile.mkdtemp(prefix="maint_bench_")
+    try:
+        fact = load_table(spark, sf_dir, "events").withColumn(
+            "dt", F.date_format("ts", "yyyy-MM-dd")
+        )
+
+        def agg(df):
+            return df.groupBy("dt", "event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+            )
+
+        store = f"{work}/rollup"
+        t0 = time.perf_counter()
+        n_full = incremental_rollup(spark, fact, store, "dt", agg)
+        out["rollup_full_build_sec"] = round(time.perf_counter() - t0, 4)
+        out["n_partitions"] = n_full
+        hot_day = fact.agg(F.max("dt")).first()[0]
+        changed = fact.withColumn(
+            "value",
+            F.when(F.col("dt") == hot_day, F.col("value") * 2).otherwise(F.col("value")),
+        )
+        t0 = time.perf_counter()
+        n_inc = incremental_rollup(spark, changed, store, "dt", agg)
+        out["rollup_refresh_1day_sec"] = round(time.perf_counter() - t0, 4)
+        out["rollup_refresh_partitions_rewritten"] = n_inc
+        t0 = time.perf_counter()
+        incremental_rollup(spark, changed, f"{work}/rollup_rebuild", "dt", agg)
+        out["rollup_rebuild_from_scratch_sec"] = round(time.perf_counter() - t0, 4)
+
+        # partition-granular upsert + purge of one hot day
+        ev_store = f"{work}/events_by_day"
+        fact.write.partitionBy("dt").parquet(ev_store)
+        batch = fact.where(F.col("dt") == hot_day).withColumn(
+            "value", F.col("value") + 1
+        )
+        t0 = time.perf_counter()
+        upsert_parquet_partitioned(batch, ev_store, ["event_id"], "dt")
+        out["upsert_1day_sec"] = round(time.perf_counter() - t0, 4)
+        purge = fact.where(F.col("dt") == hot_day).select("event_id").limit(1000)
+        t0 = time.perf_counter()
+        delete_keys_partitioned(spark, ev_store, purge, ["event_id"], "dt")
+        out["delete_keys_1day_sec"] = round(time.perf_counter() - t0, 4)
+
+        # SCD2: customer dim, then a 1% change batch
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal", F.lit("2024-01-01").alias("eff_ts")
+        )
+        dim = f"{work}/dim_customer"
+        scd2_merge(spark, dim, cust, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
+        changes = (
+            cust.where(F.col("c_custkey") % 100 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 10)
+            .withColumn("eff_ts", F.lit("2024-02-01"))
+        )
+        t0 = time.perf_counter()
+        scd2_merge(spark, dim, changes, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
+        out["scd2_merge_1pct_sec"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -119,12 +209,27 @@ def main() -> None:
         # stall the next round's first queries
         spark._jvm.System.gc()
 
+    # streaming replays last (see STREAMING_HEADLINE note)
+    stream_names = [n for n in STREAMING_HEADLINE if n in QUERIES]
+    stream_samples: dict[str, list[float]] = {n: [] for n in stream_names}
+    for _ in range(iters):
+        for name in stream_names:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            stream_samples[name].append(time.perf_counter() - t0)
+        spark._jvm.System.gc()
+    samples.update(stream_samples)
+
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
 
     # one extra instrumented replay per streaming query: peak state-store
-    # rows + micro-batch count (wall time is already in the timed rows)
+    # rows + micro-batch count (wall time is already in the timed rows).
+    # transition_stream additionally runs a RATE-LIMITED ~10-batch replay
+    # (VERDICT r3 #7) so steady-state per-batch latency is recorded, not
+    # just the one-giant-batch availableNow cost.
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (  # noqa: E402
         read_events_stream,
+        replay_events_multibatch,
         run_stream_to_table,
         transition_stream,
         windowed_counts,
@@ -138,6 +243,16 @@ def main() -> None:
         streaming_state[name] = run_stream_to_table(
             build(read_events_stream(spark, sf_dir)), f"__state_probe_{name}", output_mode=mode
         )
+    mb = replay_events_multibatch(spark, sf_dir, transition_stream, n_batches=10)
+    inner = [b["trigger_ms"] for b in mb["batches"][1:-1]] or [0]
+    streaming_state["transition_stream_multibatch"] = {
+        "n_batches": mb["n_batches"],
+        "peak_state_rows": mb["peak_state_rows"],
+        "steady_batch_ms_median": statistics.median(inner),
+        "batch_trigger_ms": [b["trigger_ms"] for b in mb["batches"]],
+    }
+
+    maintenance = maintenance_bench(spark, sf_dir)
 
     print(
         json.dumps(
@@ -149,6 +264,7 @@ def main() -> None:
                 "sf": sf,
                 "iters": iters,
                 "streaming_state": streaming_state,
+                "maintenance": maintenance,
             }
         )
     )

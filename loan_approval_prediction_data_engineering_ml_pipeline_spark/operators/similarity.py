@@ -484,6 +484,35 @@ def build_pq_index(
         [(j, c, books[j][c]) for j in range(m) for c in range(k)],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    # a rebuild invalidates any memoized codebook for this path
+    for key in [key for key in _CODEBOOK_CACHE if key[1] == path]:
+        del _CODEBOOK_CACHE[key]
+
+
+# per-(session, path) memo of the collected codebook: the probe path is
+# the hot one, and the codebook is immutable per index — repeated probes
+# should pay zero parquet jobs for it (VERDICT r3 #8, same rationale as
+# loaders._HANDLE_CACHE)
+_CODEBOOK_CACHE: dict[tuple[str, str], tuple[int, int, int, list]] = {}
+
+
+def _load_codebook(spark, path: str) -> tuple[int, int, int, list]:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows = spark.read.parquet(path + "/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["centroid"])
+    cents = [None] * (m * k)
+    for r in rows:
+        cents[r["subspace"] * k + r["code"]] = list(r["centroid"])
+    for dead in [c for c in _CODEBOOK_CACHE if c[0] != app_id]:
+        del _CODEBOOK_CACHE[dead]
+    _CODEBOOK_CACHE[key] = (m, k, sub, cents)
+    return m, k, sub, cents
 
 
 def pq_query(
@@ -501,19 +530,18 @@ def pq_query(
     as a literal array, and score the encoded corpus with one
     whole-stage-codegen aggregate over the code array. No shuffle, no
     Python; top-k is TakeOrderedAndProject. Approximate score ≈ cosine
-    (corpus l2-normalized at build)."""
+    (corpus l2-normalized at build). The codebook is memoized per
+    (session, path), so repeated probes skip its parquet read."""
     import math
 
-    rows = spark.read.parquet(path + "/codebooks").collect()
-    m = 1 + max(r["subspace"] for r in rows)
-    k = 1 + max(r["code"] for r in rows)
-    sub = len(rows[0]["centroid"])
+    m, k, sub, cents = _load_codebook(spark, path)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
     table = [0.0] * (m * k)
-    for r in rows:
-        j, c, cent = r["subspace"], r["code"], r["centroid"]
-        table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
+    for j in range(m):
+        for c in range(k):
+            cent = cents[j * k + c]
+            table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
     tlit = F.array(*[F.lit(float(x)) for x in table])
     codes = spark.read.parquet(path + "/codes")
     if exclude_id is not None:

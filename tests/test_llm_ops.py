@@ -440,3 +440,25 @@ def test_pq_index_and_rerank_pipeline(spark, tmp_path):
 
     # the encoded corpus is m one-byte-range ints per vector
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+
+    # (e) VERDICT r3 #8: the codebook is memoized per (session, path) —
+    # a second probe must run NO parquet job against /codebooks (the
+    # probe path is the hot one). Assert by poisoning the reader.
+    from unittest import mock
+
+    real_parquet = type(spark.read).parquet
+
+    def guarded(reader, *paths):
+        assert not any(p.endswith("/codebooks") for p in paths), (
+            "second pq_query probe re-read the codebook parquet"
+        )
+        return real_parquet(reader, *paths)
+
+    with mock.patch.object(type(spark.read), "parquet", guarded):
+        again = S.pq_query(spark, idx, qv, 5, exclude_id=0).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in pq.collect()]
+
+    # a rebuild invalidates the memo: after build_pq_index the next probe
+    # re-reads the (new) codebook rather than serving stale centroids
+    S.build_pq_index(emb, idx, m=8, k=16, seed=42)
+    assert all(key[1] != idx for key in S._CODEBOOK_CACHE)

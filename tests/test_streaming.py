@@ -237,6 +237,51 @@ def test_transition_stream_matches_batch_transitions(spark):
     assert got == want
 
 
+def test_multibatch_replay_matches_batch_prefix(spark):
+    """VERDICT r3 #7: the rate-limited replay (time-range files, one per
+    micro-batch) must (a) actually run ~n micro-batches, and (b) still
+    emit exactly the batch chain over the ≤-final-watermark prefix —
+    repeated watermark advances flush incrementally, never drop or
+    duplicate."""
+    from datetime import timedelta
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.relational import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.events import (
+        replay_events_multibatch,
+        transition_stream,
+    )
+    from pyspark.sql import Window as W
+
+    metrics = replay_events_multibatch(
+        spark, SF, transition_stream, n_batches=8, table="mb_transitions"
+    )
+    # availableNow may add a final flush batch beyond the 8 data batches
+    assert metrics["n_batches"] >= 8, metrics
+    assert sum(b["input_rows"] for b in metrics["batches"]) == load_table(
+        spark, SF, "events"
+    ).count()
+    got = {
+        (r["prev_type"], r["next_type"], r["next_ts"])
+        for r in spark.table("mb_transitions").collect()
+    }
+    ev = load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    wm_final = ev.agg(F.max("ts").alias("m")).first()["m"] - timedelta(hours=2)
+    lagged = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    want = {
+        (r["prev_type"], r["event_type"], r["ts"])
+        for r in lagged.where(
+            F.col("prev_type").isNotNull() & (F.col("ts") <= F.lit(wm_final))
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_transition_stream_cross_batch_event_time_order(spark, tmp_path):
     """ADVICE r2: a user's events split across micro-batches OUT of
     event-time order (but inside the watermark) must chain in event-time
