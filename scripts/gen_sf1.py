@@ -1,0 +1,162 @@
+"""Generate an sf1 dataset (10x sf0.1) for the scale-validation pass
+(VERDICT r3 #3) at /root/repo/.testdata/sf1 (gitignored — ~170 MB,
+regenerate on demand).
+
+The driver fixtures are read-only and stop at sf0.1, so sf1 is a
+deterministic 10x upsample of sf0.1 that preserves the star schema's FK
+structure: copy c (0..9) offsets every key space by c * (max_key + 1),
+so orders copy c reference customer copy c, lineitem copy c references
+orders/part/supplier copy c, etc. Measure-values get small
+deterministic (xxhash64-derived) jitter so the copies are not exact
+duplicates — distinct counts, dedup pair structure, and aggregate
+values all scale instead of collapsing onto the originals. Document
+text gains a per-copy token (copies become NEAR-duplicates — the
+worst-case load for the LSH/MinHash family); embeddings get per-element
+jitter (copies are near-neighbors — the worst-case load for ANN).
+
+Everything is expression-level (no UDFs); generation is one map-only
+job per copy per table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".testdata", "sf1")
+N_COPIES = 10
+
+
+def _jitter(*cols, scale: float) -> F.Column:
+    """Deterministic jitter in (-scale/2, +scale/2)."""
+    return (F.pmod(F.xxhash64(*cols), F.lit(10000)) / 10000.0 - 0.5) * scale
+
+
+def _upsample(df: DataFrame, transform) -> DataFrame:
+    out = None
+    for c in range(N_COPIES):
+        part = transform(df, c)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def main() -> None:
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+    spark = get_spark(app_name="gen_sf1")
+    t = {n: spark.read.parquet(f"{SRC}/{n}.parquet") for n in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ]}
+    # events has shipped as TIMESTAMP(NANOS) in some driver rounds — go
+    # through load_table, which probes and normalizes (ts -> timestamp_ntz)
+    t["events"] = load_table(spark, SRC, "events")
+    offs = {
+        "cust": t["customer"].agg(F.max("c_custkey")).first()[0] + 1,
+        "supp": t["supplier"].agg(F.max("s_suppkey")).first()[0] + 1,
+        "part": t["part"].agg(F.max("p_partkey")).first()[0] + 1,
+        "ord": t["orders"].agg(F.max("o_orderkey")).first()[0] + 1,
+        "ev": t["events"].agg(F.max("event_id")).first()[0] + 1,
+        "user": t["events"].agg(F.max("user_id")).first()[0] + 1,
+        "doc": t["documents"].agg(F.max("doc_id")).first()[0] + 1,
+        "vec": t["embeddings"].agg(F.max("vec_id")).first()[0] + 1,
+    }
+
+    def customer(df, c):
+        return df.select(
+            (F.col("c_custkey") + c * offs["cust"]).alias("c_custkey"),
+            "c_name", "c_nationkey",
+            F.round(F.col("c_acctbal") + _jitter(F.col("c_custkey"), F.lit(c), scale=10.0 * min(c, 1)), 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+
+    def supplier(df, c):
+        return df.select(
+            (F.col("s_suppkey") + c * offs["supp"]).alias("s_suppkey"),
+            "s_name", "s_nationkey",
+            F.round(F.col("s_acctbal") + _jitter(F.col("s_suppkey"), F.lit(c), scale=10.0 * min(c, 1)), 2).alias("s_acctbal"),
+        )
+
+    def part(df, c):
+        return df.select(
+            (F.col("p_partkey") + c * offs["part"]).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size",
+            F.round(F.col("p_retailprice") + _jitter(F.col("p_partkey"), F.lit(c), scale=5.0 * min(c, 1)), 2).alias("p_retailprice"),
+        )
+
+    def orders(df, c):
+        return df.select(
+            (F.col("o_orderkey") + c * offs["ord"]).alias("o_orderkey"),
+            (F.col("o_custkey") + c * offs["cust"]).alias("o_custkey"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") + _jitter(F.col("o_orderkey"), F.lit(c), scale=50.0 * min(c, 1)), 2).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+
+    def lineitem(df, c):
+        return df.select(
+            (F.col("l_orderkey") + c * offs["ord"]).alias("l_orderkey"),
+            (F.col("l_partkey") + c * offs["part"]).alias("l_partkey"),
+            (F.col("l_suppkey") + c * offs["supp"]).alias("l_suppkey"),
+            "l_linenumber", "l_quantity",
+            F.round(F.col("l_extendedprice") + _jitter(F.col("l_orderkey"), F.col("l_linenumber"), F.lit(c), scale=20.0 * min(c, 1)), 2).alias("l_extendedprice"),
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+
+    def events(df, c):
+        return df.select(
+            (F.col("event_id") + c * offs["ev"]).alias("event_id"),
+            (F.col("ts") + F.make_interval(secs=F.lit(float(c)))).alias("ts"),
+            (F.col("user_id") + c * offs["user"]).alias("user_id"),
+            "event_type",
+            F.round(F.col("value") + _jitter(F.col("event_id"), F.lit(c), scale=2.0 * min(c, 1)), 4).alias("value"),
+            "props",
+        )
+
+    def documents(df, c):
+        text = F.col("text") if c == 0 else F.concat(F.col("text"), F.lit(f" copytoken{c}"))
+        return df.select(
+            (F.col("doc_id") + c * offs["doc"]).alias("doc_id"),
+            text.alias("text"),
+            "lang", "source",
+            F.length(text).cast("long").alias("n_chars"),
+        )
+
+    def embeddings(df, c):
+        emb = F.col("embedding") if c == 0 else F.transform(
+            "embedding",
+            lambda x, i: (
+                x + (F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(c)), F.lit(1000)) / 1000.0 - 0.5) * 0.02
+            ).cast("float"),
+        )
+        return df.select(
+            (F.col("vec_id") + c * offs["vec"]).alias("vec_id"),
+            emb.alias("embedding"),
+            "label",
+        )
+
+    os.makedirs(DEST, exist_ok=True)
+    # dims stay as-is: region/nation cardinality is fixed in TPC-H too
+    t["region"].write.mode("overwrite").parquet(f"{DEST}/region.parquet")
+    t["nation"].write.mode("overwrite").parquet(f"{DEST}/nation.parquet")
+    for name, fn in [
+        ("customer", customer), ("supplier", supplier), ("part", part),
+        ("orders", orders), ("lineitem", lineitem), ("events", events),
+        ("documents", documents), ("embeddings", embeddings),
+    ]:
+        _upsample(t[name], fn).write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
+        print(f"wrote {name}")
+    for n in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        print(n, spark.read.parquet(f"{DEST}/{n}.parquet").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
