@@ -52,14 +52,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props string",
         ]
     )
-    # The streaming file source requires a *directory*; the fixture is a
-    # single file, so stream the directory with a glob pinned to it.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # The streaming file source requires a *directory*. The driver
+    # fixture ships events.parquet as a single FILE (stream the parent
+    # dir with a glob pinned to that name), but Spark-written datasets
+    # are a DIRECTORY of part files (stream it directly — a name glob
+    # would match nothing and silently replay an EMPTY stream, the bug
+    # the sf1 scale pass caught in r4).
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).format("parquet").load(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if ts_is_long:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream

@@ -26,9 +26,16 @@ TABLES = [
 
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written datasets (the
+        # sf1 upsample) are directories of part files — glob those
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con.sql(sql).df()
 
 

@@ -197,3 +197,52 @@ def test_funnel_windows_share_one_fact_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert "SortMergeJoin" not in plan  # no self-join formulation
+
+
+# ---------------------------------------------------------------------------
+# sf1 scale-pass plan assertions (VERDICT r3 #3): the same physical
+# strategies must hold at 10x the bench scale — broadcast dims don't
+# flip to SMJ, pushdown/pruning survive the directory-table layout.
+# The sf1 dataset is regenerable (scripts/gen_sf1.py) and gitignored, so
+# these skip when absent rather than fail.
+# ---------------------------------------------------------------------------
+
+SF1 = "/root/repo/.testdata/sf1"
+
+
+def _sf1_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1), reason="sf1 dataset not generated"
+)
+def test_sf1_star_join_still_broadcasts(spark):
+    import re
+
+    plan = _sf1_plan(spark, "star_join_agg")
+    # customer (150k rows, ~3MB) stays under the 64MB broadcast
+    # threshold at sf1 — no AQE demotion to SortMergeJoin
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1), reason="sf1 dataset not generated"
+)
+def test_sf1_filters_still_push_to_parquet(spark):
+    plan = _sf1_plan(spark, "derived_arithmetic")
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>" in plan
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1), reason="sf1 dataset not generated"
+)
+def test_sf1_topk_avoids_global_sort(spark):
+    plan = _sf1_plan(spark, "top_k_acctbal")
+    assert "TakeOrderedAndProject" in plan
