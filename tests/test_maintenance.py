@@ -153,3 +153,54 @@ def test_incremental_rollup_raises_on_corrupt_manifest(spark, tmp_path):
             f.write(b"garbage")
     with pytest.raises(Exception):
         incremental_rollup(spark, fact, store, "dt", _agg)
+
+
+def test_zorder_write_narrows_rowgroup_stats_on_both_dims(spark, tmp_path):
+    """Z-order layout: parquet min/max footers must be narrow on BOTH
+    clustered columns at once (a lexicographic sort narrows only its
+    leading column; an unclustered write narrows neither), and content
+    must be byte-for-byte the same rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+        zorder_write,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zorder")
+    ev.repartition(8).write.parquet(naive)
+    zorder_write(ev, zord, ["user_id", "value"], n_files=8)
+
+    def mean_widths(path):
+        widths = {"user_id": [], "value": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for i in range(row.num_columns):
+                    col = row.column(i)
+                    name = col.path_in_schema
+                    if name in widths and col.statistics is not None:
+                        st = col.statistics
+                        widths[name].append(float(st.max) - float(st.min))
+        return {k: sum(v) / len(v) for k, v in widths.items()}
+
+    nw, zw = mean_widths(naive), mean_widths(zord)
+    # shuffled layout: every row group spans ~the full domain of both
+    # columns; z-order must shrink the mean span on BOTH simultaneously
+    assert zw["user_id"] < 0.6 * nw["user_id"], (zw, nw)
+    assert zw["value"] < 0.6 * nw["value"], (zw, nw)
+
+    back = spark.read.parquet(zord)
+    assert back.count() == ev.count()
+
+    def content_hash(df):
+        # decimal sum: ANSI mode overflow-checks sum(long)
+        return df.agg(
+            F.sum(F.xxhash64("event_id", "user_id", "value").cast("decimal(20,0)"))
+        ).first()[0]
+
+    assert content_hash(back) == content_hash(ev)

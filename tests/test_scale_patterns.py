@@ -423,3 +423,52 @@ def test_jdbc_mysql_dialect_quirks_on_derby(spark, tmp_path):
         )
     survived = read_jdbc(spark, url, "loan_status", properties=props).load()
     assert survived.count() == 3  # store untouched by the failed merge
+
+
+def test_adaptive_range_join_dense_vs_sparse_bucket_choice(spark):
+    """range_join_subbuckets reads density from a two-int histogram:
+    sparse data keeps the zero-overhead k=1 plan; a dense burst (many
+    events per key inside one gap window — the regime that went 16x
+    superlinear at sf1 with the fixed gap-wide bucket) splits the
+    bucket, and the split plan returns the IDENTICAL pair set."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.analytics import (
+        adaptive_range_join,
+        range_join_subbuckets,
+    )
+
+    gap = 1000
+    # sparse: one event per key per far-apart bucket
+    sparse_l = spark.range(50).select(
+        F.col("id").alias("lid"), (F.col("id") % 5).alias("lk"), (F.col("id") * 100_000).alias("lt")
+    )
+    sparse_r = spark.range(50).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("rk"), (F.col("id") * 100_000 + 7).alias("rt")
+    )
+    assert range_join_subbuckets(sparse_l, sparse_r, "lk", "rk", "lt", "rt", gap) == 1
+
+    # dense: 400 left + 400 right rows on ONE key packed into ~4 gap windows
+    dense_l = spark.range(400).select(
+        F.col("id").alias("lid"), F.lit(0).alias("lk"), (F.col("id") * 10).alias("lt")
+    )
+    dense_r = spark.range(400).select(
+        F.col("id").alias("rid"), F.lit(0).alias("rk"), (F.col("id") * 10 + 3).alias("rt")
+    )
+    k = range_join_subbuckets(dense_l, dense_r, "lk", "rk", "lt", "rt", gap)
+    assert k > 1
+
+    def pairs(kk):
+        rows = adaptive_range_join(
+            dense_l, dense_r, "lk", "rk", "lt", "rt", gap, k=kk
+        ).select("lid", "rid").collect()
+        return sorted((r.lid, r.rid) for r in rows)
+
+    got = pairs(k)
+    assert got == pairs(1)
+    # ground truth: |lt - rt| <= gap
+    expect = sorted(
+        (li, ri)
+        for li in range(400)
+        for ri in range(400)
+        if abs(li * 10 - (ri * 10 + 3)) <= gap
+    )
+    assert got == expect
