@@ -165,6 +165,52 @@ def maintenance_bench(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         scd2_merge(spark, dim, changes, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
         out["scd2_merge_1pct_sec"] = round(time.perf_counter() - t0, 4)
+
+        # z-order layout: write cost + the payoff (a conjunctive range
+        # filter on BOTH clustered dims — row-group stats skip most of
+        # the z-ordered file, none of the shuffled one)
+        from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+            zorder_write,
+        )
+
+        base = fact.select("event_id", "user_id", "value")
+        shuf, zord = f"{work}/ev_shuffled", f"{work}/ev_zorder"
+        base.repartition(32).write.parquet(shuf)
+        t0 = time.perf_counter()
+        zorder_write(base, zord, ["user_id", "value"], n_files=32)
+        out["zorder_write_sec"] = round(time.perf_counter() - t0, 4)
+        (lo_u,), (lo_v,) = base.stat.approxQuantile(
+            ["user_id", "value"], [0.05], 0.001
+        )
+
+        # deterministic payoff metric: fraction of row groups whose
+        # min/max stats EXCLUDE the predicate (what the reader skips).
+        # At sf0.1 file scans are ~30k rows so wall time is all job
+        # overhead; the prune ratio is the number that holds at 100 TB.
+        def prunable_pct(path):
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            total = pruned = 0
+            for f in _glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    total += 1
+                    st_u = md.row_group(rg).column(idx["user_id"]).statistics
+                    st_v = md.row_group(rg).column(idx["value"]).statistics
+                    if (st_u and float(st_u.min) > lo_u) or (
+                        st_v and float(st_v.min) > lo_v
+                    ):
+                        pruned += 1
+            return round(100.0 * pruned / max(1, total), 1)
+
+        out["rowgroups_prunable_shuffled_pct"] = prunable_pct(shuf)
+        out["rowgroups_prunable_zorder_pct"] = prunable_pct(zord)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
