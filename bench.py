@@ -72,6 +72,7 @@ HEADLINE = [
     "bigram_lm_outliers",
     "grouped_stats_approx",
     "ann_pq",  # PQ shortlist + exact rerank (build amortized at first run)
+    "semantic_dedup",  # SemDeDup: deterministic k-means + in-cluster GEMM pairs
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

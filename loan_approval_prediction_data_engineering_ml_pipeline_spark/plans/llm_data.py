@@ -1585,3 +1585,111 @@ def bigram_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logprob", "doc_id")
         .limit(20)
     )
+
+
+def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Shared SQL prefix re-deriving the deterministic Lloyd's k-means of
+    ``operators.clustering.lloyd_kmeans`` (first-k-by-id init, argmin
+    ties to smallest cell, centroids rounded to 6 dp per round) — the
+    oracle for an ITERATIVE algorithm, generated per iteration the same
+    way the minhash oracles share their hash definition."""
+    lines = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent"
+        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        lines.append(
+            f"a{i} AS (SELECT e.vec_id, (SELECT c.cell FROM {prev} c"
+            " ORDER BY list_distance(e.v, c.cent), c.cell LIMIT 1) AS cell FROM e)"
+        )
+        lines.append(
+            f"c{i} AS (SELECT cell, list(m ORDER BY pos) AS cent FROM ("
+            f"SELECT a.cell, r.pos, round(avg(e.v[r.pos]), 6) AS m"
+            f" FROM a{i} a JOIN e USING (vec_id), UNNEST(range(1, {dim + 1})) AS r(pos)"
+            " GROUP BY a.cell, r.pos) GROUP BY cell)"
+        )
+        prev = f"c{i}"
+    return "WITH " + ",\n".join(lines)
+
+
+@query(
+    "kmeans_embed_clusters",
+    tier="local",
+    oracle=_kmeans_cte()
+    + """
+    SELECT c.cell, n.n, r.pos, c.cent[r.pos] AS centroid_val
+    FROM c3 c
+    JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a3 GROUP BY cell) n
+      ON c.cell = n.cell,
+    UNNEST(range(1, 65)) AS r(pos)
+    ORDER BY c.cell, r.pos
+    """,
+    description="Distributed k-means over the embedding column "
+    "(deterministic Lloyd's: first-k init, 3 rounds, 6-dp-quantized "
+    "centroids) — assignment is one Arrow map-only pass per round, the "
+    "mean update a partial-aggregated (cell,pos,val) shuffle. The full "
+    "ITERATIVE algorithm is DuckDB-re-derived per round (chained CTEs), "
+    "not just the final aggregate",
+)
+def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = lloyd_kmeans(emb, k=8, iters=3)
+    counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    rows = [
+        (cell, pos + 1, float(val))
+        for cell, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    cdf = spark.createDataFrame(rows, "cell long, pos long, centroid_val double")
+    return (
+        cdf.join(F.broadcast(counts), "cell")
+        .select("cell", "n", "pos", "centroid_val")
+        .orderBy("cell", "pos")
+    )
+
+
+@query(
+    "semantic_dedup",
+    tier="local",
+    oracle=_kmeans_cte()
+    + """,
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round(list_cosine_similarity(ex.v, ey.v), 6) AS cosine
+      FROM a3 x
+      JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.4
+    )
+    SELECT id_b AS vec_id, min(id_a) AS dup_of, arg_min(cosine, id_a) AS cosine
+    FROM p GROUP BY id_b ORDER BY vec_id
+    """,
+    description="SemDeDup (Abbas et al. 2023): k-means-cluster the "
+    "corpus in embedding space, then drop every vector with a "
+    "lower-id cosine>=0.4 neighbor IN ITS CLUSTER — pair generation is "
+    "O(sum cluster_size^2), never all-pairs; the within-cluster pairs "
+    "run on the tiled BLAS Gram path (cosine_pairs_gemm with "
+    "block_col=cell). Output: removed vec, its keeper, their cosine",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = lloyd_kmeans(emb, k=8, iters=3)
+    pairs = S.cosine_pairs_gemm(
+        emb.join(assign, "vec_id"), threshold=0.4, block_col="cell", n_chunks=None
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.expr("min_by(cosine, id_a)").alias("cosine"),
+        )
+        .withColumnRenamed("id_b", "vec_id")
+        .orderBy("vec_id")
+    )
