@@ -102,3 +102,46 @@ def pack_documents(
         start.alias("start_offset"),
         F.floor(start / F.lit(budget)).cast("long").alias("bin"),
     )
+
+
+def shard_key(col: "F.Column", n_shards: int, *, salt: str = "shard") -> "F.Column":
+    """Deterministic shard id from an id column: md5(salt || id) first 8
+    hex chars as an int, mod n_shards. A pure row function — stable
+    across runs, retries, partitionings — and computable identically in
+    ANSI SQL (the mixture_sample/stratified_sample hash recipe)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias("shard")
+
+
+def shuffle_order_key(col: "F.Column", *, salt: str = "order") -> "F.Column":
+    """Deterministic within-shard shuffle order: the full md5 hex of
+    (salt || id), compared lexicographically. Reading a shard in this
+    order IS the global random shuffle a trainer wants — no stateful
+    shuffler, reproducible across reruns."""
+    return F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary")).alias("__ord")
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Final step of a training-data pipeline: write the corpus as
+    ``n_shards`` pseudo-randomly shuffled shards
+    (``<path>/shard=K/``). Shard membership and within-shard order are
+    pure hash functions of the id — the "global shuffle" costs one
+    hash-partition exchange plus a per-partition sort, never a global
+    sort, and a re-run (or a retried task) reproduces byte-identical
+    shards. Trainers stream shards independently; epoch reshuffles come
+    from changing the salt, not rewriting data."""
+    out = (
+        df.withColumn("shard", shard_key(F.col(id_col), n_shards))
+        .withColumn("__ord", shuffle_order_key(F.col(id_col)))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)

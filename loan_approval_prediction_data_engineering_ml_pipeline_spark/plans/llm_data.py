@@ -1693,3 +1693,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id_b", "vec_id")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "training_shard_stats",
+    tier="local",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_toks,
+             md5('order' || CAST(doc_id AS VARCHAR)) AS h,
+             CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 8 AS shard
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           arg_min(doc_id, h) AS first_doc,
+           arg_max(doc_id, h) AS last_doc
+    FROM d GROUP BY shard ORDER BY shard
+    """,
+    description="Training-shard export plan (read-only twin of "
+    "operators.chunking.export_training_shards): md5-salted shard "
+    "membership + within-shard pseudo-random order, both pure row "
+    "functions — the global training shuffle as one hash exchange + "
+    "per-partition sort, reproducible across reruns/retries. Stats per "
+    "shard: doc count, token mass, first/last doc in shuffle order",
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import shard_key, shuffle_order_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_toks"),
+        shard_key(F.col("doc_id"), 8),
+        shuffle_order_key(F.col("doc_id")),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.expr("min_by(doc_id, __ord)").alias("first_doc"),
+            F.expr("max_by(doc_id, __ord)").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
