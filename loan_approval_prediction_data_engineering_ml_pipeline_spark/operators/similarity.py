@@ -724,3 +724,43 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_upsert(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF maintenance: fold a batch of new/updated vectors
+    into an EXISTING index without re-clustering — assign each vector to
+    its nearest persisted centroid (same deterministic argmin the probe
+    side ranks with), then partition-granular REPLACE INTO the touched
+    cell partitions. Cold cells keep byte-identical files; probes see
+    the new vectors immediately (no rebuild, no staleness window).
+
+    This is the daily-ingest shape at 100 TB: a rebuild re-scans the
+    corpus and re-fits KMeans; an upsert costs one map-only assignment
+    over the batch plus O(touched cells) rewrite. Centroids drift as the
+    corpus grows — schedule full ``build_ivf_index`` refits on drift
+    (e.g. when mean assigned distance degrades), like any IVF system.
+
+    Same constraint as ``upsert_parquet_partitioned``: a re-ingested id
+    whose NEW embedding assigns to a different cell would leave its old
+    version in the old cell — delete the ids first if embeddings mutate.
+
+    Returns the number of cell partitions touched."""
+    from ..sources.loaders import upsert_parquet_partitioned
+    from .clustering import assign_cells
+
+    centers = spark.read.parquet(path + "/centroids").collect()
+    cents = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers]
+    vecs = new_vecs.select(F.col(id_col), V.as_double(vec_col).alias("arr"))
+    assigned = vecs.join(
+        assign_cells(new_vecs, cents, id_col=id_col, vec_col=vec_col), id_col
+    ).withColumn("cell", F.col("cell").cast("int"))
+    n_cells = assigned.select("cell").distinct().count()
+    upsert_parquet_partitioned(assigned, path + "/cells", [id_col], "cell")
+    return n_cells

@@ -495,3 +495,49 @@ def test_export_training_shards_deterministic_and_complete(spark, tmp_path):
     back = spark.read.parquet(p1)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_ivf_upsert_incremental_index_maintenance(spark, tmp_path):
+    """ivf_upsert folds new vectors into a built index: nearest-centroid
+    assignment (no refit), REPLACE INTO only the touched cell
+    partitions — cold cells byte-identical, probes see the new vector
+    immediately, and re-upserting an existing id replaces instead of
+    duplicating."""
+    import glob
+    import hashlib
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_lists=8)
+
+    def cell_digests():
+        out = {}
+        for f in glob.glob(f"{idx}/cells/cell=*/*.parquet"):
+            cell = os.path.basename(os.path.dirname(f))
+            out.setdefault(cell, []).append(
+                hashlib.md5(open(f, "rb").read()).hexdigest()
+            )
+        return {c: sorted(v) for c, v in out.items()}
+
+    before = cell_digests()
+    n_before = spark.read.parquet(idx + "/cells").count()
+
+    # new vector = clone of vec 7 with a fresh id: lands in 7's cell,
+    # and a probe AT vec 7 must now return it with cosine ~1
+    probe_vec = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    new = spark.createDataFrame([(90001, probe_vec)], "vec_id long, embedding array<double>")
+    touched = S.ivf_upsert(spark, idx, new)
+    assert touched == 1
+
+    after = cell_digests()
+    changed = {c for c in before if before[c] != after.get(c)}
+    assert len(changed) == 1  # exactly one cell rewritten, rest untouched
+    assert spark.read.parquet(idx + "/cells").count() == n_before + 1
+
+    hits = S.ivf_query(spark, idx, probe_vec, k=3, exclude_id=7).collect()
+    assert hits[0]["vec_id"] == 90001 and hits[0]["cosine"] >= 0.999999
+
+    # replace semantics: same id again -> no duplicate row
+    S.ivf_upsert(spark, idx, new)
+    assert spark.read.parquet(idx + "/cells").count() == n_before + 1
