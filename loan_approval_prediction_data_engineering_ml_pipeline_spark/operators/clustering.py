@@ -79,6 +79,8 @@ def lloyd_kmeans(
     dropped (not reseeded) — mirrored by the SQL oracle. Returns the
     final assignment DataFrame (id, cell) and the final centroid list.
     """
+    if iters < 1:
+        raise ValueError("lloyd_kmeans needs iters >= 1 (assignment comes from the last round)")
     init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
     assign = None

@@ -1740,3 +1740,53 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _phrase_cte(m: int = 6) -> str:
+    """Chained-CTE oracle for the word2phrase merge loop
+    (operators.phrases.learn_phrase_merges): per round, pair counts via
+    index UNNEST, argmax with (n DESC, w1, w2) tie-break, then a literal
+    replace of the winning pair — SQL replace is left-to-right
+    non-overlapping, the same greedy merge Spark's ``replace`` applies."""
+    lines = ["d0 AS (SELECT ' ' || trim(text) || ' ' AS w FROM documents)"]
+    for i in range(1, m + 1):
+        lines.append(
+            f"p{i} AS (SELECT t[r.i] AS w1, t[r.i+1] AS w2, CAST(count(*) AS BIGINT) AS n"
+            f" FROM (SELECT string_split(trim(w), ' ') AS t FROM d{i-1}),"
+            " UNNEST(range(1, len(t))) AS r(i) GROUP BY 1, 2)"
+        )
+        lines.append(
+            f"m{i} AS (SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1)"
+        )
+        lines.append(
+            f"d{i} AS (SELECT replace(w,"
+            f" ' ' || (SELECT w1 FROM m{i}) || ' ' || (SELECT w2 FROM m{i}) || ' ',"
+            f" ' ' || (SELECT w1 FROM m{i}) || '@@' || (SELECT w2 FROM m{i}) || ' ') AS w"
+            f" FROM d{i-1})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, w1, w2, n FROM m{i}" for i in range(1, m + 1)
+    )
+    return "WITH " + ",\n".join(lines) + f"\nSELECT * FROM ({final}) ORDER BY rank"
+
+
+@query(
+    "phrase_merges",
+    tier="local",
+    oracle=_phrase_cte(),
+    description="Iterative phrase-vocabulary learning (word2phrase / "
+    "BPE-style merge loop): 6 rounds of corpus-wide adjacent-pair "
+    "argmax + greedy left-to-right merge; later rounds merge merged "
+    "tokens into longer phrases. Pair counting is map-only index "
+    "transform + one partial-agg shuffle per round (no window, no "
+    "self-join); the whole ITERATIVE loop is DuckDB-re-derived via "
+    "chained CTEs (replace semantics match exactly)",
+)
+def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phrases import learn_phrase_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_phrase_merges(docs, m=6)
+    return spark.createDataFrame(merges, "rank long, w1 string, w2 string, n long").orderBy(
+        "rank"
+    )
