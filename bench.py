@@ -196,6 +196,8 @@ def maintenance_bench(spark, sf_dir: str) -> dict:
             total = pruned = 0
             for f in _glob.glob(f"{path}/*.parquet"):
                 md = pq.ParquetFile(f).metadata
+                if md.num_row_groups == 0:
+                    continue
                 idx = {
                     md.row_group(0).column(i).path_in_schema: i
                     for i in range(md.row_group(0).num_columns)
