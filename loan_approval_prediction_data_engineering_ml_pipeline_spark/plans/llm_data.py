@@ -1748,7 +1748,10 @@ def _phrase_cte(m: int = 6) -> str:
     index UNNEST, argmax with (n DESC, w1, w2) tie-break, then a literal
     replace of the winning pair — SQL replace is left-to-right
     non-overlapping, the same greedy merge Spark's ``replace`` applies."""
-    lines = ["d0 AS (SELECT ' ' || trim(text) || ' ' AS w FROM documents)"]
+    # MATERIALIZED: each d{i} is referenced twice (pair counts + next
+    # round); DuckDB would otherwise inline and RECOMPUTE the chain per
+    # reference — 2^m corpus scans (observed OOM at sf1)
+    lines = ["d0 AS MATERIALIZED (SELECT ' ' || trim(text) || ' ' AS w FROM documents)"]
     for i in range(1, m + 1):
         lines.append(
             f"p{i} AS (SELECT t[r.i] AS w1, t[r.i+1] AS w2, CAST(count(*) AS BIGINT) AS n"
@@ -1756,10 +1759,10 @@ def _phrase_cte(m: int = 6) -> str:
             " UNNEST(range(1, len(t))) AS r(i) GROUP BY 1, 2)"
         )
         lines.append(
-            f"m{i} AS (SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1)"
+            f"m{i} AS MATERIALIZED (SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1)"
         )
         lines.append(
-            f"d{i} AS (SELECT replace(w,"
+            f"d{i} AS MATERIALIZED (SELECT replace(w,"
             f" ' ' || (SELECT w1 FROM m{i}) || ' ' || (SELECT w2 FROM m{i}) || ' ',"
             f" ' ' || (SELECT w1 FROM m{i}) || '@@' || (SELECT w2 FROM m{i}) || ' ') AS w"
             f" FROM d{i-1})"
