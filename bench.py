@@ -258,6 +258,11 @@ def main() -> None:
         # stall the next round's first queries
         spark._jvm.System.gc()
 
+    # maintenance timings BEFORE any streaming replay — a finished
+    # replay's state-store threads/sink heap tax subsequent timings
+    # ~40% (the same reason STREAMING_HEADLINE runs last)
+    maintenance = maintenance_bench(spark, sf_dir)
+
     # streaming replays last (see STREAMING_HEADLINE note)
     stream_names = [n for n in STREAMING_HEADLINE if n in QUERIES]
     stream_samples: dict[str, list[float]] = {n: [] for n in stream_names}
@@ -300,8 +305,6 @@ def main() -> None:
         "steady_batch_ms_median": statistics.median(inner),
         "batch_trigger_ms": [b["trigger_ms"] for b in mb["batches"]],
     }
-
-    maintenance = maintenance_bench(spark, sf_dir)
 
     print(
         json.dumps(

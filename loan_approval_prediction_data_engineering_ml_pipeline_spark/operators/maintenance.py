@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.loaders import (
     _delete_path,
     _path_exists,
+    _rename_path,
     _stage_and_dynamic_overwrite,
     escape_hive_path_name,
 )
@@ -128,8 +129,17 @@ def incremental_rollup(
             else f"{escape_hive_path_name(partition_col)}={escape_hive_path_name(str(v))}"
         )
         _delete_path(spark, store_path.rstrip("/") + "/" + part_dir)
-    # manifest last: a refresh that dies before this point simply re-runs
-    fp.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    # manifest last, via staging + rename: a refresh that dies before
+    # this point simply re-runs; a mode=overwrite directly on
+    # manifest_path could die mid-write and leave a PARTIAL manifest
+    # that _path_exists sees but spark.read cannot parse — bricking
+    # every later refresh. With the swap, a crash leaves either the old
+    # manifest (stale: refresh re-runs) or none (full rebuild: the
+    # manifest is derivable data) — never a corrupt one.
+    staged_manifest = manifest_path + "__staging"
+    fp.coalesce(1).write.mode("overwrite").parquet(staged_manifest)
+    _delete_path(spark, manifest_path)
+    _rename_path(spark, staged_manifest, manifest_path)
     return len(changed)
 
 
@@ -246,12 +256,22 @@ def interleave_bits(bin_cols: list["F.Column"], bits: int = 8) -> "F.Column":
     first (what :func:`zorder_write` does)."""
     import functools
 
+    if bits * len(bin_cols) > 63:
+        raise ValueError(
+            f"interleaved key needs {bits * len(bin_cols)} bits; 63 is the"
+            " long limit — lower bits or cluster fewer columns"
+        )
     parts = []
     for bit in range(bits):
         for j, b in enumerate(bin_cols):
+            # long domain: with >=4 columns the target bit position
+            # passes 31, where int shiftleft hits the sign bit (and JVM
+            # shifts mask mod 32 beyond it) — the key would stop being a
+            # bijective interleave
             parts.append(
                 F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(bin_cols) + j
+                    F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(bin_cols) + j,
                 )
             )
     return functools.reduce(lambda a, b: a.bitwiseOR(b), parts)

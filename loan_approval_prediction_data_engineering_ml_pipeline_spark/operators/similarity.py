@@ -758,9 +758,14 @@ def ivf_upsert(
     centers = spark.read.parquet(path + "/centroids").collect()
     cents = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers]
     vecs = new_vecs.select(F.col(id_col), V.as_double(vec_col).alias("arr"))
-    assigned = vecs.join(
-        assign_cells(new_vecs, cents, id_col=id_col, vec_col=vec_col), id_col
-    ).withColumn("cell", F.col("cell").cast("int"))
+    assigned = (
+        vecs.join(assign_cells(new_vecs, cents, id_col=id_col, vec_col=vec_col), id_col)
+        .withColumn("cell", F.col("cell").cast("int"))
+        # evaluated 3x otherwise (this count, the upsert's touched-
+        # partition collect, the staged write) — cut the lineage so the
+        # Arrow assignment pass over the batch runs once
+        .localCheckpoint(eager=True)
+    )
     n_cells = assigned.select("cell").distinct().count()
     upsert_parquet_partitioned(assigned, path + "/cells", [id_col], "cell")
     return n_cells

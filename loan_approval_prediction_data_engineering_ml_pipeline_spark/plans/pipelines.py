@@ -38,12 +38,21 @@ _LOAN_FIXTURE_DIR = os.environ.get(
 )
 _LOAN_JOINED = os.path.join(_LOAN_FIXTURE_DIR, "loan_joined")
 
-# pipeline column lists (mirrors ml.pipeline.build_preprocessor defaults)
-_PP_NUMERIC = [
-    "ApplicantIncome", "CoapplicantIncome", "LoanAmount",
-    "Loan_Amount_Term", "Credit_History", "Dependents_num", "Total_Income",
-]
-_PP_CATEGORICAL = ["Gender", "Married", "Education", "Self_Employed", "Property_Area"]
+# pipeline column lists — DERIVED the same way build_preprocessor
+# derives its defaults (ml/pipeline.py), not re-hardcoded:
+# ml_preprocess_fit_stats maps scaler means/stds to columns BY POSITION,
+# so a drifted copy would mis-attribute stats and surface only as an
+# opaque oracle hash mismatch
+from ..ml.pipeline import DERIVED_NUMERIC as _DERIVED_NUMERIC  # noqa: E402
+from ..sources.schemas import (  # noqa: E402
+    LOAN_CATEGORICAL_COLS as _LOAN_CAT,
+    LOAN_NUMERIC_COLS as _LOAN_NUM,
+)
+
+_PP_NUMERIC = (
+    [c for c in _LOAN_NUM if c != "Dependents"] + ["Dependents_num"] + _DERIVED_NUMERIC
+)
+_PP_CATEGORICAL = [c for c in _LOAN_CAT if c != "Dependents"]
 _PP_NULL_AUDIT = _PP_NUMERIC + _PP_CATEGORICAL + ["Dependents"]
 
 _loan_fixture_fresh = False

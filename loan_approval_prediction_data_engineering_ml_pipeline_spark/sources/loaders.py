@@ -30,6 +30,18 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(jpath, True)
 
 
+def _rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Hadoop FS rename — the commit step of write-to-staging-then-swap.
+    On local/HDFS rename is a metadata operation, so the window where
+    neither path exists is as small as the filesystem allows (a crash
+    there leaves only the derivable artifact missing, never a partial
+    one)."""
+    jsrc = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(jsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
     """Explicit Hadoop FS existence probe. Merge/upsert operators use
     this to distinguish 'store not initialized yet' from read FAILURES
@@ -500,6 +512,51 @@ def write_jdbc(df: DataFrame, url: str, table: str, *, mode: str = "append", pro
     writer.save()
 
 
+_TABLE_ABSENT_SQLSTATES = {
+    "42X05",  # Derby: table/view does not exist
+    "42S02",  # MySQL / ODBC: base table not found
+    "42P01",  # Postgres: undefined_table
+    "S0002",  # ODBC legacy: base table not found
+}
+
+
+def _jdbc_table_absent(spark: SparkSession, url: str, table: str, properties, exc) -> bool:
+    """Classify a JDBC read failure: True only when the target table is
+    genuinely absent. First walks the Java cause chain for a
+    java.sql.SQLException SQLSTATE (dialect-stable, unlike message
+    text); if no SQLSTATE is found, probes DatabaseMetaData.getTables
+    over the identifier's case variants (Derby stores unquoted names
+    uppercase). Unclassifiable failures return False so the caller
+    re-raises the original error instead of overwriting data."""
+    je = getattr(exc, "java_exception", None) or getattr(exc, "_origin", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state is not None:
+            return str(state) in _TABLE_ABSENT_SQLSTATES
+        try:
+            je = je.getCause()
+        except Exception:
+            break
+    try:
+        jprops = spark._jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            jprops.setProperty(k, v)
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            md = conn.getMetaData()
+            for cand in dict.fromkeys((table, table.upper(), table.lower())):
+                if md.getTables(None, None, cand, None).next():
+                    return False  # table exists: original failure was transient
+            return True
+        finally:
+            conn.close()
+    except Exception:
+        return False  # cannot classify -> propagate the original error
+
+
 def replace_into_jdbc(
     spark: SparkSession,
     url: str,
@@ -530,14 +587,11 @@ def replace_into_jdbc(
         # REPLACE INTO's first-load shape. Any other read failure
         # (connection drop, permissions, corrupt table) must propagate:
         # swallowing it would overwrite the whole table with just the
-        # incoming batch (ADVICE r3). Dialect markers: Derby 42X05 /
-        # "does not exist", MySQL 42S02 / ER_NO_SUCH_TABLE (1146),
-        # Postgres 42P01 / "does not exist", ANSI "not found".
-        msg = str(exc)
-        if not any(
-            marker in msg
-            for marker in ("42X05", "42S02", "42P01", "1146", "does not exist", "not found")
-        ):
+        # incoming batch (ADVICE r3). Classified by SQLSTATE from the
+        # wrapped java.sql.SQLException (message-substring matching both
+        # misses dialects and misfires on e.g. a schema-level "does not
+        # exist"), with a DatabaseMetaData existence probe as fallback.
+        if not _jdbc_table_absent(spark, url, table, properties, exc):
             raise
         current = None
     if current is None:

@@ -25,7 +25,12 @@ DuckDB twin in the same gate).
 |---|---|---|---|
 """
 
-BOUNDED = {"grouped_stats_approx", "sketch_distinct_rollup"}
+# single source of truth: the parity gate's own bounded-check list —
+# a hand-maintained copy here would let the appendix misreport a
+# query's verification status when the gate gains a bounded check
+from tests.test_oracle_parity import BOUND_CHECKED_QUERIES  # noqa: E402
+
+BOUNDED = set(BOUND_CHECKED_QUERIES)
 
 
 def main() -> None:

@@ -204,3 +204,23 @@ def test_zorder_write_narrows_rowgroup_stats_on_both_dims(spark, tmp_path):
         ).first()[0]
 
     assert content_hash(back) == content_hash(ev)
+
+
+def test_interleave_bits_four_columns_stays_in_long_domain(spark):
+    """Bit positions pass 31 with 4+ clustered columns: the interleave
+    must run in long arithmetic (int shiftleft would hit the sign bit at
+    31 and alias mod 32 beyond), and >63-bit requests must raise."""
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.maintenance import (
+        interleave_bits,
+    )
+
+    row = spark.range(1).select(
+        interleave_bits([F.lit(255)] * 4).alias("zv"),
+        interleave_bits([F.lit(128), F.lit(0), F.lit(0), F.lit(0)]).alias("top"),
+    ).first()
+    assert row["zv"] == (1 << 32) - 1  # all 32 interleaved bits set, positive
+    assert row["top"] == 1 << 28  # bit 7 of col 0 -> position 7*4+0
+    with _pytest.raises(ValueError):
+        interleave_bits([F.lit(0)] * 8)  # 64 bits > long's 63
