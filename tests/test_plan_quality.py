@@ -246,3 +246,28 @@ def test_sf1_filters_still_push_to_parquet(spark):
 def test_sf1_topk_avoids_global_sort(spark):
     plan = _sf1_plan(spark, "top_k_acctbal")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_training_shard_stats_single_exchange(spark):
+    """Shard membership and shuffle order are map-side row functions; the
+    only shuffle in the plan is the per-shard aggregation — the property
+    that makes the export one hash exchange at 100 TB."""
+    import re
+
+    plan = _formatted_plan(spark, "training_shard_stats")
+    # one data shuffle (the partial-agg'd per-shard aggregation); the
+    # only other exchange is the presentation orderBy's range partition
+    # over the already-aggregated n_shards rows
+    assert len(re.findall(r"hashpartitioning\(shard", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_all_pairs_join(spark):
+    """SemDeDup's pair generation must stay cluster-blocked: grouped
+    Arrow GEMM, never a cartesian/nested-loop pair join."""
+    plan = _formatted_plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the tiled block-GEMM path
