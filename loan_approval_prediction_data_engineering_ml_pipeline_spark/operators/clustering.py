@@ -83,17 +83,21 @@ def lloyd_kmeans(
         raise ValueError("lloyd_kmeans needs iters >= 1 (assignment comes from the last round)")
     init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
-    assign = None
+    cents_for_assign = cents
     for _ in range(iters):
-        assign = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+        cents_for_assign = cents
+        # mean update WITHOUT shipping vectors anywhere: the SAME Arrow
+        # pass that argmins also emits per-batch (cell, pos, sum, count)
+        # partials — k·d tiny rows per batch — so the shuffle carries
+        # partials, not an n·d posexplode, and no join back to the
+        # vectors is needed
         means = (
-            emb.join(assign, id_col)
-            .select("cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"))
+            _partial_cell_sums(emb, cents, id_col=id_col, vec_col=vec_col)
             .groupBy("cell", "pos")
-            # HALF_UP in both engines (Spark round == DuckDB round);
-            # quantizing here is what makes iteration t+1 start from
-            # bit-identical centroids in both
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            # sum/count then round = DuckDB's round(avg, 6): HALF_UP in
+            # both engines; quantizing here is what makes iteration t+1
+            # start from bit-identical centroids in both
+            .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("m"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -102,4 +106,55 @@ def lloyd_kmeans(
         cents = [
             (cell, [vals[p] for p in sorted(vals)]) for cell, vals in sorted(by_cell.items())
         ]
-    return assign, cents
+    # the returned pair is self-consistent: assignment under the
+    # second-to-last centroids, centroids = means OF that assignment
+    # (a3/c3 in the oracle CTE chain). Checkpointed: callers feed it to
+    # further jobs (pair GEMM, counts) and must not re-run the Arrow
+    # argmin per downstream action.
+    assign = assign_cells(emb, cents_for_assign, id_col=id_col, vec_col=vec_col)
+    return assign.localCheckpoint(eager=True), cents
+
+
+def _partial_cell_sums(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass fusing the E-step and the M-step's partial
+    aggregation: per batch, argmin-assign, then emit (cell, pos,
+    sum-of-dim, count) for each non-empty cell."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            d = X.shape[1]
+            a = np.stack(
+                [((X - C[j]) ** 2).sum(axis=1) for j in range(len(C))], axis=1
+            ).argmin(axis=1)
+            cells, poss, sums, cnts = [], [], [], []
+            for ci in np.unique(a):
+                mask = a == ci
+                cells.append(np.full(d, cell_ids[ci]))
+                poss.append(np.arange(d, dtype=np.int32))
+                sums.append(X[mask].sum(axis=0))
+                cnts.append(np.full(d, int(mask.sum()), dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells),
+                    "pos": np.concatenate(poss),
+                    "s": np.concatenate(sums),
+                    "c": np.concatenate(cnts),
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(fn, "cell long, pos int, s double, c long")
