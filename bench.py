@@ -73,6 +73,8 @@ HEADLINE = [
     "grouped_stats_approx",
     "ann_pq",  # PQ shortlist + exact rerank (build amortized at first run)
     "semantic_dedup",  # SemDeDup: deterministic k-means + in-cluster GEMM pairs
+    "training_shard_stats",  # shard-export plan: one hash exchange + local sort
+    "phrase_merges",  # 6-round word2phrase merge loop (iterative, chained scans)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
