@@ -224,3 +224,32 @@ def test_interleave_bits_four_columns_stays_in_long_domain(spark):
     assert row["top"] == 1 << 28  # bit 7 of col 0 -> position 7*4+0
     with _pytest.raises(ValueError):
         interleave_bits([F.lit(0)] * 8)  # 64 bits > long's 63
+
+
+def test_incremental_rollup_recovers_when_manifest_is_lost(spark, tmp_path):
+    """Crash semantics of the staging+rename manifest commit: the only
+    states a crash can leave are 'old manifest' (refresh re-runs) or 'no
+    manifest' — and a lost manifest must trigger a clean full rebuild of
+    derivable data, never an error."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    manifest = store + "__manifest"
+    fact = load_table(spark, SF, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    n_days = fact.select("dt").distinct().count()
+    incremental_rollup(spark, fact, store, "dt", _agg)
+    assert not os.path.exists(manifest + "__staging")  # staging cleaned up
+
+    shutil.rmtree(manifest)  # simulate a crash between delete and rename
+    assert incremental_rollup(spark, fact, store, "dt", _agg) == n_days
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(store)
+        .select(F.col("dt").cast("string"), "event_type", "n", "total")
+        .collect()
+    }
+    assert got == {tuple(r) for r in _agg(fact).collect()}
+    # and the refresh after recovery is incremental again
+    assert incremental_rollup(spark, fact, store, "dt", _agg) == 0
