@@ -17,17 +17,42 @@ ML) — see ``kmeans_embed_clusters`` / ``semantic_dedup`` in
 ``plans/llm_data.py``.
 
 Scale shape (100 TB): centroids are k x d floats — driver/broadcast
-size. Each iteration is one map-only Arrow pass for assignment
-(vectorized numpy argmin per batch; X·C distances, no Python per-row
-hop) plus one partial-aggregated skinny shuffle for the new means
-((cell, pos, val) longs/doubles — map-side combine reduces it to
-k·d rows per task). No all-pairs step exists; the dedup stage joins
-only within clusters.
+size. Each round is ONE map-only Arrow pass fusing the E-step with the
+M-step's partial aggregation (vectorized numpy argmin per batch, then
+per-batch (cell, pos, sum, count) partials — k·d tiny rows per batch),
+so the shuffle carries partials, never vectors, and no join back to
+the corpus exists. The final round's pass also emits the assignment
+rows, so the total cost is exactly ``iters`` passes over the corpus.
+The dedup stage joins only within clusters.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _centroid_arrays(centroids: list[tuple[int, list[float]]]):
+    """Shared E-step prep: ascending-cell-id order so numpy argmin's
+    first-minimum tie-break lands on the smallest cell id — the same
+    tie-break the oracle's ORDER BY dist, cell LIMIT 1 applies."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    return cell_ids, C
+
+
+def _argmin_cells(X, C):
+    """Per-centroid squared distances with sequential-order sums (the
+    oracle's list_distance sums sequentially; argmin over these only
+    diverges on exact float ties, which quantized centroids make
+    measure-zero), argmin keeping the FIRST minimum."""
+    import numpy as np
+
+    return np.stack([((X - C[j]) ** 2).sum(axis=1) for j in range(len(C))], axis=1).argmin(
+        axis=1
+    )
 
 
 def assign_cells(
@@ -39,27 +64,19 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment: one Arrow-batched map-only pass.
     ``centroids`` is [(cell_id, vector), ...]; ties go to the smallest
-    cell id (centroids are scanned in ascending-id order and numpy
-    argmin keeps the first minimum)."""
+    cell id."""
     import numpy as np
     import pandas as pd
 
-    cents = sorted(centroids)
-    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
-    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    cell_ids, C = _centroid_arrays(centroids)
 
     def fn(batches):
         for pdf in batches:
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             if len(X) == 0:
                 continue
-            # per-centroid squared distance, sequential-order sums (the
-            # oracle's list_distance sums sequentially; argmin over these
-            # only diverges on exact float ties, which quantized
-            # centroids make measure-zero)
-            d2 = np.stack([((X - C[j]) ** 2).sum(axis=1) for j in range(len(C))], axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "cell": cell_ids[d2.argmin(axis=1)]}
+                {id_col: pdf[id_col].to_numpy(), "cell": cell_ids[_argmin_cells(X, C)]}
             )
 
     return emb.select(id_col, vec_col).mapInPandas(fn, f"{id_col} long, cell long")
@@ -76,23 +93,34 @@ def lloyd_kmeans(
     """Deterministic Lloyd's: init from the k smallest-id vectors (cell
     label = rank in id order, 0-based), run ``iters`` rounds of
     assign -> mean -> round(6 dp). A cell that loses all members is
-    dropped (not reseeded) — mirrored by the SQL oracle. Returns the
-    final assignment DataFrame (id, cell) and the final centroid list.
+    dropped (not reseeded) — mirrored by the SQL oracle.
+
+    Returns a self-consistent pair: the last round's assignment (under
+    the second-to-last centroids) and the centroids that are the means
+    OF that assignment (a3/c3 in the oracle CTE chain). The assignment
+    comes from the SAME fused pass as the last mean update (emitted as
+    marker rows, localCheckpoint'ed), so no extra corpus scan exists
+    and downstream consumers never re-run the argmin.
     """
     if iters < 1:
         raise ValueError("lloyd_kmeans needs iters >= 1 (assignment comes from the last round)")
     init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
-    cents_for_assign = cents
-    for _ in range(iters):
-        cents_for_assign = cents
-        # mean update WITHOUT shipping vectors anywhere: the SAME Arrow
-        # pass that argmins also emits per-batch (cell, pos, sum, count)
-        # partials — k·d tiny rows per batch — so the shuffle carries
-        # partials, not an n·d posexplode, and no join back to the
-        # vectors is needed
+    assign = None
+    for it in range(iters):
+        last = it == iters - 1
+        fused = _fused_estep_pass(
+            emb, cents, id_col=id_col, vec_col=vec_col, with_assign=last
+        )
+        if last:
+            # materialized once: both the mean aggregation below and the
+            # returned assignment read this, not a re-run of the argmin
+            fused = fused.localCheckpoint(eager=True)
+            assign = fused.where(F.col("pos") < 0).select(
+                F.col("id").alias(id_col), "cell"
+            )
         means = (
-            _partial_cell_sums(emb, cents, id_col=id_col, vec_col=vec_col)
+            fused.where(F.col("pos") >= 0)
             .groupBy("cell", "pos")
             # sum/count then round = DuckDB's round(avg, 6): HALF_UP in
             # both engines; quantizing here is what makes iteration t+1
@@ -106,31 +134,26 @@ def lloyd_kmeans(
         cents = [
             (cell, [vals[p] for p in sorted(vals)]) for cell, vals in sorted(by_cell.items())
         ]
-    # the returned pair is self-consistent: assignment under the
-    # second-to-last centroids, centroids = means OF that assignment
-    # (a3/c3 in the oracle CTE chain). Checkpointed: callers feed it to
-    # further jobs (pair GEMM, counts) and must not re-run the Arrow
-    # argmin per downstream action.
-    assign = assign_cells(emb, cents_for_assign, id_col=id_col, vec_col=vec_col)
-    return assign.localCheckpoint(eager=True), cents
+    return assign, cents
 
 
-def _partial_cell_sums(
+def _fused_estep_pass(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
     *,
     id_col: str,
     vec_col: str,
+    with_assign: bool,
 ) -> DataFrame:
     """One Arrow pass fusing the E-step and the M-step's partial
     aggregation: per batch, argmin-assign, then emit (cell, pos,
-    sum-of-dim, count) for each non-empty cell."""
+    sum-of-dim, count) partials for each non-empty cell — plus, when
+    ``with_assign``, one marker row per input row (pos = -1, id set)
+    carrying the assignment itself."""
     import numpy as np
     import pandas as pd
 
-    cents = sorted(centroids)
-    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
-    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    cell_ids, C = _centroid_arrays(centroids)
 
     def fn(batches):
         for pdf in batches:
@@ -138,18 +161,25 @@ def _partial_cell_sums(
             if len(X) == 0:
                 continue
             d = X.shape[1]
-            a = np.stack(
-                [((X - C[j]) ** 2).sum(axis=1) for j in range(len(C))], axis=1
-            ).argmin(axis=1)
-            cells, poss, sums, cnts = [], [], [], []
+            a = _argmin_cells(X, C)
+            cells, poss, sums, cnts, ids = [], [], [], [], []
             for ci in np.unique(a):
                 mask = a == ci
                 cells.append(np.full(d, cell_ids[ci]))
                 poss.append(np.arange(d, dtype=np.int32))
                 sums.append(X[mask].sum(axis=0))
                 cnts.append(np.full(d, int(mask.sum()), dtype=np.int64))
+                ids.append(np.zeros(d, dtype=np.int64))
+            if with_assign:
+                n = len(X)
+                cells.append(cell_ids[a])
+                poss.append(np.full(n, -1, dtype=np.int32))
+                sums.append(np.zeros(n))
+                cnts.append(np.zeros(n, dtype=np.int64))
+                ids.append(pdf[id_col].to_numpy())
             yield pd.DataFrame(
                 {
+                    "id": np.concatenate(ids),
                     "cell": np.concatenate(cells),
                     "pos": np.concatenate(poss),
                     "s": np.concatenate(sums),
@@ -157,4 +187,7 @@ def _partial_cell_sums(
                 }
             )
 
-    return emb.select(vec_col).mapInPandas(fn, "cell long, pos int, s double, c long")
+    cols = [id_col, vec_col] if with_assign else [vec_col]
+    return emb.select(*cols).mapInPandas(
+        fn, "id long, cell long, pos int, s double, c long"
+    )

@@ -87,6 +87,27 @@ def incremental_rollup(
     if old is None:
         changed = [r[0] for r in fp.select(partition_col).collect()]
         removed: list = []
+        # a manifest-less build over an EXISTING store (recovery after a
+        # crash in the swap window, or full_rebuild=True) must also drop
+        # store partitions the fact no longer has — otherwise they stay
+        # orphaned forever (neither the rebuilt manifest nor any future
+        # fact lists them). Compared at the escaped-dir-name level so
+        # hive escaping round-trips exactly.
+        if _path_exists(spark, store_path):
+            expected_dirs = {
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else escape_hive_path_name(str(v))
+                for v in changed
+            }
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            prefix = f"{escape_hive_path_name(partition_col)}="
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith(prefix):
+                    if name[len(prefix):] not in expected_dirs:
+                        _delete_path(spark, store_path.rstrip("/") + "/" + name)
     else:
         j = fp.alias("new").join(
             old.alias("old"),

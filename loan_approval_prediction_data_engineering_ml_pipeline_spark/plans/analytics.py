@@ -16,7 +16,7 @@ ORDER_STATUSES = ["F", "O", "P"]
 
 # per-(applicationId, sf_dir) memo of the range join's density-chosen
 # sub-bucket count; entries from dead applications evicted on insert
-_RANGE_K_CACHE: dict[tuple[str, str], int] = {}
+_RANGE_K_CACHE: dict[tuple[str, str, float], int] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -543,10 +543,20 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     er = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), us.alias("ets")
     )
-    # the density estimate is a pure function of the (immutable) fixture,
-    # so the planning aggregate runs once per dataset per process — the
-    # load_table-handle / PQ-codebook memoization precedent
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # the density estimate is a pure function of the fixture, so the
+    # planning aggregate runs once per dataset per process — the
+    # load_table-handle / PQ-codebook memoization precedent. The events
+    # mtime is part of the key: a regenerated fixture at the same path
+    # (scripts/gen_sf1.py) must re-plan, or the density adaptation
+    # silently stops adapting.
+    import os as _os
+
+    ev_path = _os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = _os.path.getmtime(ev_path)
+    except OSError:
+        mtime = 0.0
+    key = (spark.sparkContext.applicationId, sf_dir, mtime)
     k = _RANGE_K_CACHE.get(key)
     if k is None:
         k = range_join_subbuckets(p, er, "user_id", "e_user", "pts", "ets", gap_us)

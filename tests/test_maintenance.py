@@ -243,13 +243,18 @@ def test_incremental_rollup_recovers_when_manifest_is_lost(spark, tmp_path):
     assert not os.path.exists(manifest + "__staging")  # staging cleaned up
 
     shutil.rmtree(manifest)  # simulate a crash between delete and rename
-    assert incremental_rollup(spark, fact, store, "dt", _agg) == n_days
+    # the fact also DROPS a day while the manifest is gone: recovery must
+    # delete that orphaned store partition, not leave it stale forever
+    gone = fact.select("dt").orderBy(F.desc("dt")).first()["dt"]
+    fact2 = fact.where(F.col("dt") != gone)
+    assert incremental_rollup(spark, fact2, store, "dt", _agg) == n_days - 1
+    assert not os.path.exists(os.path.join(store, f"dt={gone}"))
     got = {
         tuple(r)
         for r in spark.read.parquet(store)
         .select(F.col("dt").cast("string"), "event_type", "n", "total")
         .collect()
     }
-    assert got == {tuple(r) for r in _agg(fact).collect()}
+    assert got == {tuple(r) for r in _agg(fact2).collect()}
     # and the refresh after recovery is incremental again
-    assert incremental_rollup(spark, fact, store, "dt", _agg) == 0
+    assert incremental_rollup(spark, fact2, store, "dt", _agg) == 0
