@@ -169,7 +169,8 @@ def _fused_estep_pass(
                 poss.append(np.arange(d, dtype=np.int32))
                 sums.append(X[mask].sum(axis=0))
                 cnts.append(np.full(d, int(mask.sum()), dtype=np.int64))
-                ids.append(np.zeros(d, dtype=np.int64))
+                if with_assign:
+                    ids.append(np.zeros(d, dtype=np.int64))
             if with_assign:
                 n = len(X)
                 cells.append(cell_ids[a])
@@ -177,17 +178,20 @@ def _fused_estep_pass(
                 sums.append(np.zeros(n))
                 cnts.append(np.zeros(n, dtype=np.int64))
                 ids.append(pdf[id_col].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "id": np.concatenate(ids),
-                    "cell": np.concatenate(cells),
-                    "pos": np.concatenate(poss),
-                    "s": np.concatenate(sums),
-                    "c": np.concatenate(cnts),
-                }
-            )
+            out = {
+                "cell": np.concatenate(cells),
+                "pos": np.concatenate(poss),
+                "s": np.concatenate(sums),
+                "c": np.concatenate(cnts),
+            }
+            if with_assign:
+                out = {"id": np.concatenate(ids), **out}
+            yield pd.DataFrame(out)
 
-    cols = [id_col, vec_col] if with_assign else [vec_col]
-    return emb.select(*cols).mapInPandas(
-        fn, "id long, cell long, pos int, s double, c long"
-    )
+    # the always-zero id column would otherwise ride through every
+    # non-final round's partial rows for nothing
+    if with_assign:
+        return emb.select(id_col, vec_col).mapInPandas(
+            fn, "id long, cell long, pos int, s double, c long"
+        )
+    return emb.select(vec_col).mapInPandas(fn, "cell long, pos int, s double, c long")

@@ -33,6 +33,7 @@ from ..sources.loaders import (
     _rename_path,
     _stage_and_dynamic_overwrite,
     escape_hive_path_name,
+    partition_dir_name,
 )
 
 
@@ -94,20 +95,14 @@ def incremental_rollup(
         # fact lists them). Compared at the escaped-dir-name level so
         # hive escaping round-trips exactly.
         if _path_exists(spark, store_path):
-            expected_dirs = {
-                "__HIVE_DEFAULT_PARTITION__"
-                if v is None
-                else escape_hive_path_name(str(v))
-                for v in changed
-            }
+            expected_dirs = {partition_dir_name(partition_col, v) for v in changed}
             jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             prefix = f"{escape_hive_path_name(partition_col)}="
             for st in fs.listStatus(jpath):
                 name = st.getPath().getName()
-                if st.isDirectory() and name.startswith(prefix):
-                    if name[len(prefix):] not in expected_dirs:
-                        _delete_path(spark, store_path.rstrip("/") + "/" + name)
+                if st.isDirectory() and name.startswith(prefix) and name not in expected_dirs:
+                    _delete_path(spark, store_path.rstrip("/") + "/" + name)
     else:
         j = fp.alias("new").join(
             old.alias("old"),
@@ -144,12 +139,9 @@ def incremental_rollup(
         _stage_and_dynamic_overwrite(agg, store_path, partition_col, staged)
         _delete_path(spark, staged)
     for v in removed:
-        part_dir = (
-            f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-            if v is None
-            else f"{escape_hive_path_name(partition_col)}={escape_hive_path_name(str(v))}"
+        _delete_path(
+            spark, store_path.rstrip("/") + "/" + partition_dir_name(partition_col, v)
         )
-        _delete_path(spark, store_path.rstrip("/") + "/" + part_dir)
     # manifest last, via staging + rename: a refresh that dies before
     # this point simply re-runs; a mode=overwrite directly on
     # manifest_path could die mid-write and leave a PARTIAL manifest

@@ -551,12 +551,12 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently stops adapting.
     import os as _os
 
-    ev_path = _os.path.join(sf_dir, "events.parquet")
+    norm_dir = _os.path.normpath(sf_dir)
     try:
-        mtime = _os.path.getmtime(ev_path)
+        mtime = _os.path.getmtime(_os.path.join(norm_dir, "events.parquet"))
     except OSError:
         mtime = 0.0
-    key = (spark.sparkContext.applicationId, sf_dir, mtime)
+    key = (spark.sparkContext.applicationId, norm_dir, mtime)
     k = _RANGE_K_CACHE.get(key)
     if k is None:
         k = range_join_subbuckets(p, er, "user_id", "e_user", "pts", "ets", gap_us)

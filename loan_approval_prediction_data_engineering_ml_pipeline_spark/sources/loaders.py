@@ -209,6 +209,21 @@ def escape_hive_path_name(s: str) -> str:
     return "".join(f"%{ord(c):02X}" if c in _HIVE_PATH_ESCAPE_CHARS else c for c in s)
 
 
+def partition_dir_name(partition_col: str, v) -> str:
+    """The directory name Spark writes for one partition value —
+    ``col=value`` with hive escaping, the default-partition sentinel for
+    NULL/empty, and Java's lowercase boolean rendering. One shared
+    mapping so orphan detection and removed-partition purge can't drift.
+    Floats are formatted by str(); float partition columns (which Java
+    renders differently in exponent form) are not supported here."""
+    col = escape_hive_path_name(partition_col)
+    if v is None or v == "":
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return f"{col}={'true' if v else 'false'}"
+    return f"{col}={escape_hive_path_name(str(v))}"
+
+
 def _touched_partition_predicate(partition_col: str, values: list):
     """Null-safe membership predicate: isin() never matches NULL (SQL
     three-valued logic), so a value list carrying None needs an explicit
