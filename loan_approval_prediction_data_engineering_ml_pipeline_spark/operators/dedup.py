@@ -628,3 +628,102 @@ def simhash_candidate_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def bloom_prefiltered_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`incremental_exact_dedup` with a Bloom-filter fast path —
+    the shape that wins when the BATCH is large and mostly novel: a
+    Bloom filter built over the corpus fingerprint index (one pass over
+    16-byte hashes, merged tree-wise by ``df.stat.bloomFilter``) is
+    broadcast and applied MAP-SIDE to the batch, so only the
+    maybe-in-corpus sliver joins the index for exact verification;
+    definite-new rows never shuffle against the corpus at all.
+
+    Output is IDENTICAL to the exact operator (a Bloom filter has no
+    false negatives — a miss is definitely new; false positives are
+    caught by the exact join on the sliver). Everything stays JVM-side
+    with NO UDF: the bitmap is built by a ``bit_or`` aggregate over
+    per-row bit positions (map-side combined; ``xxhash64(seed_i, fp)``
+    gives the k hash functions), densified on the driver (m/64 longs —
+    ~1.2 MB per 10^6 corpus docs at 1% fpp, ~1.2 GB at 10^9: the same
+    broadcast budget as any bloom), shipped as a broadcast 1-row
+    ``array<long>``, and probed by codegen shift/AND arithmetic. The
+    index join then sees only (true dups + fpp·batch) rows; Spark's own
+    bloom machinery (``bloom_filter_agg``/``might_contain``) is
+    optimizer-internal and not SQL-registered, hence this explicit
+    construction.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    fps = index.select("fingerprint").distinct()
+    if expected_items is None:
+        expected_items = max(1000, fps.count())
+    n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    n_words = (n_bits + 63) // 64
+    m = n_words * 64
+    k = max(1, min(8, round(m / expected_items * math.log(2))))
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m)) for i in range(k)]
+
+    words = (
+        fps.select(F.explode(F.array(*positions(F.col("fingerprint")))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[r["word"]] = r["bits"]
+    spark = batch.sparkSession
+    flt = spark.createDataFrame([(dense,)], "__bloom array<long>")
+
+    fp = X.fingerprint_md5(F.col(text_col))
+    b = batch.select(F.col(id_col), fp.alias("fingerprint")).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("fingerprint").orderBy(id_col)),
+    )
+    import functools
+
+    probe = functools.reduce(
+        lambda a, c: a & c,
+        [
+            F.expr(
+                f"(element_at(__bloom, CAST({p_sql} DIV 64 AS INT) + 1)"
+                f" & shiftleft(1L, CAST({p_sql} % 64 AS INT))) != 0"
+            )
+            for p_sql in [
+                f"pmod(xxhash64({i}, fingerprint), {m})" for i in range(k)
+            ]
+        ],
+    )
+    b = b.crossJoin(F.broadcast(flt)).withColumn("__maybe", probe).drop("__bloom")
+    sliver = b.where(F.col("__maybe")).join(
+        fps.withColumn("__in_corpus", F.lit(True)), "fingerprint", "left"
+    )
+    definite_new = b.where(~F.col("__maybe")).withColumn(
+        "__in_corpus", F.lit(None).cast("boolean")
+    )
+    merged = sliver.unionByName(definite_new)
+    return merged.select(
+        id_col,
+        F.when(F.col("__in_corpus"), F.lit("dup_corpus"))
+        .when(F.col("__rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "fingerprint",
+    )

@@ -541,3 +541,25 @@ def test_ivf_upsert_incremental_index_maintenance(spark, tmp_path):
     # replace semantics: same id again -> no duplicate row
     S.ivf_upsert(spark, idx, new)
     assert spark.read.parquet(idx + "/cells").count() == n_before + 1
+
+
+def test_bloom_prefiltered_dedup_matches_exact_operator(spark):
+    """The Bloom fast path must be a pure optimization: identical output
+    to incremental_exact_dedup at any false-positive rate — misses are
+    definitely new (no false negatives), maybes are exactly verified.
+    Checked at a tight fpp AND a deliberately terrible one (fpp=0.9,
+    nearly everything flagged maybe) so the exact-verification branch is
+    exercised, not just the skip branch."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    idx = corpus.select(X.fingerprint_md5(F.col("text")).alias("fingerprint"))
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(corpus.limit(7))
+
+    exact = sorted(map(tuple, D.incremental_exact_dedup(batch, idx).collect()))
+    for fpp in (0.01, 0.9):
+        got = sorted(
+            map(tuple, D.bloom_prefiltered_dedup(batch, idx, fpp=fpp).collect())
+        )
+        assert got == exact, f"fpp={fpp}"
+    statuses = {s for _, s, _ in exact}
+    assert statuses == {"new", "dup_corpus"}
