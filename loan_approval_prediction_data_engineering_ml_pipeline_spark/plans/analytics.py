@@ -1154,3 +1154,54 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+
+
+def _cms_cells(col: "F.Column") -> "F.Column":
+    """The CMS cell coordinates of a value: depth rows x width columns,
+    hash_i = xxhash64(seed=i, value) mod width. Shared by build and
+    probe so they cannot drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(F.lit(i), col), F.lit(CMS_WIDTH)).alias("w"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+@query(
+    "cms_user_counts",
+    tier="local",
+    oracle=None,  # sketch-by-construction; error BOUNDED vs the exact twin in tests
+    description="Count-min-sketch frequency estimates (completes the "
+    "sketch family: HLL distinct, KLL percentiles, CMS counts), built "
+    "as DataFrame ops: one explode to (depth, hash-cell) coordinates, "
+    "one partial-agg'd groupBy for the sparse cell table (cell merge is "
+    "a commutative sum — partition/retry order cannot change it; a "
+    "missing cell is 0, so the sparse table estimates identically to "
+    "the dense array), then min-over-cells for the probed keys. "
+    "Never underestimates; overestimate bounded ~N/width per cell, "
+    "asserted vs the exact DuckDB twin in the parity gate. Probes the "
+    "20 smallest user ids; at 100 TB the cell table is depth x width "
+    "rows regardless of corpus size",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cells = (
+        ev.select(F.explode(_cms_cells(F.col("user_id"))).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keys = ev.distinct().orderBy("user_id").limit(20)
+    probed = keys.select("user_id", F.explode(_cms_cells(F.col("user_id"))).alias("c"))
+    return (
+        probed.join(cells, (probed["c.d"] == cells["d"]) & (probed["c.w"] == cells["w"]))
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_count"))
+        .orderBy("user_id")
+    )

@@ -20,7 +20,7 @@ SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 ORACLE_QUERIES = [n for n, s in QUERIES.items() if s.oracle is not None]
 # approximate-by-construction queries: no hash oracle, but their error is
 # BOUNDED against an exact DuckDB twin below (VERDICT r3 #2)
-BOUND_CHECKED_QUERIES = ["grouped_stats_approx", "sketch_distinct_rollup"]
+BOUND_CHECKED_QUERIES = ["grouped_stats_approx", "sketch_distinct_rollup", "cms_user_counts"]
 ROWS_ONLY_QUERIES = [
     n
     for n, s in QUERIES.items()
@@ -130,3 +130,32 @@ def test_sketch_distinct_rollup_bounded_by_duckdb_exact(spark):
         assert int(s.loc[scope, "n_events"]) == int(e.loc[scope, "n_events"])
         est, act = float(s.loc[scope, "est_distinct_users"]), float(e.loc[scope, "exact_distinct"])
         assert abs(est - act) <= 0.05 * act, (scope, est, act)
+
+
+def test_cms_user_counts_bounded_by_duckdb_exact(spark):
+    """CMS never underestimates (every probed key's cells contain at
+    least its own count) and overestimates by collision mass only —
+    expected ~N/width extra per cell, taken min-over-depth. The exact
+    per-key counts come from DuckDB; the deterministic lower bound must
+    hold for every key, the generous upper bound (20x the expected
+    collision mass) catches a broken hash/cell layout."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.analytics import (
+        CMS_WIDTH,
+    )
+
+    est = {r["user_id"]: r["est_count"] for r in QUERIES["cms_user_counts"].fn(spark, SF_DIR).collect()}
+    exact_df = duckdb_run(
+        """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id ORDER BY user_id LIMIT 20)
+        GROUP BY user_id ORDER BY user_id
+        """,
+        SF_DIR,
+    )
+    n_total = duckdb_run("SELECT CAST(count(*) AS BIGINT) AS n FROM events", SF_DIR)["n"][0]
+    slack = max(50, 20 * n_total // CMS_WIDTH)
+    assert len(est) == len(exact_df)
+    for _, row in exact_df.iterrows():
+        e, x = est[row["user_id"]], row["n"]
+        assert e >= x, (row["user_id"], e, x)
+        assert e <= x + slack, (row["user_id"], e, x, slack)
