@@ -640,3 +640,44 @@ def replace_into_jdbc(
 def single_row_frame(spark: SparkSession, row: dict, schema: T.StructType) -> DataFrame:
     """S9: 1-row DataFrame from a dict (the app.py:52-67 inference record)."""
     return spark.createDataFrame([row], schema=schema)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read for a partitioned store whose later
+    partitions gained columns: ``mergeSchema`` unions all part-file
+    footers, so old partitions surface NULL for columns they predate
+    instead of failing or silently dropping them. Spark's default reads
+    ONE footer — whether the new column appears then depends on which
+    file is sampled: nondeterministic schema, the classic data-lake
+    trap. Cost: one footer read per file at planning (fine for
+    maintenance-sized stores; at 100 TB prefer a declared read schema —
+    ``spark.read.schema(...)`` — which is free and explicit; this
+    helper is the discovery-time tool)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    *,
+    keep_from: str,
+) -> list:
+    """Retention/TTL enforcement: drop every partition whose value sorts
+    BELOW ``keep_from`` (lexicographic — matching hive directory order,
+    correct for ISO dates and zero-padded keys). Pure directory-level
+    deletes — no data is scanned or rewritten, surviving partition
+    files stay byte-identical — so expiring a year of a 100 TB
+    day-partitioned store is O(days dropped) metadata operations.
+    Returns the dropped partition values (directory-name form)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{escape_hive_path_name(partition_col)}="
+    cutoff_dir = partition_dir_name(partition_col, keep_from)
+    dropped = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix) and name < cutoff_dir:
+            _delete_path(spark, path.rstrip("/") + "/" + name)
+            dropped.append(name[len(prefix):])
+    return sorted(dropped)

@@ -367,3 +367,69 @@ def test_delete_keys_partitioned_null_keys(spark, tmp_path):
     # NULL-keyed row in the untouched partition survives (d2 was never affected
     # by a matching key, so it is not rewritten at all)
     assert os.path.exists(path)
+
+
+def test_read_evolved_parquet_surfaces_late_columns(spark, tmp_path):
+    """Schema evolution: partitions written before a column existed must
+    surface NULL for it under mergeSchema, with every row readable."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        read_evolved_parquet,
+    )
+
+    store = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{store}/dt=2024-01-01"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{store}/dt=2024-01-02")
+
+    back = read_evolved_parquet(spark, store)
+    assert {"id", "v", "score", "dt"} <= set(back.columns)
+    rows = {r["id"]: (r["v"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_expire_partitions_drops_only_below_cutoff(spark, tmp_path):
+    """TTL retention: partitions strictly below the cutoff vanish;
+    surviving partition files are byte-identical (no rewrite)."""
+    import hashlib
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        expire_partitions,
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    store = str(tmp_path / "events_ttl")
+    ev.write.partitionBy("dt").parquet(store)
+    days = sorted(r[0] for r in ev.select("dt").distinct().collect())
+    cutoff = days[len(days) // 2]
+
+    def digests():
+        out = {}
+        for root, _, files in os.walk(store):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, store)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    before = {k: v for k, v in digests().items() if f"dt={cutoff}" <= k.split("/")[0]}
+    dropped = expire_partitions(spark, store, "dt", keep_from=cutoff)
+    assert dropped == [d for d in days if d < cutoff]
+    survivors = sorted(
+        r[0]
+        for r in spark.read.parquet(store)
+        .select(F.col("dt").cast("string"))
+        .distinct()
+        .collect()
+    )
+    assert survivors == [d for d in days if d >= cutoff]
+    after = {k: v for k, v in digests().items() if k.split("/")[0].startswith("dt=")}
+    assert after == before  # surviving files untouched byte-for-byte
