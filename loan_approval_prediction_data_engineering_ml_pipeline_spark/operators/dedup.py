@@ -652,21 +652,31 @@ def bloom_prefiltered_dedup(
     caught by the exact join on the sliver). Everything stays JVM-side
     with NO UDF: the bitmap is built by a ``bit_or`` aggregate over
     per-row bit positions (map-side combined; ``xxhash64(seed_i, fp)``
-    gives the k hash functions), densified on the driver (m/64 longs —
-    ~1.2 MB per 10^6 corpus docs at 1% fpp, ~1.2 GB at 10^9: the same
-    broadcast budget as any bloom), shipped as a broadcast 1-row
-    ``array<long>``, and probed by codegen shift/AND arithmetic. The
-    index join then sees only (true dups + fpp·batch) rows; Spark's own
-    bloom machinery (``bloom_filter_agg``/``might_contain``) is
-    optimizer-internal and not SQL-registered, hence this explicit
-    construction.
+    gives the k hash functions), densified on the driver into a numpy
+    int64 array (m/64 longs — ~1.2 MB per 10^6 corpus docs at 1% fpp,
+    ~1.2 GB at 10^9: the same broadcast budget as any bloom; a Python
+    list of ints would cost ~3-4 GB of PyObject overhead at that size,
+    ADVICE r4), shipped as a broadcast 1-row ``array<long>``, and probed
+    by codegen shift/AND arithmetic. The index join then sees only (true
+    dups + fpp·batch) rows; Spark's own bloom machinery
+    (``bloom_filter_agg``/``might_contain``) is optimizer-internal and
+    not SQL-registered, hence this explicit construction.
+
+    At ingest cadence the corpus row count is known (manifest/table
+    metadata) — PASS ``expected_items`` so the bitmap geometry is fixed
+    up-front and the index is scanned exactly once. When it is None the
+    distinct fingerprints are localCheckpoint'ed before counting, so the
+    count and the bitmap aggregate still read the index only once (the
+    second action reads the checkpoint, not the parquet).
     """
     import math
 
+    import numpy as np
     from pyspark.sql import Window
 
     fps = index.select("fingerprint").distinct()
     if expected_items is None:
+        fps = fps.localCheckpoint(eager=True)
         expected_items = max(1000, fps.count())
     n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
     n_words = (n_bits + 63) // 64
@@ -676,6 +686,8 @@ def bloom_prefiltered_dedup(
     def positions(col):
         return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m)) for i in range(k)]
 
+    # Arrow-batched collect (toPandas), not row-at-a-time Row objects: at
+    # 10^9 docs the populated-word set approaches n_words ≈ 1.2e8 entries
     words = (
         fps.select(F.explode(F.array(*positions(F.col("fingerprint")))).alias("p"))
         .select(
@@ -684,13 +696,18 @@ def bloom_prefiltered_dedup(
         )
         .groupBy("word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
-        .collect()
+        .toPandas()
     )
-    dense = [0] * n_words
-    for r in words:
-        dense[r["word"]] = r["bits"]
+    dense = np.zeros(n_words, dtype=np.int64)
+    dense[words["word"].to_numpy()] = words["bits"].to_numpy()
     spark = batch.sparkSession
-    flt = spark.createDataFrame([(dense,)], "__bloom array<long>")
+    import pandas as pd
+
+    # pandas→Arrow path: the ndarray ships as a list<int64> array without
+    # ever materializing n_words Python int objects on the driver
+    flt = spark.createDataFrame(
+        pd.DataFrame({"__bloom": [dense]}), schema="__bloom array<long>"
+    )
 
     fp = X.fingerprint_md5(F.col(text_col))
     b = batch.select(F.col(id_col), fp.alias("fingerprint")).withColumn(

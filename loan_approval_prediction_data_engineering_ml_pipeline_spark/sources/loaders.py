@@ -209,6 +209,26 @@ def escape_hive_path_name(s: str) -> str:
     return "".join(f"%{ord(c):02X}" if c in _HIVE_PATH_ESCAPE_CHARS else c for c in s)
 
 
+def unescape_hive_path_name(s: str) -> str:
+    """Inverse of :func:`escape_hive_path_name`: decode ``%XX`` escapes a
+    partition directory name carries back to the raw value. Needed
+    wherever directory names are compared against raw values (TTL
+    cutoffs): escaped forms don't sort like the values they encode
+    (``:`` → ``%3A`` sorts before every digit)."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def partition_dir_name(partition_col: str, v) -> str:
     """The directory name Spark writes for one partition value —
     ``col=value`` with hive escaping, the default-partition sentinel for
@@ -562,8 +582,31 @@ def _jdbc_table_absent(spark: SparkSession, url: str, table: str, properties, ex
         conn = spark._jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             md = conn.getMetaData()
-            for cand in dict.fromkeys((table, table.upper(), table.lower())):
-                if md.getTables(None, None, cand, None).next():
+            # getTables' patterns are LIKE search strings: split a
+            # schema-qualified identifier into (schemaPattern,
+            # tableNamePattern) — passing 'app.loans' whole never matches —
+            # and escape '_'/'%' with the driver's search-string escape so
+            # 'loan_status' can't match 'loanXstatus' (ADVICE r4).
+            esc = md.getSearchStringEscape() or "\\"
+
+            def _like_escape(ident: str) -> str:
+                return (
+                    ident.replace(esc, esc + esc)
+                    .replace("_", esc + "_")
+                    .replace("%", esc + "%")
+                )
+
+            schema, _, bare = table.rpartition(".")
+            schema = schema or None
+            for cand in dict.fromkeys((bare, bare.upper(), bare.lower())):
+                spat = None
+                if schema is not None:
+                    spat = _like_escape(
+                        schema.upper() if cand == bare.upper()
+                        else schema.lower() if cand == bare.lower()
+                        else schema
+                    )
+                if md.getTables(None, spat, _like_escape(cand), None).next():
                     return False  # table exists: original failure was transient
             return True
         finally:
@@ -662,22 +705,37 @@ def expire_partitions(
     partition_col: str,
     *,
     keep_from: str,
+    drop_null_partition: bool = False,
 ) -> list:
-    """Retention/TTL enforcement: drop every partition whose value sorts
-    BELOW ``keep_from`` (lexicographic — matching hive directory order,
-    correct for ISO dates and zero-padded keys). Pure directory-level
-    deletes — no data is scanned or rewritten, surviving partition
-    files stay byte-identical — so expiring a year of a 100 TB
+    """Retention/TTL enforcement: drop every partition whose RAW value
+    sorts below ``keep_from`` (directory names are hive-unescaped before
+    comparing — escaped forms like ``%3A`` for ``:`` don't sort like the
+    values they encode; lexicographic on raw values is correct for ISO
+    dates and zero-padded keys). The NULL partition
+    (``__HIVE_DEFAULT_PARTITION__``) has no orderable value, so it is
+    retained unless ``drop_null_partition=True`` opts in. Pure
+    directory-level deletes — no data is scanned or rewritten, surviving
+    partition files stay byte-identical — so expiring a year of a 100 TB
     day-partitioned store is O(days dropped) metadata operations.
-    Returns the dropped partition values (directory-name form)."""
+    Returns the dropped partition values (raw form; None for the NULL
+    partition)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     prefix = f"{escape_hive_path_name(partition_col)}="
-    cutoff_dir = partition_dir_name(partition_col, keep_from)
     dropped = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(prefix) and name < cutoff_dir:
-            _delete_path(spark, path.rstrip("/") + "/" + name)
-            dropped.append(name[len(prefix):])
-    return sorted(dropped)
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        dir_value = name[len(prefix):]
+        if dir_value == "__HIVE_DEFAULT_PARTITION__":
+            if not drop_null_partition:
+                continue
+            raw = None
+        else:
+            raw = unescape_hive_path_name(dir_value)
+            if raw >= keep_from:
+                continue
+        _delete_path(spark, path.rstrip("/") + "/" + name)
+        dropped.append(raw)
+    return sorted(dropped, key=lambda v: (v is not None, v or ""))

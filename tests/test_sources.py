@@ -433,3 +433,93 @@ def test_expire_partitions_drops_only_below_cutoff(spark, tmp_path):
     assert survivors == [d for d in days if d >= cutoff]
     after = {k: v for k, v in digests().items() if k.split("/")[0].startswith("dt=")}
     assert after == before  # surviving files untouched byte-for-byte
+
+
+def test_unescape_hive_path_name_round_trip():
+    """Every escapable character round-trips through escape→unescape,
+    including the multi-escape timestamp shape the TTL comparison hits."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        escape_hive_path_name,
+        unescape_hive_path_name,
+    )
+
+    for raw in [
+        "2024-01-01 10:30:00",
+        "a/b:c=d%e",
+        "plain-value_1.5",
+        "%",
+        "100%done",
+        "",
+    ]:
+        assert unescape_hive_path_name(escape_hive_path_name(raw)) == raw
+    # stray % not followed by two hex digits passes through untouched
+    assert unescape_hive_path_name("a%zq") == "a%zq"
+    assert unescape_hive_path_name("tail%") == "tail%"
+
+
+def test_expire_partitions_escaped_values_and_null_partition(spark, tmp_path):
+    """TTL cutoff compares RAW values, not escaped directory names
+    (':'→'%3A' sorts before every digit, so escaped comparison would
+    retain expired hours), and the NULL partition is kept unless
+    explicitly opted in (ADVICE r4)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        expire_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00"),
+            (2, "2024-01-01 09:00:00"),
+            (3, "2024-01-01 10:00:00"),
+            (4, None),
+        ],
+        "id long, hr string",
+    )
+    store = str(tmp_path / "hourly")
+    df.write.partitionBy("hr").parquet(store)
+
+    dropped = expire_partitions(spark, store, "hr", keep_from="2024-01-01 09:30:00")
+    # raw-value comparison: exactly the two pre-cutoff hours go; the NULL
+    # partition survives by default
+    assert dropped == ["2024-01-01 08:00:00", "2024-01-01 09:00:00"]
+    back = spark.read.parquet(store)
+    assert sorted(
+        (r["id"] for r in back.collect())
+    ) == [3, 4]
+
+    dropped2 = expire_partitions(
+        spark, store, "hr", keep_from="2024-01-01 09:30:00", drop_null_partition=True
+    )
+    assert dropped2 == [None]
+    assert [r["id"] for r in spark.read.parquet(store).collect()] == [3]
+
+
+def test_jdbc_table_absent_qualified_and_wildcard_names(spark, tmp_path):
+    """_jdbc_table_absent's metadata probe (ADVICE r4): schema-qualified
+    identifiers split into (schemaPattern, tableNamePattern) so an
+    EXISTING qualified table classifies as present (absent=False →
+    original transient error propagates instead of an overwrite), and
+    '_' is escaped as a literal so 'loan_status' can't LIKE-match an
+    existing 'loanXstatus'."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        _jdbc_table_absent,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/absent_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_jdbc(df, url, "loanXstatus", mode="overwrite", properties=props)
+
+    class _NoState(Exception):
+        java_exception = None
+
+    exc = _NoState()
+    # unqualified existing name → present
+    assert _jdbc_table_absent(spark, url, "loanXstatus", props, exc) is False
+    # schema-qualified existing name (Derby defaults to schema APP) → present
+    assert _jdbc_table_absent(spark, url, "app.loanXstatus", props, exc) is False
+    # '_' must not wildcard-match loanXstatus
+    assert _jdbc_table_absent(spark, url, "loan_status", props, exc) is True
+    # genuinely absent qualified name → absent
+    assert _jdbc_table_absent(spark, url, "app.no_such_table", props, exc) is True
