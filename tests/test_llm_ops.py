@@ -563,3 +563,73 @@ def test_bloom_prefiltered_dedup_matches_exact_operator(spark):
         assert got == exact, f"fpp={fpp}"
     statuses = {s for _, s, _ in exact}
     assert statuses == {"new", "dup_corpus"}
+
+
+def test_phrase_merges_sampled_path_and_apply_once(spark):
+    """The 100 TB phrase recipe (VERDICT r4 #4): merges learned on a
+    deterministic content sample match the exact top ranks on the
+    fixture, apply_phrase_merges' single-projection apply equals the
+    iterative loop's final text, and the checkpoint cadence is
+    output-invariant."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.phrases import (
+        apply_phrase_merges,
+        learn_phrase_merges,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    exact = learn_phrase_merges(docs, m=4)
+    assert len(exact) == 4
+
+    # near-total sample: ranking must agree with exact (counts are
+    # sample counts and may differ by the handful of excluded docs)
+    sampled = learn_phrase_merges(docs, m=4, sample_rate=0.999999)
+    assert [(r, w1, w2) for r, w1, w2, _ in sampled] == [
+        (r, w1, w2) for r, w1, w2, _ in exact
+    ]
+    # a real sample picks a NEAR-MAXIMAL pair: the fixture's pair
+    # distribution is almost flat (45, 44, 44, …), so the sampled argmax
+    # legitimately lands anywhere in the tie band — the estimator
+    # guarantee is that its pick's exact count is close to the exact max,
+    # not that it resolves ties the same way
+    half = learn_phrase_merges(docs, m=1, sample_rate=0.5)
+    counts = {
+        (r["w1"], r["w2"]): r["count"]
+        for r in (
+            docs.select(F.split(F.trim("text"), " ").alias("__toks"))
+            .where(F.size("__toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(__toks)-2),"
+                        " i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.w1", "p.w2")
+            .count()
+            .collect()
+        )
+    }
+    exact_max = max(counts.values())
+    assert counts[(half[0][1], half[0][2])] >= 0.8 * exact_max
+
+    # checkpoint cadence: identical merges, just bounded lineage
+    ckpt = learn_phrase_merges(docs, m=4, checkpoint_every=2)
+    assert ckpt == exact
+
+    # apply-once == iterative application round by round
+    applied = apply_phrase_merges(docs, exact)
+    iterative = docs.select(
+        "doc_id", F.concat(F.lit(" "), F.trim("text"), F.lit(" ")).alias("w")
+    )
+    for _, w1, w2, _ in exact:
+        iterative = iterative.select(
+            "doc_id",
+            F.replace(
+                F.col("w"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}@@{w2} ")
+            ).alias("w"),
+        )
+    left = {r["doc_id"]: r["text_merged"] for r in applied.select("doc_id", "text_merged").collect()}
+    right = {r["doc_id"]: r["w"].strip() for r in iterative.collect()}
+    assert left == right
+    assert any("@@" in v for v in left.values())
