@@ -37,6 +37,7 @@ _LOAN_FIXTURE_DIR = os.environ.get(
     ),
 )
 _LOAN_JOINED = os.path.join(_LOAN_FIXTURE_DIR, "loan_joined")
+_LR_WEIGHTS = os.path.join(_LOAN_FIXTURE_DIR, "lr_weights")
 
 # pipeline column lists — DERIVED the same way build_preprocessor
 # derives its defaults (ml/pipeline.py), not re-hardcoded:
@@ -153,6 +154,110 @@ def _preprocess_oracle() -> str:
         f"meds AS ({meds}) "
         f"SELECT stat, col, value, svalue FROM ({body}) ORDER BY stat, col"
     )
+
+_lr_weights_fresh = False
+
+
+def _export_lr_weights(spark: SparkSession, model) -> None:
+    """Flatten the fitted LR's coefficient vector into a named weight
+    table — (kind, col, category, weight) — committed under
+    ``.fixtures/lr_weights`` (the committed-index recipe), so the DuckDB
+    oracle can re-derive the SCORING pass (margin → sigmoid → prediction
+    → confusion cells) from names instead of vector positions.
+
+    Position→name mapping mirrors the assembler layout exactly
+    (ml/pipeline.py build_preprocessor): the first len(numeric) slots are
+    the scaled numeric block in ``_PP_NUMERIC`` order, then one one-hot
+    block per categorical in ``_PP_CATEGORICAL`` order, each of size
+    len(labels) with slot k = labels[k] (alphabetAsc indexers; the
+    dropped dropLast slot is the handleInvalid='keep' bucket, so unknown
+    categories carry weight 0 and need no row)."""
+    global _lr_weights_fresh
+    from pyspark.ml.feature import StringIndexerModel
+
+    from ..sources.loaders import _path_exists
+
+    lr = model.stages[-1]
+    indexers = {
+        s.getInputCol(): s for s in model.stages if isinstance(s, StringIndexerModel)
+    }
+    coef = list(lr.coefficients)
+    rows: list[tuple] = [("intercept", "", "", float(lr.intercept))]
+    for i, c in enumerate(_PP_NUMERIC):
+        rows.append(("num", c, "", float(coef[i])))
+    off = len(_PP_NUMERIC)
+    for c in _PP_CATEGORICAL:
+        labels = list(indexers[c].labels)
+        for k, cat in enumerate(labels):
+            rows.append(("cat", c, cat, float(coef[off + k])))
+        off += len(labels)
+    assert off == len(coef), f"layout drift: consumed {off} of {len(coef)} coefficients"
+    live = spark.createDataFrame(
+        rows, "kind string, col string, category string, weight double"
+    )
+    if not _lr_weights_fresh:
+        stale = True
+        if _path_exists(spark, _LR_WEIGHTS):
+            committed = spark.read.parquet(_LR_WEIGHTS)
+            stale = sorted(map(tuple, committed.collect())) != sorted(rows)
+        if stale:
+            live.coalesce(1).write.mode("overwrite").parquet(_LR_WEIGHTS)
+        _lr_weights_fresh = True
+
+
+def _lr_score_oracle() -> str:
+    """DuckDB re-derivation of the LR SCORING path over the committed
+    fixture + committed fitted weights (VERDICT r4 #2): re-impute
+    (train medians/modes), re-scale ((x−μ)/σ from the imputed train
+    split), margin = intercept + Σ wᵢ·xᵢ + Σ w[col, category], predict
+    via margin > 0 (⇔ sigmoid > 0.5), aggregate confusion cells over the
+    test split. Everything except the optimizer's coefficient VALUES is
+    now machine-verified; the values themselves are seed-pinned in
+    tests/test_ml.py."""
+    meds = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, quantile_disc({c}, 0.5) AS v FROM tr" for c in _PP_NUMERIC
+    )
+    stats = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, "
+        f"avg(coalesce({c}, (SELECT v FROM meds WHERE col = '{c}'))) AS mu, "
+        f"stddev_samp(coalesce({c}, (SELECT v FROM meds WHERE col = '{c}'))) AS sd "
+        f"FROM tr"
+        for c in _PP_NUMERIC
+    )
+    modes = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, "
+        f"(SELECT {c} FROM tr WHERE {c} IS NOT NULL GROUP BY {c} "
+        f"ORDER BY count(*) DESC, {c} ASC LIMIT 1) AS m"
+        for c in _PP_CATEGORICAL
+    )
+    num_terms = " + ".join(
+        f"(SELECT weight FROM w WHERE kind = 'num' AND col = '{c}') * "
+        f"(CASE WHEN (SELECT sd FROM stats WHERE col = '{c}') = 0 THEN 0 "
+        f"ELSE (coalesce({c}, (SELECT v FROM meds WHERE col = '{c}')) "
+        f"      - (SELECT mu FROM stats WHERE col = '{c}')) "
+        f"     / (SELECT sd FROM stats WHERE col = '{c}') END)"
+        for c in _PP_NUMERIC
+    )
+    cat_terms = " + ".join(
+        f"coalesce((SELECT weight FROM w WHERE kind = 'cat' AND col = '{c}' "
+        f"AND category = coalesce(te.{c}, (SELECT m FROM modes WHERE col = '{c}'))), 0)"
+        for c in _PP_CATEGORICAL
+    )
+    return (
+        f"WITH j AS (SELECT * FROM read_parquet('{_LOAN_JOINED}/*.parquet')), "
+        f"tr AS (SELECT * FROM j WHERE split = 'train'), "
+        f"te AS (SELECT * FROM j WHERE split = 'test'), "
+        f"w AS (SELECT * FROM read_parquet('{_LR_WEIGHTS}/*.parquet')), "
+        f"meds AS ({meds}), stats AS ({stats}), modes AS ({modes}), "
+        f"scored AS (SELECT label, "
+        f"(SELECT weight FROM w WHERE kind = 'intercept') + {num_terms} + {cat_terms} "
+        f"AS margin FROM te) "
+        f"SELECT CAST(label AS INT) AS label, "
+        f"CASE WHEN margin > 0 THEN 1 ELSE 0 END AS prediction, "
+        f"CAST(count(*) AS BIGINT) AS n "
+        f"FROM scored GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
 
 _STREAM_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -311,27 +416,35 @@ def ml_preprocess_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_loan_train_eval",
-    oracle=None,  # MLlib training is not SQL-expressible
+    # The optimizer's coefficient VALUES are the only seed-pinned part
+    # left: the scoring pass they feed (impute → scale → encode → margin
+    # → sigmoid threshold → confusion cells) is re-derived by DuckDB
+    # from the committed fixture + committed fitted weights and
+    # hash-compared (VERDICT r4 #2 — flips this query from rows-only to
+    # oracle-verified).
+    oracle=_lr_score_oracle(),
     description="The reference's end-to-end ML dataflow in one query: "
     "loan star fixture -> join/clean -> impute/encode/scale -> logistic "
-    "regression -> confusion matrix (deterministic, seed 42)",
+    "regression -> confusion matrix (deterministic, seed 42); the fitted "
+    "coefficients are exported to .fixtures/lr_weights and the whole "
+    "scoring path is hash-checked against a DuckDB sigmoid re-derivation",
 )
 def ml_loan_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
 
     from ..ml.evaluate import confusion_matrix
-    from ..ml.pipeline import build_pipeline, prepare_loan_frame
-    from ..ml.split import stratified_split
-    from ..sources.loan_fixtures import generate_loan_tables
+    from ..ml.pipeline import build_pipeline
 
-    t = generate_loan_tables(spark, seed=42)
-    df = prepare_loan_frame(t["applicant_info"], t["financial_info"], t["loan_info"])
-    train, test = stratified_split(df, "label", test_size=0.2, seed=42)
+    # _ensure_loan_fixture yields the SAME frames the old inline build
+    # produced (generate → prepare → stratified_split, seed 42) and
+    # keeps the committed fixture the oracle reads fingerprint-fresh
+    train, test, _ = _ensure_loan_fixture(spark)
     clf = LogisticRegression(maxIter=500, labelCol="label", featuresCol="features")
     # the eager MLlib fit wants the session default (32 locally); scoped so
     # a caller-tuned session is restored afterwards
     with scoped_conf(spark, spark_sql_shuffle_partitions="32"):
         model = build_pipeline(clf).fit(train)
+    _export_lr_weights(spark, model)
     return confusion_matrix(model.transform(test)).select(
         F.col("label").cast("int").alias("label"),
         F.col("prediction").cast("int").alias("prediction"),
