@@ -445,6 +445,7 @@ def replay_events_multibatch(
     n_batches: int = 10,
     output_mode: str = "append",
     table: str = "__multibatch_replay",
+    state_store_provider: str | None = None,
 ) -> dict:
     """Rate-limited replay measuring STEADY-STATE per-batch cost
     (VERDICT r3 #7): split the fixture into ``n_batches`` time-range
@@ -459,14 +460,29 @@ def replay_events_multibatch(
     in-order slices keep the watermark monotone so the emitted output
     still equals the batch twin over the ≤-final-watermark prefix.
 
+    ``state_store_provider='rocksdb'`` runs the replay on the RocksDB
+    state store (the production backend for large state; Spark bundles
+    rocksdbjni) — the provider class is fixed at the query's first
+    checkpoint, and each replay starts a fresh query, so a scoped conf
+    around start() is sufficient and nothing leaks to the session.
+
     Returns per-batch progress: input rows, trigger wall ms, state rows."""
+    import contextlib
     import json as _json
     import os
     import shutil
     import tempfile
     import time
 
+    from ..session import scoped_conf
     from ..sources.loaders import load_table
+
+    providers = {
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    }
+    if state_store_provider is not None and state_store_provider not in providers:
+        raise ValueError(f"unknown state_store_provider: {state_store_provider!r}")
 
     dest = tempfile.mkdtemp(prefix="events_ranged_")
     try:
@@ -488,15 +504,28 @@ def replay_events_multibatch(
             .option("maxFilesPerTrigger", "1")
             .load(dest)
         )
-        q = (
-            build(stream)
-            .writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(table)
-            .trigger(availableNow=True)
-            .start()
+        scope = (
+            scoped_conf(
+                spark,
+                **{
+                    "spark.sql.streaming.stateStore.providerClass": providers[
+                        state_store_provider
+                    ]
+                },
+            )
+            if state_store_provider is not None
+            else contextlib.nullcontext()
         )
-        q.awaitTermination()
+        with scope:
+            q = (
+                build(stream)
+                .writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(table)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         batches = []
         peak = 0
         for p in q.recentProgress:
