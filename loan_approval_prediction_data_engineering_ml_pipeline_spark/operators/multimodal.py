@@ -1,10 +1,11 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no codec libraries, so the decode step is STUBBED with
-a deterministic fake (bytes → pseudo-pixel grid) behind a real-decoder
-hook that raises NotImplementedError — the Spark-side contract that
-matters at 100 TB is real and tested:
+The decode step runs on a deterministic fake (bytes → pseudo-pixel
+grid) in codec-less environments like this container; the real decoder
+(:func:`decode_real`) is wired to PIL behind an optional import and
+round-trip tested when Pillow is present. The Spark-side contract that
+matters at 100 TB is real and tested either way:
 
 - schema: ``media binary`` + ``media_meta struct<format,width,height,
   n_frames>`` travels through shuffles/projections untouched;
@@ -66,11 +67,27 @@ def _decode_gray8(buf: bytes, width: int, height: int, n_frames: int) -> np.ndar
     return arr.reshape(n_frames, height, width)
 
 
-def decode_real(*_args, **_kwargs):  # pragma: no cover - by design
-    raise NotImplementedError(
-        "real image/video decode requires codec libraries absent from this "
-        "container; the Spark plumbing uses the deterministic fake decoder"
-    )
+def decode_real(buf: bytes) -> np.ndarray:
+    """Real image decode via PIL (public codec, optional import): encoded
+    bytes (PNG/JPEG/…) → numpy array (H, W) or (H, W, C). This is the
+    production swap-in for :func:`_decode_gray8`; the import is deferred
+    so environments without Pillow (this container) keep the full
+    Spark-side contract working on the deterministic fake and raise a
+    clear NotImplementedError only if the real path is actually called.
+    Round-trip tested (generated PNG → decode → pixel equality) when PIL
+    is importable; skip-marked otherwise."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "real image decode needs Pillow (`pip install pillow`); this "
+            "environment has no codec libraries, so use the deterministic "
+            "fake decoder (_decode_gray8) for plumbing tests"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(buf)) as img:
+        return np.asarray(img)
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:

@@ -54,9 +54,54 @@ def test_frame_sampling(media_df):
     assert {x["frame_idx"] for x in frames.select("frame_idx").distinct().collect()} == {0, 2}
 
 
-def test_real_decode_is_marked_unimplemented():
-    with pytest.raises(NotImplementedError):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow present: real path active")
+def test_real_decode_raises_clearly_without_pillow():
+    """Codec-less environments get a NotImplementedError naming the
+    missing dependency, not an opaque ImportError mid-batch."""
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
         M.decode_real(b"")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_decode_round_trips_generated_png():
+    """decode_real on a PNG generated from known pixels returns exactly
+    those pixels. The PNG is built with stdlib zlib/struct so the test
+    exercises PIL's decoder, not PIL's encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = 5, 7
+    pixels = (np.arange(h * w, dtype=np.uint8) * 7 % 256).reshape(h, w)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = M.decode_real(png)
+    assert got.shape == (h, w)
+    assert (got == pixels).all()
 
 
 def test_extract_audio_features(spark):
