@@ -1046,6 +1046,40 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_ingest_dedup",
+    tier="local",  # optimization twin of incremental_dedup (driver tier capped)
+    # IDENTICAL oracle to incremental_dedup: the Bloom prefilter is a
+    # pure optimization (no false negatives; positives exactly verified),
+    # so the gate machine-checks output equivalence every round instead
+    # of relying on the pytest identity test alone
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents),
+    inc AS (SELECT doc_id, f,
+                   row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp WHERE doc_id % 10 = 0),
+    ex AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 != 0)
+    SELECT inc.doc_id,
+           CASE WHEN ex.f IS NOT NULL THEN 'dup_corpus'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           inc.f AS fingerprint
+    FROM inc LEFT JOIN ex ON inc.f = ex.f
+    ORDER BY doc_id
+    """,
+    description="Bloom-prefiltered ingest dedup: same contract and same "
+    "oracle as incremental_dedup, but a bit_or-aggregated bitmap over "
+    "the corpus fingerprints is broadcast and probed map-side by codegen "
+    "shift/AND, so only the maybe-in-corpus sliver joins the index — the "
+    "shape that wins when the batch is large and mostly novel",
+)
+def bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index = D.exact_dedup(docs.where(F.col("doc_id") % 10 != 0))
+    return D.bloom_prefiltered_dedup(batch, index).orderBy("doc_id")
+
+
+@query(
     "decontaminate",
     tier="local",  # new-capability slot: the driver tier is at its 50-query cap
     oracle=f"""
