@@ -60,6 +60,26 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _cells_close(a: str, b: str) -> bool:
+    """Exact string equality, else numeric closeness at rel 1e-9.
+
+    Both engines round float aggregates (typically 4-6 dp) before the
+    compare, but a sum of ~10^6 doubles carries summation-ORDER error of
+    a few ULPs (~1e-14 relative): at sf1 magnitudes (~10^10) two
+    correct engines can round a boundary-straddling sum to adjacent 4th
+    decimals (observed: pricing_summary sum_charge 27063233425.4471 vs
+    .4470). rel 1e-9 absorbs exactly that class — five-plus orders of
+    magnitude tighter than any real aggregation defect — while NULL,
+    strings, ints, and small floats still compare exactly."""
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+    except ValueError:
+        return False
+    return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+
+
 def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     spark_pdf = spark_df.toPandas()
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
@@ -71,6 +91,16 @@ def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     )
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
-    if s_rows != o_rows:
-        diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:5]
+    if s_rows == o_rows:
+        return
+    # exact hash-style compare failed: re-check pairwise with the tight
+    # numeric tolerance (canon sort keys are the group columns in
+    # practice, so ULP drift in an aggregate cell doesn't re-pair rows;
+    # if it ever did, the tolerant pass fails too — no false green)
+    diffs = [
+        (a, b)
+        for a, b in zip(s_rows, o_rows)
+        if not all(_cells_close(x, y) for x, y in zip(a, b))
+    ][:5]
+    if diffs:
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
