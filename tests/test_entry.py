@@ -30,9 +30,9 @@ def test_driver_tier_is_exactly_fifty():
         f"driver tier has {len(q)} queries; the driver caps its snapshot "
         "at 50 — re-curate tiers in plans/*.py"
     )
-    # the weaker rows-only check should stay limited to the genuinely
-    # non-SQL-expressible ops: after VERDICT r2 #1/#2, dedup_simhash has
-    # a DuckDB bit-ops oracle and ann_ivf a committed-index oracle —
-    # only MLlib training remains (and it is seed-pinned in test_ml.py)
+    # r5: zero rows-only driver queries remain — ml_loan_train_eval's
+    # scoring path gained a committed-weights DuckDB oracle (VERDICT r4
+    # #2), so every driver query now carries a full hash comparison; the
+    # optimizer's coefficient values stay seed-pinned in test_ml.py
     o = entry_mod.oracle_sql()
-    assert set(q) - set(o) == {"ml_loan_train_eval"}
+    assert set(q) - set(o) == set()
