@@ -146,10 +146,20 @@ _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s
 
 @query(
     "dedup_minhash_near",
+    # Ground-truth oracle with inverted-index candidate generation
+    # (r5): J(a,b) >= 0.8 > 0 requires at least one SHARED shingle, so
+    # the equi-join on exploded shingles produces a candidate superset
+    # and the exact-Jaccard filter finishes the job — same truth set as
+    # the all-pairs self-join (equality verified at sf0.01), but
+    # O(candidates) instead of O(n^2): 11.5k vs 2M pairs at sf0.01,
+    # and the difference between ~1 s and unbounded hours at sf1.
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM documents)
+    WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES3} AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_J3} AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM cand JOIN sh a ON a.doc_id = cand.ia JOIN sh b ON b.doc_id = cand.ib
     WHERE {_J3} >= 0.8
     ORDER BY id_a, id_b
     """,
