@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: the binary+metadata contract, Arrow batch
-shape, determinism, and payload-shedding schemas (decode itself is a
-deterministic stub — no codec libs in the container)."""
+shape, determinism, payload-shedding schemas, and the real PNG decode
+path (PIL when present, stdlib zlib fallback otherwise — the round-trip
+tests run in every environment, codec libs or not)."""
 
 from __future__ import annotations
 
@@ -64,26 +65,53 @@ def _pil_available() -> bool:
 
 
 @pytest.mark.skipif(_pil_available(), reason="Pillow present: real path active")
-def test_real_decode_raises_clearly_without_pillow():
+def test_real_decode_raises_clearly_on_non_png_without_pillow():
     """Codec-less environments get a NotImplementedError naming the
-    missing dependency, not an opaque ImportError mid-batch."""
+    missing dependency for non-PNG bytes, not an opaque ImportError
+    mid-batch; PNG bytes decode via the stdlib fallback regardless."""
     with pytest.raises(NotImplementedError, match="[Pp]illow"):
-        M.decode_real(b"")
+        M.decode_real(b"\xff\xd8\xff\xe0 not-a-png")
 
 
-@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
-def test_real_decode_round_trips_generated_png():
-    """decode_real on a PNG generated from known pixels returns exactly
-    those pixels. The PNG is built with stdlib zlib/struct so the test
-    exercises PIL's decoder, not PIL's encoder."""
+def _make_png(pixels, *, color_type: int, filters=None) -> bytes:
+    """Minimal stdlib PNG *encoder* for test fixtures, with per-row
+    filter-type control so the decoder's unfilter paths (None/Sub/Up/
+    Average/Paeth) are each exercised. Inverse-filters per the spec."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w = 5, 7
-    pixels = (np.arange(h * w, dtype=np.uint8) * 7 % 256).reshape(h, w)
-    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[0], pixels.shape[1]
+    nchan = 1 if pixels.ndim == 2 else pixels.shape[2]
+    flat = pixels.reshape(h, w * nchan).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nchan, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = flat[y]
+        enc = line.copy()
+        for i in range(w * nchan):
+            a = int(line[i - nchan]) if i >= nchan else 0
+            b = int(prev[i])
+            c = int(prev[i - nchan]) if i >= nchan else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (int(line[i]) - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -93,15 +121,119 @@ def test_real_decode_round_trips_generated_png():
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
-    got = M.decode_real(png)
+
+
+def test_real_decode_round_trips_generated_png():
+    """decode_real on a PNG generated from known pixels returns exactly
+    those pixels — runs in EVERY environment: PIL's decoder when
+    installed, the stdlib PNG fallback otherwise (the PNG is built with
+    stdlib zlib/struct either way, so the test always exercises a
+    decoder against an independent encoder)."""
+    import numpy as np
+
+    h, w = 5, 7
+    pixels = (np.arange(h * w, dtype=np.uint8) * 7 % 256).reshape(h, w)
+    got = M.decode_real(_make_png(pixels, color_type=0))
     assert got.shape == (h, w)
     assert (got == pixels).all()
+
+
+def test_real_decode_rgb_all_filter_types():
+    """An RGB PNG whose five rows use filters None/Sub/Up/Average/Paeth
+    decodes back to the exact source pixels (covers every unfilter
+    branch, including the left-neighbor bpp offset on multi-channel)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pixels = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    got = M.decode_real(_make_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4]))
+    assert got.shape == (5, 6, 3)
+    assert (got == pixels).all()
+
+
+def test_real_decode_rgba_paeth_only():
+    """RGBA with Paeth on every row — the filter PIL's encoder favors."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    got = M.decode_real(_make_png(pixels, color_type=6, filters=[4] * 4))
+    assert (got == pixels).all()
+
+
+def test_png_payloads_flow_through_spark_feature_extraction(spark):
+    """End-to-end REAL-codec path through the Spark operator: rows carry
+    actual PNG-encoded bytes (stdlib encoder), ``media_meta.format='png'``
+    dispatches :func:`decode_real` inside the mapInPandas batch, and the
+    luminance features match numpy computed on the source pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(6, 5), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (
+            i,
+            bytearray(M.encode_png(px)),
+            {"format": "png", "width": 5, "height": 6, "n_frames": 1},
+        )
+        for i, px in imgs.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+                T.StructField("media_meta", M.MEDIA_META),
+            ]
+        ),
+    )
+    feats = {r["doc_id"]: r for r in M.extract_image_features(df).collect()}
+    for i, px in imgs.items():
+        assert feats[i]["mean_lum"] == pytest.approx(float(px.mean()))
+        assert feats[i]["std_lum"] == pytest.approx(float(px.std()))
+        assert feats[i]["n_frames"] == 1
+
+
+def test_encode_png_decode_real_inverse_rgb():
+    """encode_png → decode_real is the identity on RGB uint8 pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(9, 4, 3), dtype=np.uint8)
+    assert (M.decode_real(M.encode_png(px)) == px).all()
+
+
+def test_stdlib_png_rejects_unsupported_geometry():
+    """16-bit / interlaced PNGs fail loudly with the Pillow pointer, not
+    with garbage pixels (stdlib fallback path only)."""
+    if _pil_available():
+        pytest.skip("Pillow decodes these for real")
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        M.decode_real(png16)
 
 
 def test_extract_audio_features(spark):
