@@ -262,7 +262,10 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
     """decode → nearest-neighbor resize → re-encode bytes; metadata updated.
     Shows a transform that rewrites the payload while keeping the column
-    contract (binary + struct) intact."""
+    contract (binary + struct) intact. Same format dispatch as
+    :func:`extract_image_features`: PNG payloads decode through the real
+    codec and re-encode as PNG (:func:`encode_png` — still
+    self-describing downstream), the fake format stays raw bytes."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -276,16 +279,19 @@ def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 m = r["media_meta"]
-                grid = _decode_gray8(bytes(r["media"]), m["width"], m["height"], m["n_frames"])
-                yi = (np.arange(out_h) * m["height"] // out_h)
-                xi = (np.arange(out_w) * m["width"] // out_w)
+                encoded = m["format"] in ("png", "jpeg", "webp")
+                grid = _decode_any(r["media"], m)
+                yi = (np.arange(out_h) * grid.shape[1] // out_h)
+                xi = (np.arange(out_w) * grid.shape[2] // out_w)
                 small = grid[:, yi][:, :, xi]
+                payload = encode_png(small[0]) if encoded else small.tobytes()
                 rows.append(
                     (
                         int(r["doc_id"]),
-                        small.tobytes(),
-                        {"format": "fake-gray8", "width": out_w, "height": out_h,
-                         "n_frames": int(m["n_frames"])},
+                        payload,
+                        {"format": "png" if encoded else "fake-gray8",
+                         "width": out_w, "height": out_h,
+                         "n_frames": int(grid.shape[0])},
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])

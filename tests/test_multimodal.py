@@ -201,6 +201,30 @@ def test_png_payloads_flow_through_spark_feature_extraction(spark):
         assert feats[i]["n_frames"] == 1
 
 
+def test_resize_png_payload_reencodes_as_png(spark):
+    """Resizing a real PNG payload yields a decodable PNG of the target
+    geometry whose pixels are the nearest-neighbor downsample."""
+    import numpy as np
+
+    px = (np.arange(8 * 8, dtype=np.uint8) * 3 % 256).reshape(8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_png(px)), {"format": "png", "width": 8, "height": 8, "n_frames": 1})],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+                T.StructField("media_meta", M.MEDIA_META),
+            ]
+        ),
+    )
+    r = M.resize_media(df, out_w=4, out_h=4).first()
+    assert r["media_meta"]["format"] == "png"
+    got = M.decode_real(bytes(r["media"]))
+    yi = np.arange(4) * 8 // 4
+    assert got.shape == (4, 4)
+    assert (got == px[yi][:, yi]).all()
+
+
 def test_encode_png_decode_real_inverse_rgb():
     """encode_png → decode_real is the identity on RGB uint8 pixels."""
     import numpy as np
