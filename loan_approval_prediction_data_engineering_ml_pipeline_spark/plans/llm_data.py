@@ -146,18 +146,39 @@ _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s
 
 @query(
     "dedup_minhash_near",
-    # Ground-truth oracle with inverted-index candidate generation
-    # (r5): J(a,b) >= 0.8 > 0 requires at least one SHARED shingle, so
-    # the equi-join on exploded shingles produces a candidate superset
-    # and the exact-Jaccard filter finishes the job — same truth set as
-    # the all-pairs self-join (equality verified at sf0.01), but
-    # O(candidates) instead of O(n^2): 11.5k vs 2M pairs at sf0.01,
-    # and the difference between ~1 s and unbounded hours at sf1.
+    # Ground-truth oracle with PREFIX-FILTERED candidate generation
+    # (r5; Chaudhuri/Ganti/Kaushik 2006, Xiao et al. PPJoin 2008 —
+    # exact, not approximate): under any single GLOBAL ordering of
+    # shingles, J(a,b) >= t forces |a∩b| >= t·max(|a|,|b|), so the pair
+    # must share a shingle inside each side's first
+    # (sz − ceil(t·sz) + 1) shingles when ordered rarest-first.
+    # Joining only those prefixes keeps high-doc-frequency shingles —
+    # whose inverted lists grow quadratically in the join — out of
+    # candidate generation entirely. The naive shared-shingle join
+    # (previous r5 attempt) was itself the blowup at the sf1 gate: the
+    # near-dup upsample multiplies every shingle's doc frequency by 10,
+    # and a df-10k shingle alone contributes 5·10^7 join rows (observed
+    # >100 GB in DuckDB's DISTINCT). A size filter (0.8-ratio) prunes
+    # the rest. Same truth set as the all-pairs self-join — equality
+    # asserted in tests/test_llm_ops.py at sf0.01.
     oracle=f"""
     WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES3} AS s FROM documents),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+    ranked AS (
+        SELECT e.doc_id, e.g,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk,
+               count(*) OVER (PARTITION BY e.doc_id) AS sz
+        FROM ex e JOIN gdf d USING (g)
+    ),
+    pref AS (
+        SELECT doc_id, g, sz FROM ranked
+        WHERE rk <= sz - CAST(ceil(0.8 * sz) AS INT) + 1
+    ),
     cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
-             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id)
+             FROM pref x JOIN pref y
+             ON x.g = y.g AND x.doc_id < y.doc_id
+             AND x.sz >= ceil(0.8 * y.sz) AND y.sz >= ceil(0.8 * x.sz))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_J3} AS jaccard
     FROM cand JOIN sh a ON a.doc_id = cand.ia JOIN sh b ON b.doc_id = cand.ib
     WHERE {_J3} >= 0.8

@@ -9,3 +9,7 @@ from .events import (  # noqa: F401
     user_running_stats,
     windowed_counts,
 )
+from .ingest import (  # noqa: F401
+    read_corpus,
+    stream_corpus_ingest_dedup,
+)

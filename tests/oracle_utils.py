@@ -25,17 +25,22 @@ TABLES = [
 ]
 
 
-def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+def duck_path(sf_dir: str, table: str) -> str:
+    """DuckDB-readable path for a fixture table: driver fixtures are
+    single files; Spark-written datasets (the sf1 upsample) are
+    directories of part files — glob those."""
     import os
 
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    return path
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        # driver fixtures are single files; Spark-written datasets (the
-        # sf1 upsample) are directories of part files — glob those
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{duck_path(sf_dir, t)}'")
     return con.sql(sql).df()
 
 

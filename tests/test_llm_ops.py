@@ -633,3 +633,32 @@ def test_phrase_merges_sampled_path_and_apply_once(spark):
     right = {r["doc_id"]: r["w"].strip() for r in iterative.collect()}
     assert left == right
     assert any("@@" in v for v in left.values())
+
+
+def test_prefix_filtered_oracle_equals_all_pairs_truth_set():
+    """The dedup_minhash_near ground-truth oracle uses prefix-filtered
+    candidate generation (PPJoin-style) so it stays feasible at sf1 —
+    an EXACT optimization, not an approximation. Prove it: on sf0.01
+    the prefix-filtered oracle's (id_a, id_b, jaccard) set must equal
+    the naive all-pairs threshold self-join, pair for pair."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import _J3, _SHINGLES3
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import QUERIES
+
+    from .oracle_utils import duckdb_run
+
+    sf_dir = "/root/testdata/sf0.01"
+    fast = duckdb_run(QUERIES["dedup_minhash_near"].oracle, sf_dir)
+    naive = duckdb_run(
+        f"""
+        WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES3} AS s FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_J3} AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_J3} >= 0.8
+        ORDER BY id_a, id_b
+        """,
+        sf_dir,
+    )
+    assert len(fast) > 0
+    assert list(map(tuple, fast.itertuples(index=False))) == list(
+        map(tuple, naive.itertuples(index=False))
+    )

@@ -13,7 +13,7 @@ import pytest
 
 from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import QUERIES
 
-from .oracle_utils import assert_matches, duckdb_run
+from .oracle_utils import assert_matches, duck_path, duckdb_run
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 
@@ -79,7 +79,7 @@ def test_grouped_stats_approx_bounded_by_duckdb_exact(spark):
     import duckdb as _dd
 
     con = _dd.connect()
-    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{duck_path(SF_DIR, 'lineitem')}'")
     s = sdf.set_index("l_returnflag")
     e = exact.set_index("l_returnflag")
     assert sorted(s.index) == sorted(e.index)

@@ -423,3 +423,93 @@ def test_stateful_streams_run_on_rocksdb_state_store(spark):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def _write_ingest_feed(spark, src_dir):
+    """Three parquet files with ascending mtimes (deterministic discovery
+    order): fresh docs, then cross-batch near-exact redeliveries under
+    NEW ids, then a within-batch duplicate pair. IDs are monotone with
+    arrival, so the batch twin's min-id keeper == first-ever arrival."""
+    import os
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 40)
+    b1 = (
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")  # corpus dups
+        .unionByName(docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)))
+    )
+    b2 = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 80)).unionByName(
+        spark.createDataFrame(
+            [(200001, "a brand new never seen document"),
+             (200002, "A brand new  never seen document  ")],  # normalized-dup pair
+            "doc_id long, text string",
+        )
+    )
+    import glob
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    now = _t.time()
+    for i, b in enumerate([b0, b1, b2]):
+        staged = os.path.join(src_dir, f"__stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+    return docs
+
+
+def test_stream_corpus_ingest_dedup_matches_batch_twin(spark, tmp_path):
+    """Cross-batch corpus dedup with lakehouse-resident state: streaming
+    the 3-file feed lands exactly the first-ever arrival of each distinct
+    normalized text; the surviving set equals exact_dedup over the whole
+    concatenated feed (stream ≡ batch); a full redelivery (fresh
+    checkpoint, same feed) leaves the store unchanged — the
+    exclude-own-batch index read makes retries idempotent even after the
+    index write has landed. The Bloom-prefiltered probe path produces the
+    identical corpus."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.dedup import exact_dedup
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.ingest import (
+        read_corpus,
+        stream_corpus_ingest_dedup,
+    )
+
+    src = str(tmp_path / "feed")
+    _write_ingest_feed(spark, src)
+    full_feed = spark.read.parquet(src)
+    want = {r["keeper_id"] for r in exact_dedup(full_feed).collect()}
+
+    def ingest(store: str, cp: str, **kw) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_corpus_ingest_dedup(
+            stream, str(tmp_path / store), checkpoint=str(tmp_path / cp), **kw
+        )
+
+    ingest("store", "cp1")
+    landed = read_corpus(spark, str(tmp_path / "store"))
+    got = {r["doc_id"] for r in landed.collect()}
+    assert got == want
+    assert landed.count() == len(want)  # one row per keeper, no copies
+
+    # full redelivery: fresh checkpoint replays every file; the store
+    # already holds every batch's index partition — the hazard path
+    ingest("store", "cp2")
+    again = read_corpus(spark, str(tmp_path / "store"))
+    assert {r["doc_id"] for r in again.collect()} == want
+    assert again.count() == len(want)
+
+    # Bloom-prefiltered probe: identical corpus (no false negatives;
+    # false positives verified away on the sliver)
+    ingest("store_bloom", "cp3", use_bloom=True, expected_corpus_items=1000)
+    bloomed = read_corpus(spark, str(tmp_path / "store_bloom"))
+    assert {r["doc_id"] for r in bloomed.collect()} == want
