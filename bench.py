@@ -75,6 +75,7 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup: deterministic k-means + in-cluster GEMM pairs
     "training_shard_stats",  # shard-export plan: one hash exchange + local sort
     "phrase_merges",  # 6-round word2phrase merge loop (iterative, chained scans)
+    "dedup_jaccard_prefix",  # exact PPJoin twin of dedup_minhash_near (r5)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

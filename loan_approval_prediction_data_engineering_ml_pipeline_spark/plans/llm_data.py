@@ -144,24 +144,25 @@ _SHINGLES3 = _shingles_sql(3)
 _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s, b.s))), 6)"
 
 
-@query(
-    "dedup_minhash_near",
-    # Ground-truth oracle with PREFIX-FILTERED candidate generation
-    # (r5; Chaudhuri/Ganti/Kaushik 2006, Xiao et al. PPJoin 2008 —
-    # exact, not approximate): under any single GLOBAL ordering of
-    # shingles, J(a,b) >= t forces |a∩b| >= t·max(|a|,|b|), so the pair
-    # must share a shingle inside each side's first
-    # (sz − ceil(t·sz) + 1) shingles when ordered rarest-first.
-    # Joining only those prefixes keeps high-doc-frequency shingles —
-    # whose inverted lists grow quadratically in the join — out of
-    # candidate generation entirely. The naive shared-shingle join
-    # (previous r5 attempt) was itself the blowup at the sf1 gate: the
-    # near-dup upsample multiplies every shingle's doc frequency by 10,
-    # and a df-10k shingle alone contributes 5·10^7 join rows (observed
-    # >100 GB in DuckDB's DISTINCT). A size filter (0.8-ratio) prunes
-    # the rest. Same truth set as the all-pairs self-join — equality
-    # asserted in tests/test_llm_ops.py at sf0.01.
-    oracle=f"""
+# Ground-truth threshold-Jaccard oracle with PREFIX-FILTERED candidate
+# generation (r5; Chaudhuri/Ganti/Kaushik 2006, Xiao et al. PPJoin 2008
+# — exact, not approximate): under any single GLOBAL ordering of
+# shingles, J(a,b) >= t forces |a∩b| >= t·max(|a|,|b|), so the pair
+# must share a shingle inside each side's first
+# (sz − ceil(t·sz) + 1) shingles when ordered rarest-first.
+# Joining only those prefixes keeps high-doc-frequency shingles —
+# whose inverted lists grow quadratically in the join — out of
+# candidate generation entirely. The naive shared-shingle join
+# (previous r5 attempt) was itself the blowup at the sf1 gate: the
+# near-dup upsample multiplies every shingle's doc frequency by 10,
+# and a df-10k shingle alone contributes 5·10^7 join rows (observed
+# >100 GB in DuckDB's DISTINCT). A size filter (0.8-ratio) prunes
+# the rest. Same truth set as the all-pairs self-join — equality
+# asserted in tests/test_llm_ops.py at sf0.01. Shared by
+# dedup_minhash_near (the approximate path must reproduce the full
+# truth set) and dedup_jaccard_prefix (the Spark twin of the SAME
+# algorithm — an independent DataFrame implementation, not a port).
+_PREFIX_JACCARD_ORACLE = f"""
     WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES3} AS s FROM documents),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
     gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
@@ -183,7 +184,12 @@ _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s
     FROM cand JOIN sh a ON a.doc_id = cand.ia JOIN sh b ON b.doc_id = cand.ib
     WHERE {_J3} >= 0.8
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@query(
+    "dedup_minhash_near",
+    oracle=_PREFIX_JACCARD_ORACLE,
     description="Approximate MinHash+LSH near-dup (the regime LSH exists "
     "for): word-3-shingles -> 16-hash minhash -> 8 bands x 2 rows -> "
     "bucket-join -> exact-Jaccard >= 0.8 verify. Oracle is the exact "
@@ -199,6 +205,27 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_dedup(
         docs, k=MINHASH_K, bands=8, min_jaccard=0.8, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=_PREFIX_JACCARD_ORACLE,
+    description="EXACT Jaccard-threshold self-join via AllPairs/PPJoin "
+    "prefix filtering (word-3-shingles, t=0.8): rarest-first global "
+    "shingle order, join only each document's first (sz-ceil(t*sz)+1) "
+    "shingles with a mutual size-ratio filter, verify candidates "
+    "exactly. Deterministic zero-false-negative twin of "
+    "dedup_minhash_near — no banding schedule, no recall probability; "
+    "candidate volume is O(true pairs) on a shingled corpus. The oracle "
+    "is the same prefix-filtered SQL: here it checks an independent "
+    "DataFrame implementation of the algorithm itself",
+    tier="local",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filtered_jaccard_join(
+        docs, min_jaccard=0.8, shingle_n=3
     ).orderBy("id_a", "id_b")
 
 

@@ -662,3 +662,40 @@ def test_prefix_filtered_oracle_equals_all_pairs_truth_set():
     assert list(map(tuple, fast.itertuples(index=False))) == list(
         map(tuple, naive.itertuples(index=False))
     )
+
+
+def test_prefix_filtered_jaccard_join_equals_brute_force(spark):
+    """prefix_filtered_jaccard_join is exact at thresholds the shared
+    oracle never exercises: at t=0.6 / 2-shingles the output must equal
+    a brute-force all-pairs cross-join verify, pair for pair."""
+    docs = load_table(spark, SF, "documents").limit(120)
+    got = sorted(
+        map(
+            tuple,
+            D.prefix_filtered_jaccard_join(
+                docs, min_jaccard=0.6, shingle_n=2
+            ).collect(),
+        )
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(X.word_shingles("text", 2)).alias("toks"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    j = X.jaccard(F.col("a.toks"), F.col("b.toks"))
+    want = sorted(
+        map(
+            tuple,
+            a.crossJoin(b)
+            .where(F.col("a.id") < F.col("b.id"))
+            .where(F.round(j, 6) >= 0.6)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(j, 6).alias("jaccard"),
+            )
+            .collect(),
+        )
+    )
+    assert len(want) > 0
+    assert got == want
