@@ -444,44 +444,64 @@ def build_pq_index(
     distance: the QUERY stays exact, only the corpus is quantized —
     Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI 2011)."""
+    norm = V.l2_normalize(V.as_double(vec_col))
+    df = embeddings.select(F.col(id_col), norm.alias("arr"))
+    books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
+    codes = df.select(F.col(id_col), _pq_codes_expr(books, sub).alias("codes"))
+    codes.write.mode("overwrite").parquet(path + "/codes")
+    _write_pq_codebooks(embeddings.sparkSession, path, books)
+
+
+def _fit_pq_codebooks(
+    df: DataFrame, *, m: int, k: int, seed: int, vec_col: str = "arr"
+) -> tuple[list[list[list[float]]], int]:
+    """Fit the m per-subspace KMeans codebooks over a normalized-vector
+    frame; returns (books, subvector length). Shared by the flat-PQ and
+    IVF-PQ builds so their code recipes cannot drift — identical input,
+    seed, and layout produce byte-identical codebooks."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = V.l2_normalize(V.as_double(vec_col))
-    df = embeddings.select(F.col(id_col), norm.alias("arr"))
-    dim = len(df.first()["arr"])
+    dim = len(df.first()[vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     books: list[list[list[float]]] = []
     for j in range(m):
         feats = df.select(
-            array_to_vector(F.slice("arr", j * sub + 1, sub)).alias("feat")
+            array_to_vector(F.slice(vec_col, j * sub + 1, sub)).alias("feat")
         )
         model = KMeans(k=k, seed=seed + j, featuresCol="feat").fit(feats)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books, sub
+
+
+def _pq_codes_expr(
+    books: list[list[list[float]]], sub: int, vec_col: str = "arr"
+):
+    """codegen encode expression: per subspace, argmin over the k literal
+    centroids (array_position on the first minimum — deterministic
+    tie-break); one map-only pass encodes the corpus."""
     code_cols = []
-    for j in range(m):
+    for j, book in enumerate(books):
         dists = F.array(
             *[
                 sum(
-                    (F.col("arr")[j * sub + i] - F.lit(books[j][c][i])) ** 2
+                    (F.col(vec_col)[j * sub + i] - F.lit(book[c][i])) ** 2
                     for i in range(sub)
                 )
-                for c in range(k)
+                for c in range(len(book))
             ]
         )
-        # argmin via array_position(first minimum) — deterministic tie-break
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{j}")
         )
-    codes = df.select(
-        F.col(id_col), F.array(*[c for c in code_cols]).alias("codes")
-    )
-    codes.write.mode("overwrite").parquet(path + "/codes")
-    spark = embeddings.sparkSession
+    return F.array(*code_cols)
+
+
+def _write_pq_codebooks(spark, path: str, books: list[list[list[float]]]) -> None:
     spark.createDataFrame(
-        [(j, c, books[j][c]) for j in range(m) for c in range(k)],
+        [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     # a rebuild invalidates any memoized codebook for this path
@@ -515,6 +535,32 @@ def _load_codebook(spark, path: str) -> tuple[int, int, int, list]:
     return m, k, sub, cents
 
 
+def _adc_score(spark, path: str, query_vec: list[float]):
+    """Asymmetric-distance scoring column for a `codes` array column:
+    the m×k inner-product table between the EXACT normalized query
+    subvectors and the codebook centroids is built driver-side (a few
+    KB), inlined as a literal array, and summed by one codegen
+    aggregate — no shuffle, no Python. Shared by flat-PQ and IVF-PQ
+    probes (the memoized codebook makes repeated probes free)."""
+    import math
+
+    m, k, sub, cents = _load_codebook(spark, path)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    table = [0.0] * (m * k)
+    for j in range(m):
+        for c in range(k):
+            cent = cents[j * k + c]
+            table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
+    tlit = F.array(*[F.lit(float(x)) for x in table])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(tlit, (j * k + F.element_at(F.col("codes"), j + 1) + 1).cast("int")),
+    )
+
+
 def pq_query(
     spark,
     path: str,
@@ -532,26 +578,10 @@ def pq_query(
     Python; top-k is TakeOrderedAndProject. Approximate score ≈ cosine
     (corpus l2-normalized at build). The codebook is memoized per
     (session, path), so repeated probes skip its parquet read."""
-    import math
-
-    m, k, sub, cents = _load_codebook(spark, path)
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    q = [x / qn for x in query_vec]
-    table = [0.0] * (m * k)
-    for j in range(m):
-        for c in range(k):
-            cent = cents[j * k + c]
-            table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
-    tlit = F.array(*[F.lit(float(x)) for x in table])
     codes = spark.read.parquet(path + "/codes")
     if exclude_id is not None:
         codes = codes.where(F.col(id_col) != exclude_id)
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(tlit, (j * k + F.element_at(F.col("codes"), j + 1) + 1).cast("int")),
-    )
+    score = _adc_score(spark, path, query_vec)
     return (
         codes.select(F.col(id_col), F.round(score, 6).alias("pq_score"))
         .orderBy(F.desc("pq_score"), F.asc(id_col))
@@ -581,6 +611,118 @@ def pq_query_rerank(
         spark, path, query_vec, shortlist, id_col=id_col, exclude_id=exclude_id
     ).select(id_col)
     emb = embeddings.select(F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("v"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = V.cosine(F.col("v"), qlit)
+    return (
+        emb.join(F.broadcast(cands), id_col, "left_semi")
+        .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k_results)
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+) -> None:
+    """IVF-PQ composite index (build-once half): the coarse quantizer
+    (seeded KMeans over the l2-NORMALIZED corpus) assigns each vector a
+    cell, and the PQ codebooks (same fit recipe as
+    :func:`build_pq_index` — shared helpers, identical seeds) encode it
+    to m small ints. Codes are written PARTITIONED BY cell, so a probe's
+    ``cell IN (...)`` is partition pruning over the 32×-compressed code
+    table: the scan opens n_probe/n_lists of an already-tiny index.
+    This is the composition FAISS calls IVFADC (Jégou et al., TPAMI
+    2011 §V) with one deliberate simplification: codebooks quantize the
+    vectors themselves, not the cell residuals — a global ADC table then
+    serves every probed cell (one literal array, one codegen aggregate),
+    and the exactness loss is repaired downstream by the exact-cosine
+    rerank stage that :func:`ivfpq_query_rerank` always runs.
+
+    100 TB shape: both fits sample-able at ingest; encode is one
+    map-only pass; the probe reads n_probe code partitions (bytes per
+    vector), shortlists driver-free, and only `shortlist` float vectors
+    are ever read for rerank."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = V.l2_normalize(V.as_double(vec_col))
+    df = embeddings.select(F.col(id_col), norm.alias("arr"))
+    vecs = df.withColumn("feat", array_to_vector(F.col("arr")))
+    km = KMeans(
+        k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell"
+    ).fit(vecs)
+    assigned = km.transform(vecs).select(id_col, "arr", "cell")
+    books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
+    codes = assigned.select(
+        F.col(id_col), _pq_codes_expr(books, sub).alias("codes"), "cell"
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    _write_pq_codebooks(spark, path, books)
+
+
+def ivfpq_query_rerank(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k_results: int = 10,
+    *,
+    n_probe: int = 3,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe half of IVF-PQ: rank the persisted centroids against the
+    normalized query driver-side (n_lists rows; ties break on cell id so
+    the probe set is a pure function of index + query), ADC-score ONLY
+    the probed cells' code partitions, shortlist, then exact-cosine
+    rerank over the `shortlist` raw vectors. With ``n_probe = n_lists``
+    the result equals :func:`pq_query_rerank` exactly (asserted in
+    tests) — cell pruning is the only approximation added on top of
+    PQ, and the whole pipeline is deterministic given the persisted
+    index, which is what lets the DuckDB oracle re-derive it."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    centers = spark.read.parquet(path + "/centroids").collect()
+    order = sorted(
+        centers,
+        key=lambda r: (
+            sum((r["centroid"][i] - q[i]) ** 2 for i in range(len(q))),
+            r["cell"],
+        ),
+    )
+    probe = [r["cell"] for r in order[:n_probe]]
+    codes = spark.read.parquet(path + "/codes").where(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        codes = codes.where(F.col(id_col) != exclude_id)
+    cands = (
+        codes.select(
+            F.col(id_col),
+            F.round(_adc_score(spark, path, query_vec), 6).alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    emb = embeddings.select(
+        F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("v")
+    )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = V.cosine(F.col("v"), qlit)
     return (

@@ -444,6 +444,7 @@ _FRESH_INDEXES: set[str] = set()
 _ORACLE_IVF_DIR = _index_dir("sf0.01", "ivf8")
 _ORACLE_PQ_DIR = _index_dir("sf0.01", "pq8x16")
 _ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
+_ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -651,6 +652,88 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_query_rerank(
         spark, idx, load_table(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir, 0), 10, shortlist=100, exclude_id=0,
+    )
+
+
+@query(
+    "ann_ivfpq",
+    tier="local",
+    # Approximate vs brute force, but EXACT given the persisted index
+    # (the ann_ivf + ann_pq argument composed): the probe set is a
+    # deterministic function of (committed centroid table, query), the
+    # ADC shortlist of (committed codebooks, committed cell-partitioned
+    # codes, probe set), and the rerank is exact cosine — so DuckDB
+    # re-derives the full pipeline from the same committed parquet.
+    # Coarse quantizer and query ranking both run in l2-NORMALIZED
+    # space; 6dp rounding before the shortlist cut matches the Spark
+    # side so cutoff ties resolve identically.
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ),
+    qn AS (
+      SELECT list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+      FROM q
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT cell FROM cent, qn
+      ORDER BY list_distance(centroid, nv), cell
+      LIMIT 3
+    ),
+    books AS (
+      SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
+             CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codebooks/*.parquet')
+    ),
+    tab AS (
+      SELECT j, code, list_dot_product(centroid, nv[j*8+1 : j*8+8]) AS ip
+      FROM books, qn
+    ),
+    cvec AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, codes
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codes/*/*.parquet',
+                        hive_partitioning=1)
+      WHERE CAST(cell AS INT) IN (SELECT cell FROM probe) AND vec_id != 0
+    ),
+    scores AS (
+      SELECT c.vec_id, round(sum(t.ip), 6) AS pq_score
+      FROM (SELECT vec_id, r.j, codes[r.j+1] AS code FROM cvec, range(8) r(j)) c
+      JOIN tab t ON t.j = c.j AND t.code = c.code
+      GROUP BY c.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM scores ORDER BY pq_score DESC, vec_id LIMIT 100
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qn.nv), 6) AS cosine
+    FROM embeddings e JOIN shortlist USING (vec_id), qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="IVF-PQ composite ANN (FAISS IVFADC shape, Jégou 2011 "
+    "§V, non-residual variant + exact rerank): coarse KMeans cells over "
+    "the normalized corpus, PQ codes written PARTITIONED BY cell — the "
+    "probe prunes to n_probe cell partitions of the 32x-compressed code "
+    "table, ADC-scores them with one codegen aggregate, shortlists, and "
+    "exact-reranks only the shortlist's raw vectors. The scale path for "
+    "corpora where even the flat-PQ full code scan is too big per query",
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    idx = _index_dir(sf_dir, "ivfpq8x8x16")
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        S.build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"), idx,
+            n_lists=8, m=8, k=16, seed=42,
+        )
+    return S.ivfpq_query_rerank(
+        spark, idx, load_table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir, 0), 10, n_probe=3, shortlist=100, exclude_id=0,
     )
 
 

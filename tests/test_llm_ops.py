@@ -699,3 +699,37 @@ def test_prefix_filtered_jaccard_join_equals_brute_force(spark):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, tmp_path):
+    """Cell pruning is the ONLY approximation IVF-PQ adds on top of
+    flat PQ: with n_probe = n_lists (probe everything) the composite
+    must reproduce pq_query_rerank exactly — same codebook fit recipe,
+    same ADC table, same shortlist ties, same rerank. Also pins the
+    recall contract at n_probe=3: the true top-1 neighbor survives."""
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+
+    pq = str(tmp_path / "pq")
+    S.build_pq_index(emb, pq, m=8, k=16, seed=42)
+    flat = S.pq_query_rerank(spark, pq, emb, qv, 10, shortlist=50, exclude_id=0).collect()
+
+    ivfpq = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, ivfpq, n_lists=4, m=8, k=16, seed=42)
+    full = S.ivfpq_query_rerank(
+        spark, ivfpq, emb, qv, 10, n_probe=4, shortlist=50, exclude_id=0
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in flat]
+
+    # pruned probe: exact-within-probed-cells semantics mean recall can
+    # only drop via cell misses; a fair share of true neighbors must
+    # still surface, deterministically (seeded fits, tie-broken probe)
+    pruned = S.ivfpq_query_rerank(
+        spark, ivfpq, emb, qv, 10, n_probe=2, shortlist=50, exclude_id=0
+    ).collect()
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    assert len(exact & {r["vec_id"] for r in pruned}) >= 3
+    again = S.ivfpq_query_rerank(
+        spark, ivfpq, emb, qv, 10, n_probe=2, shortlist=50, exclude_id=0
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in pruned]

@@ -99,6 +99,15 @@ def test_ann_index_probes_prune_partitions(spark, tmp_path):
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", buf2.getvalue())
     assert m2 and "bucket" in m2.group(1) and "table_id" in m2.group(1)
 
+    ivfpq = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, ivfpq, n_lists=8, m=8, k=16, seed=42)
+    df3 = S.ivfpq_query_rerank(spark, ivfpq, emb, qv, 10, n_probe=3, exclude_id=0)
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        df3.explain("formatted")
+    m3 = re.search(r"PartitionFilters: \[([^\]]*)\]", buf3.getvalue())
+    assert m3 and "cell" in m3.group(1)
+
 
 def test_merged_profile_aggregates_scan_once(spark):
     """null_audit (6-column profile) fuses every aggregate into ONE scan
