@@ -76,6 +76,7 @@ HEADLINE = [
     "training_shard_stats",  # shard-export plan: one hash exchange + local sort
     "phrase_merges",  # 6-round word2phrase merge loop (iterative, chained scans)
     "dedup_jaccard_prefix",  # exact PPJoin twin of dedup_minhash_near (r5)
+    "ann_ivfpq",  # IVF-PQ composite probe (build amortized at first run, r5)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
