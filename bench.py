@@ -77,6 +77,7 @@ HEADLINE = [
     "phrase_merges",  # 6-round word2phrase merge loop (iterative, chained scans)
     "dedup_jaccard_prefix",  # exact PPJoin twin of dedup_minhash_near (r5)
     "ann_ivfpq",  # IVF-PQ composite probe (build amortized at first run, r5)
+    "ann_ivf_batch",  # fused 16-query batch ANN join over the IVF index (r5)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

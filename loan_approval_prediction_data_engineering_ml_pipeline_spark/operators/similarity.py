@@ -621,6 +621,92 @@ def pq_query_rerank(
     )
 
 
+def ivf_batch_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN join: cosine top-k from the persisted IVF index for
+    EVERY row of ``queries``, as ONE distributed plan — the shape a
+    retrieval / dedup pipeline actually runs at scale, where probing a
+    million queries through a driver-side loop (:func:`ivf_query` × N)
+    would serialize N Spark jobs.
+
+    Plan: the tiny centroid table broadcast-joins the query frame; each
+    query ranks cells by L2 distance in codegen (``zip_with`` square
+    differences + ``aggregate`` sum — same metric and cell-id tie-break
+    as :func:`ivf_query`, so a 1-row batch reproduces it exactly) and
+    keeps its ``n_probe`` nearest as (query, cell) probe pairs. Probe
+    pairs then shuffle-join the cell-partitioned corpus ON cell — at
+    cluster scale both sides hash-partition by cell, and every corpus
+    cell is read once no matter how many queries probe it. Cosine
+    scores + one per-query window pick the top-k.
+
+    Output: (query_id, vec_id, cosine), k rows per query. Deterministic
+    given the persisted index, so the DuckDB oracle re-derives the
+    whole join from the same committed parquet."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
+    )
+    cent = spark.read.parquet(path + "/centroids").select(
+        F.col("cell").alias("__cell"), F.col("centroid")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    probe = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            F.col("__cell").alias("cell"),
+            dist.alias("__dist"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__dist", "cell")
+            ),
+        )
+        .where(F.col("__rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cells = spark.read.parquet(path + "/cells").select(
+        F.col(id_col), F.col("arr"), F.col("cell")
+    )
+    scored = probe.join(cells, "cell")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        F.col(id_col),
+        F.round(V.cosine(F.col("arr"), F.col("qv")), 6).alias("cosine"),
+    )
+    topk = (
+        scored.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    return topk.orderBy("query_id", F.desc("cosine"), F.asc(id_col))
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,

@@ -737,6 +737,77 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_batch",
+    tier="local",
+    # EXACT given the persisted index, per query: the batch join is
+    # n_queries independent ivf_query probes fused into one plan, and
+    # each probe's cell set + restricted top-k is deterministic. The
+    # oracle replays the whole batch join in DuckDB from the same
+    # committed index the Spark side scans.
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
+    ),
+    ranked AS (
+      SELECT qs.query_id, cent.cell,
+             row_number() OVER (
+               PARTITION BY qs.query_id
+               ORDER BY list_distance(cent.centroid, qs.qv), cent.cell
+             ) AS rk
+      FROM cent, qs
+    ),
+    probe AS (SELECT query_id, cell FROM ranked WHERE rk <= 3),
+    cand AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(arr AS DOUBLE[]) AS arr,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVF_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_cosine_similarity(c.arr, q.qv), 6) AS cosine
+      FROM probe p
+      JOIN cand c ON c.cell = p.cell
+      JOIN qs q ON q.query_id = p.query_id
+      WHERE c.vec_id != p.query_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine FROM topk WHERE rk <= 5
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+    description="Batch ANN join over the persisted IVF index: 16 query "
+    "vectors get their cosine top-5 in ONE distributed plan — broadcast "
+    "centroid ranking per query (codegen zip_with/aggregate, same "
+    "metric + tie-break as the single probe), probe pairs shuffle-join "
+    "the cell-partitioned corpus ON cell (each corpus cell read once "
+    "regardless of fan-in), one per-query window top-k. The "
+    "million-query retrieval shape a driver-side probe loop cannot scale to",
+)
+def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    idx = _index_dir(sf_dir, "ivf8")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
+        S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    return S.ivf_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 16), k=5, n_probe=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

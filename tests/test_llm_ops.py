@@ -733,3 +733,26 @@ def test_ivfpq_full_probe_equals_flat_pq(spark, tmp_path):
         spark, ivfpq, emb, qv, 10, n_probe=2, shortlist=50, exclude_id=0
     ).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in pruned]
+
+
+def test_ivf_batch_topk_one_row_equals_single_probe(spark, tmp_path):
+    """A 1-row batch through ivf_batch_topk must reproduce ivf_query
+    exactly (same L2 metric, same cell tie-break, same top-k order) —
+    the fused plan adds distribution, not different semantics."""
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+
+    single = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_query(spark, idx, qv, k=10, n_probe=3, exclude_id=0).collect()
+    ]
+    batch = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_batch_topk(
+            spark, idx, emb.where("vec_id = 0"), k=10, n_probe=3
+        ).collect()
+    ]
+    assert batch == single
+    assert len(single) == 10
