@@ -196,24 +196,12 @@ def lsh_candidate_pairs(
             "give every row an empty band key (an all-pairs self-join), "
             "and a remainder would silently drop signature rows"
         )
-    rows_per_band = k // bands
     sigs = with_minhash(
         df.select(id_col, text_col), text_col, k, shingle_n=shingle_n
     ).select(id_col, "sig")
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws("-", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]).alias(
-                    "band_key"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")).select(
-        "id", "bk.band_id", "bk.band_key"
-    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"), F.explode(_band_struct_expr(k, bands)).alias("bk")
+    ).select("id", "bk.band_id", "bk.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -294,6 +282,56 @@ class LshSignatureCache:
         self.close()
 
 
+def signature_table(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """The persisted-table half of every LSH pipeline: ``(id, toks,
+    sig)``. Shingle ONCE, then derive both the verification set
+    ("toks") and the signature from it. Routing through with_minhash
+    would rebuild the shingle array a second time for "toks" — for
+    n-gram shingles that is a full extra split+concat pass over the
+    corpus (measured ~25% of the sf0.1 near-dup query). Each projection
+    step keeps the expensive multiply-referenced alias split
+    (CollapseProject leaves it alone), so the shingle and base-hash
+    arrays are computed exactly once; the signature itself comes from
+    the same _minhash_sig expression with_minhash uses, so the recipes
+    cannot drift."""
+    shingled = _ensure_cpu_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        _shingle_set(text_col, shingle_n).alias("toks"),
+    )
+    hashed = shingled.select(
+        "id", "toks", F.transform("toks", X.token_base_hash).alias("__tokh")
+    )
+    return hashed.select("id", "toks", _minhash_sig(k).alias("sig"))
+
+
+def _band_struct_expr(k: int, bands: int, sig_col: str = "sig") -> Column:
+    """array<struct<band_id, band_key>> over a signature column — THE
+    banding recipe, shared by batch and streaming LSH paths."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(sig_col)[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     *,
@@ -325,41 +363,11 @@ def minhash_lsh_dedup(
     deterministically when chaining differently-parameterized calls."""
     if bands > k or k % bands != 0:
         raise ValueError(f"bands ({bands}) must evenly divide k ({k})")
-    rows_per_band = k // bands
-
-    # Shingle ONCE, then derive both the verification set ("toks") and the
-    # signature from it. Routing through with_minhash would rebuild the
-    # shingle array a second time for "toks" — for n-gram shingles that is
-    # a full extra split+concat pass over the corpus (measured ~25% of the
-    # sf0.1 near-dup query). Each projection step keeps the expensive
-    # multiply-referenced alias split (CollapseProject leaves it alone),
-    # so the shingle and base-hash arrays are computed exactly once; the
-    # signature itself comes from the same _minhash_sig expression
-    # with_minhash uses, so the recipes cannot drift.
-    shingled = _ensure_cpu_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        _shingle_set(text_col, shingle_n).alias("toks"),
-    )
-    hashed = shingled.select(
-        "id", "toks", F.transform("toks", X.token_base_hash).alias("__tokh")
-    )
-    base = hashed.select("id", "toks", _minhash_sig(k).alias("sig"))
+    base = signature_table(df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n)
     base = cache.swap(base) if cache is not None else base.persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "-",
-                    *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = base.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", "bk.band_id", "bk.band_key"
-    )
+    banded = base.select(
+        "id", F.explode(_band_struct_expr(k, bands)).alias("bk")
+    ).select("id", "bk.band_id", "bk.band_key")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, ["band_id", "band_key"])

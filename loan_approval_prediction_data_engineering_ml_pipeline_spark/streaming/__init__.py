@@ -12,4 +12,5 @@ from .events import (  # noqa: F401
 from .ingest import (  # noqa: F401
     read_corpus,
     stream_corpus_ingest_dedup,
+    stream_corpus_ingest_neardup,
 )

@@ -126,3 +126,176 @@ def read_corpus(spark, store_dir: str) -> DataFrame:
     """The deduped corpus as one frame (partition column ``ingest_batch``
     records arrival batch — drop it for content-only reads)."""
     return spark.read.parquet(f"{store_dir}/docs")
+
+
+def stream_corpus_ingest_neardup(
+    docs: DataFrame,
+    store_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    min_jaccard: float = 0.8,
+    shingle_n: int = 3,
+    checkpoint: str | None = None,
+) -> None:
+    """NEAR-duplicate streaming corpus ingest — the MinHash-LSH sibling
+    of :func:`stream_corpus_ingest_dedup`, i.e. the incremental form of
+    the web-corpus dedup recipe (Gopher/RefinedWeb-style): each arriving
+    batch keeps only documents that are not near-duplicates (exact
+    Jaccard >= ``min_jaccard`` on word ``shingle_n``-shingles) of the
+    kept corpus or of an earlier keeper in the same batch.
+
+    Lakehouse-resident LSH state: alongside ``docs/ingest_batch=N`` the
+    store holds ``bands/ingest_batch=N`` — each keeper's (id, band_id,
+    band_key) rows, ``bands``×(id + small string) per document, the only
+    thing later batches join against. Per trigger:
+
+    1. batch signatures via :func:`...operators.dedup.signature_table`
+       (shingle once; same recipe as the batch operators);
+    2. candidates = batch band rows ⋈ persisted band index on
+       (band_id, band_key) — ids only shuffle — plus the within-batch
+       band self-join;
+    3. exact verification joins candidate ids back to shingle sets: the
+       batch side from its own signature table, the corpus side
+       recomputed from the stored docs of ONLY the candidate ids (a
+       semi-join sliver; signatures alone never decide a drop);
+    4. a batch document drops if it verifies against any corpus keeper;
+       the survivors collapse within-batch near-dup components to their
+       minimum id (greedy-by-arrival semantics when ids are monotone
+       with arrival — the deterministic tie-break the batch operators
+       use).
+
+    Retry-idempotent exactly like the exact-dedup sink: writes are
+    scoped to the batch's own partition directories and the index read
+    EXCLUDES the current batch id, so replays after any partial crash
+    re-derive byte-identical output. Semantics note: ACROSS batches a
+    new document is compared against KEPT documents only — matching only
+    a previously dropped document never drops it (the greedy frontier
+    every streaming dedup — and the reference's sequential
+    drop_duplicates, MY.ipynb cell 9 — walks); WITHIN a batch,
+    cross-survivors collapse near-dup components to their minimum id,
+    the same convention the batch operators use. On transitively-closed
+    near-dup cliques the two conventions coincide and the final corpus
+    equals global connected-components-min dedup of the whole feed —
+    asserted stream ≡ batch in tests.
+    """
+    from ..operators.dedup import (
+        _band_struct_expr,
+        connected_components,
+        signature_table,
+    )
+    from ..functions import text as X
+
+    docs_dir = f"{store_dir}/docs"
+    bands_dir = f"{store_dir}/bands"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            base = signature_table(
+                batch_df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n
+            ).persist()
+            banded = base.select(
+                "id", F.explode(_band_struct_expr(k, bands)).alias("bk")
+            ).select("id", "bk.band_id", "bk.band_key")
+
+            j = X.jaccard(F.col("ta"), F.col("tb"))
+            new_toks = base.select(F.col("id").alias("new_id"), F.col("toks").alias("ta"))
+
+            # --- cross-batch: batch bands vs persisted keeper bands ---
+            cross_drop = None
+            if _path_exists(spark, bands_dir):
+                index = spark.read.parquet(bands_dir).where(
+                    F.col("ingest_batch") != batch_id
+                )
+                cands = (
+                    banded.join(
+                        index.select(
+                            F.col(id_col).alias("old_id"), "band_id", "band_key"
+                        ),
+                        ["band_id", "band_key"],
+                    )
+                    .select(F.col("id").alias("new_id"), "old_id")
+                    .distinct()
+                )
+                old_docs = (
+                    spark.read.parquet(docs_dir)
+                    .where(F.col("ingest_batch") != batch_id)
+                    .join(
+                        cands.select(F.col("old_id").alias(id_col)).distinct(),
+                        id_col,
+                        "left_semi",
+                    )
+                )
+                old_toks = signature_table(
+                    old_docs, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n
+                ).select(F.col("id").alias("old_id"), F.col("toks").alias("tb"))
+                cross_drop = (
+                    cands.join(new_toks, "new_id")
+                    .join(old_toks, "old_id")
+                    .where(F.round(j, 6) >= F.lit(min_jaccard))
+                    .select(F.col("new_id").alias("id"))
+                    .distinct()
+                )
+
+            # --- within-batch: band self-join + verify + component-min,
+            # among CROSS-SURVIVORS only (greedy semantics: a document
+            # that matched the corpus is already gone and must not speak
+            # for its within-batch component) ---
+            if cross_drop is not None:
+                cross_drop = cross_drop.persist()
+                banded = banded.join(cross_drop, "id", "left_anti")
+            a, b = banded.alias("a"), banded.alias("b")
+            within = (
+                a.join(b, ["band_id", "band_key"])
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct()
+                .join(new_toks.select(F.col("new_id").alias("id_a"), "ta"), "id_a")
+                .join(
+                    new_toks.select(
+                        F.col("new_id").alias("id_b"), F.col("ta").alias("tb")
+                    ),
+                    "id_b",
+                )
+                .where(F.round(j, 6) >= F.lit(min_jaccard))
+                .select("id_a", "id_b")
+            )
+            comp = connected_components(within, "id_a", "id_b")
+            within_drop = comp.where(F.col("vertex") != F.col("component")).select(
+                F.col("vertex").alias("id")
+            )
+            dropped = (
+                within_drop if cross_drop is None
+                else within_drop.unionByName(cross_drop).distinct()
+            )
+            keep_ids = base.select("id").join(dropped, "id", "left_anti")
+
+            survivors = batch_df.join(
+                keep_ids.select(F.col("id").alias(id_col)), id_col
+            )
+            survivors.write.mode("overwrite").parquet(
+                f"{docs_dir}/ingest_batch={batch_id}"
+            )
+            keeper_bands = banded.join(
+                keep_ids, "id", "left_semi"
+            ).withColumnRenamed("id", id_col)
+            keeper_bands.write.mode("overwrite").parquet(
+                f"{bands_dir}/ingest_batch={batch_id}"
+            )
+            base.unpersist()
+            if cross_drop is not None:
+                cross_drop.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

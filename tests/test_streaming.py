@@ -513,3 +513,75 @@ def test_stream_corpus_ingest_dedup_matches_batch_twin(spark, tmp_path):
     ingest("store_bloom", "cp3", use_bloom=True, expected_corpus_items=1000)
     bloomed = read_corpus(spark, str(tmp_path / "store_bloom"))
     assert {r["doc_id"] for r in bloomed.collect()} == want
+
+
+def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
+    """Streaming MinHash-LSH ingest over a 3-file feed of transitive
+    near-dup cliques keeps exactly one document per clique (the first
+    arrival / min id) plus every unrelated document — and equals the
+    batch twin: minhash_lsh_dedup over the concatenated feed, pairs
+    collapsed to connected-component minima. A full redelivery with a
+    fresh checkpoint leaves the store unchanged."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.ingest import (
+        read_corpus,
+        stream_corpus_ingest_neardup,
+    )
+
+    base_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    base_b = "zinc copper iron nickel cobalt silver gold platinum mercury lead tin aluminum titanium chromium tungsten carbon silicon boron oxygen nitrogen"
+    base_c = "apple banana cherry date elderberry fig grape honeydew kiwi lemon mango nectarine orange papaya quince raspberry strawberry tangerine ugli vanilla"
+    uniq = [
+        "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+        "red green blue yellow purple orange pink brown black white gray cyan magenta teal maroon navy olive lime coral indigo",
+        "north south east west up down left right forward backward inward outward clockwise counterclockwise sideways diagonal vertical horizontal radial axial",
+    ]
+    batches = [
+        [(1, f"{base_a} v1"), (2, uniq[0]), (3, f"{base_b} v1")],
+        [(11, f"{base_a} v2"), (12, uniq[1]), (13, f"{base_b} v2")],
+        [(21, f"{base_a} v3"), (22, f"{base_c} v1"), (23, f"{base_c} v2"), (24, uniq[2])],
+    ]
+    src = str(tmp_path / "feed")
+    os.makedirs(src, exist_ok=True)
+    now = _t.time()
+    for i, rows in enumerate(batches):
+        staged = os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    feed = spark.read.parquet(src)
+    pairs = minhash_lsh_dedup(feed, k=16, bands=8, min_jaccard=0.8, shingle_n=3)
+    comps = connected_components(pairs, "id_a", "id_b")
+    losers = {r["vertex"] for r in comps.collect() if r["vertex"] != r["component"]}
+    want = {r["doc_id"] for r in feed.collect()} - losers
+    assert want == {1, 2, 3, 12, 22, 24}  # clique minima + unrelated docs
+
+    def ingest(store: str, cp: str) -> set:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_corpus_ingest_neardup(
+            stream, str(tmp_path / store), checkpoint=str(tmp_path / cp)
+        )
+        return {r["doc_id"] for r in read_corpus(spark, str(tmp_path / store)).collect()}
+
+    assert ingest("store", "cp1") == want
+    # full redelivery: every batch replays against its own landed state
+    assert ingest("store", "cp2") == want
+    assert read_corpus(spark, str(tmp_path / "store")).count() == len(want)
