@@ -284,6 +284,46 @@ def ingest_dedup_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def versioned_bench(spark, sf_dir: str) -> dict:
+    """Versioned-table commit path (r5): append-commit latency on a
+    1-day events slice (data write + O(files) manifest rename — the
+    cost that must NOT grow with table size), snapshot-read resolve
+    cost, and O(1) rollback."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        read_version,
+        rollback,
+        versioned_write,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    days = [r[0] for r in events.select(day.alias("d")).distinct().orderBy("d").limit(3).collect()]
+    tmp = tempfile.mkdtemp(prefix="bench_versioned_")
+    out: dict = {}
+    try:
+        t = f"{tmp}/t"
+        t0 = time.perf_counter()
+        for d in days:
+            versioned_write(events.where(day == F.lit(d)), t)
+        out["append_commits_3days_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        out["snapshot_read_rows"] = read_version(spark, t).count()
+        out["snapshot_read_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        rollback(t, 0)
+        out["rollback_sec"] = round(time.perf_counter() - t0, 4)
+        out["rollback_rows"] = read_version(spark, t).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -356,6 +396,8 @@ def main() -> None:
     maintenance = maintenance_bench(spark, sf_dir)
 
     ingest_dedup = ingest_dedup_bench(spark, sf_dir)
+
+    versioned = versioned_bench(spark, sf_dir)
 
     # streaming replays last (see STREAMING_HEADLINE note), with their
     # own per-round calibration guard
@@ -446,6 +488,7 @@ def main() -> None:
                 "streaming_state": streaming_state,
                 "maintenance": maintenance,
                 "ingest_dedup": ingest_dedup,
+                "versioned": versioned,
             }
         )
     )

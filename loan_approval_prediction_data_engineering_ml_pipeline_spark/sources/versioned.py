@@ -215,7 +215,18 @@ def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
     drops manifests older than the newest ``keep_versions`` snapshots,
     then deletes data dirs (crashed-write orphans included) that no
     surviving manifest references. Returns the deleted directories.
-    Time travel is bounded by retention, exactly as in Delta."""
+    Time travel is bounded by retention, exactly as in Delta.
+
+    CONCURRENCY CAVEAT (same as Delta's VACUUM): an IN-FLIGHT write's
+    data directory is indistinguishable from a crashed-write orphan
+    until its manifest renames, so vacuum racing a writer can delete
+    the files the writer is about to commit. Run vacuum from the same
+    maintenance schedule that owns writes, or add an age threshold
+    (Delta's RETAIN n HOURS) before adopting this at a multi-writer
+    deployment. Readers are safe regardless: a reader that resolved a
+    retained manifest reads files vacuum never touches — only if its
+    snapshot ages OUT of retention mid-query can its files vanish,
+    Delta's documented reader-retention contract."""
     import shutil
 
     if keep_versions < 1:

@@ -280,3 +280,44 @@ def test_semantic_dedup_no_all_pairs_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the tiled block-GEMM path
+
+
+def test_prefix_jaccard_join_plan_has_no_cartesian(spark):
+    """The PPJoin candidate join must be an equi-join on the prefix
+    shingle (plus size-ratio filters) — never a CartesianProduct or
+    BroadcastNestedLoopJoin over documents — and verification must
+    reuse the persisted shingle table (InMemoryTableScan), not
+    re-shingle the corpus per join arm."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import dedup as D
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = D.prefix_filtered_jaccard_join(docs, min_jaccard=0.8, shingle_n=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_ivf_batch_topk_plan_broadcasts_centroids(spark, tmp_path):
+    """The batch ANN join's only unconditioned join is queries x the
+    TINY centroid table, and it must be broadcast (the corpus side
+    joins on the cell equi-key; the fact table must never sit under a
+    nested-loop join)."""
+    import re
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import similarity as S
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    df = S.ivf_batch_topk(spark, idx, emb.where("vec_id < 8"), k=5, n_probe=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # centroid cross join is broadcast-nested-loop over 8 rows: fine;
+    # the corpus join must be an equi join (hash/sort-merge) on cell
+    assert "CartesianProduct" not in plan
+    m = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*\bcell", plan)
+    assert m, plan[:2000]
