@@ -210,6 +210,68 @@ def rollback(path: str, version: int) -> int:
     return new_version
 
 
+def committed_source_batches(path: str) -> set[int]:
+    """Source batch ids already committed to this table (scan of the
+    retained manifests — O(versions), metadata only)."""
+    latest = latest_version(path)
+    if latest is None:
+        return set()
+    out = set()
+    for v in range(latest + 1):
+        mp = _manifest_path(path, v)
+        if not os.path.exists(mp):  # vacuumed below retention
+            continue
+        b = _read_manifest(path, v).get("source_batch_id")
+        if b is not None:
+            out.add(b)
+    return out
+
+
+def stream_versioned_sink(stream: DataFrame, path: str, *, checkpoint: str | None = None) -> None:
+    """Exactly-once streaming append into a versioned table: each
+    micro-batch commits as ONE table version carrying its source batch
+    id in the manifest, and a replayed batch (at-least-once delivery,
+    crash between data write and checkpoint advance) is SKIPPED when
+    its id is already committed — the manifest log doubles as the
+    idempotence ledger, which is precisely how Delta's streaming sink
+    achieves exactly-once (txn appId/version in the log; Armbrust VLDB
+    2020 §4.3). Readers get snapshot isolation per micro-batch commit
+    instead of observing half-written files."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_source_batches(path):
+            return  # replay of a committed batch: exactly-once no-op
+        prev = latest_version(path)
+        version = 0 if prev is None else prev + 1
+        data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        batch_df.write.mode("error").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        prev_files = _read_manifest(path, prev)["files"] if prev is not None else []
+        n_prev = _read_manifest(path, prev)["rows"] if prev is not None else 0
+        n_new = batch_df.sparkSession.read.parquet(data_dir).count()
+        _commit(
+            path,
+            version,
+            {
+                "version": version,
+                "mode": "stream-append",
+                "source_batch_id": batch_id,
+                "files": prev_files + files,
+                "rows": n_prev + n_new,
+                "schema": batch_df.schema.jsonValue(),
+            },
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
     """Reclaim data directories referenced by NO retained manifest:
     drops manifests older than the newest ``keep_versions`` snapshots,

@@ -139,3 +139,54 @@ def test_schema_evolution_across_versions(spark, tmp_path):
     )
     got = {r["id"]: r["score"] for r in read_version(spark, t).collect()}
     assert got == {1: None, 2: 0.5}
+
+
+def test_stream_versioned_sink_exactly_once(spark, tmp_path):
+    """Each micro-batch commits as one table version; a full redelivery
+    (fresh checkpoint, same feed) is a no-op because the manifest log
+    doubles as the idempotence ledger — version count, rows, and
+    history are unchanged."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        stream_versioned_sink,
+    )
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    now = _t.time()
+    for i in range(3):
+        staged = os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(
+            [(i * 10 + j, f"row{i}-{j}") for j in range(4)], "id long, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    t = str(tmp_path / "table")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_versioned_sink(stream, t, checkpoint=str(tmp_path / cp))
+
+    run("cp1")
+    assert latest_version(t) == 2  # one version per micro-batch
+    assert read_version(spark, t).count() == 12
+    # time travel to the mid-stream snapshot
+    assert read_version(spark, t, 1).count() == 8
+
+    run("cp2")  # full redelivery: ledger makes every batch a no-op
+    assert latest_version(t) == 2
+    assert read_version(spark, t).count() == 12
+    hist = table_versions(t)
+    assert [h["mode"] for h in hist] == ["stream-append"] * 3
