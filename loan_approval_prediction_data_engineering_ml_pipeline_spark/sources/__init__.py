@@ -4,6 +4,7 @@ from .versioned import (  # noqa: F401
     CommitConflict,
     committed_source_batches,
     latest_version,
+    optimize_table,
     read_version,
     rollback,
     stream_versioned_sink,

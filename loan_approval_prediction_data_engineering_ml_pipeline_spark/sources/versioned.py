@@ -272,6 +272,26 @@ def stream_versioned_sink(stream: DataFrame, path: str, *, checkpoint: str | Non
     q.awaitTermination()
 
 
+def optimize_table(
+    spark: SparkSession, path: str, *, target_files: int = 1
+) -> int:
+    """Delta's OPTIMIZE: rewrite the LATEST snapshot into
+    ``target_files`` files and commit the compacted layout as a new
+    version — content-identical (it is the same frame, re-laid-out),
+    readable history untouched, and the small-file problem an
+    append-per-batch ingest accumulates is paid down without blocking
+    readers (they keep resolving whichever manifest they pinned).
+    Reclaim the superseded small files later via :func:`vacuum`.
+    Returns the new version number, pinned to the optimized base via
+    ``expected_base`` so a concurrent append can't be silently
+    clobbered by the rewrite."""
+    base = latest_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    df = read_version(spark, path, base).coalesce(target_files)
+    return versioned_write(df, path, mode="overwrite", expected_base=base)
+
+
 def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
     """Reclaim data directories referenced by NO retained manifest:
     drops manifests older than the newest ``keep_versions`` snapshots,

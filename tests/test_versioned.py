@@ -190,3 +190,32 @@ def test_stream_versioned_sink_exactly_once(spark, tmp_path):
     assert read_version(spark, t).count() == 12
     hist = table_versions(t)
     assert [h["mode"] for h in hist] == ["stream-append"] * 3
+
+
+def test_optimize_compacts_content_identically(spark, tmp_path):
+    """OPTIMIZE commits the latest snapshot re-laid-out into fewer
+    files: content identical, file count down, history intact, and a
+    concurrent append between resolve and commit is protected by the
+    expected_base pin."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):  # small-file accumulation: 4 append commits
+        versioned_write(
+            spark.createDataFrame([(i, f"r{i}")], ["id", "v"]).repartition(2), t
+        )
+    before = _read_manifest(t, 3)
+    assert len(before["files"]) >= 8
+    v = optimize_table(spark, t, target_files=1)
+    assert v == 4
+    after = _read_manifest(t, 4)
+    assert len(after["files"]) == 1
+    assert _rows(read_version(spark, t)) == _rows(read_version(spark, t, 3))
+    assert after["rows"] == before["rows"]
+    # superseded small files reclaimed only by vacuum, and the compacted
+    # table keeps working
+    vacuum(t, keep_versions=1)
+    assert read_version(spark, t).count() == 4
