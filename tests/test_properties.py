@@ -247,3 +247,43 @@ def test_scd2_merge_equals_reference_reconstruction(spark, tmp_path_factory, bat
         for r in spark.read.parquet(dim).collect()
     }
     assert got == expected
+
+
+@SLOW_OK
+@given(
+    st.lists(
+        st.lists(WORD, min_size=2, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 0.8, 1.0]),
+)
+def test_prefix_filtered_jaccard_join_matches_python(spark, texts, t):
+    """prefix_filtered_jaccard_join is EXACT for arbitrary corpora and
+    thresholds: its pair set must equal the Python all-pairs Jaccard
+    over distinct 2-shingle sets (short docs yield empty shingle sets —
+    null Jaccard — and never pair, matching the operator's semantics)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import dedup as D
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.prefix_filtered_jaccard_join(
+            df, min_jaccard=t, shingle_n=2
+        ).collect()
+    }
+
+    def sh(text):
+        toks = text.strip().split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh(texts[i]), sh(texts[j])
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= t:
+                want.add((i, j, jac))
+    assert got == want
