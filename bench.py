@@ -315,6 +315,23 @@ def versioned_bench(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         out["snapshot_read_rows"] = read_version(spark, t).count()
         out["snapshot_read_sec"] = round(time.perf_counter() - t0, 4)
+        # data skipping (r6): a last-day predicate prunes the file list
+        # against the manifest's per-file ts min/max BEFORE planning —
+        # vs the same predicate as a plain filter over the full snapshot
+        import datetime as _dt
+
+        from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import snapshot_files
+
+        cutoff = _dt.datetime.combine(days[-1], _dt.time.min)
+        pred = [("ts", ">=", cutoff)]
+        out["skip_files_scanned"] = len(snapshot_files(t, where=pred))
+        out["full_files"] = len(snapshot_files(t))
+        t0 = time.perf_counter()
+        out["skip_read_rows"] = read_version(spark, t, where=pred).count()
+        out["skip_read_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        read_version(spark, t).where(F.col("ts") >= F.lit(cutoff)).count()
+        out["noskip_read_sec"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         rollback(t, 0)
         out["rollback_sec"] = round(time.perf_counter() - t0, 4)

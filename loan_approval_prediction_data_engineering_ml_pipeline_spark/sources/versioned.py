@@ -1,8 +1,9 @@
 """Manifest-based versioned parquet tables: snapshot isolation, time
-travel, O(1) rollback — the Delta-Lake commit protocol (Armbrust et al.,
-"Delta Lake: High-Performance ACID Table Storage over Cloud Object
-Stores", VLDB 2020) re-expressed at its minimal core, with plain parquet
-data files and JSON manifests instead of a transaction log of actions.
+travel, O(1) rollback, data skipping, and row-level MERGE — the
+Delta-Lake commit protocol (Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores", VLDB
+2020) re-expressed at its minimal core, with plain parquet data files
+and JSON manifests instead of a transaction log of actions.
 
 The reference (a pandas/pymysql notebook pipeline) overwrites its MySQL
 table in place on every run (MY.ipynb:513-527) — a reader racing the
@@ -26,30 +27,57 @@ Here, visibility is MANIFEST-driven:
   rename race (manifest already exists) gets :class:`CommitConflict`
   and retries on fresh state — first-writer-wins, like Delta.
 
-Scale notes (100 TB): a manifest is O(files), not O(rows), and commits
-are O(1) renames — table size never enters the commit path. Listing
+Read-path scale (the VLDB 2020 §3.3 half): every commit records
+PER-FILE statistics — row count and per-column min/max/null-count,
+computed in one distributed pass over only the newly written files —
+and :func:`read_version` takes a ``where=`` conjunction that prunes the
+file list against those ranges BEFORE Spark ever plans the scan. At
+100 TB a selective snapshot read opens the few files whose [min, max]
+can satisfy the predicate, not the table; the residual filter is still
+applied to the surviving files, so skipping is a pure optimization —
+results are byte-identical with or without stats (legacy manifests
+without stats simply skip nothing).
+
+Write-path scale: a manifest is O(files), not O(rows), and commits are
+O(1) renames — table size never enters the commit path. Listing
 avoidance is the point: readers never glob ``data/`` (object-store LIST
 is slow and eventually consistent), they read the file list from the
 manifest. Append cost is O(manifest) rewrite per commit; at very high
 commit rates the Delta refinement (log of deltas + periodic checkpoint)
 drops that to O(new files) — documented trade, not needed at this
-cadence. The manifest JSON additionally records the snapshot's row
-count and schema, so ``table_versions`` answers audit queries without
-touching data files.
+cadence. Row-level upserts go through :func:`merge_into` — copy-on-write
+of ONLY the files that contain a matched key (Delta MERGE §4.2), so a
+point update rewrites kilobytes of a 100 TB table, not the snapshot.
+
+Durability boundary: commits go through ``os.rename`` — atomic on
+POSIX filesystems (local disk, NFS with proper semantics). S3-class
+object stores have no atomic rename; deploying there needs a LogStore
+(conditional-put or an external mutex, VLDB 2020 §3.2) behind
+:func:`_commit` — the protocol above it is store-agnostic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read latest
     state and retry (optimistic concurrency, first-writer-wins)."""
+
+
+class VersionVacuumedError(FileNotFoundError):
+    """The requested version's manifest was reclaimed by :func:`vacuum`
+    — it is below the retention horizon. Subclasses FileNotFoundError
+    so callers that treat any missing snapshot uniformly keep working,
+    while rollback/time-travel callers get the precise cause."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -60,22 +88,36 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version}.json")
 
 
-def latest_version(path: str) -> int | None:
-    """Highest committed version, or None for an uninitialized table."""
+def _manifest_versions(path: str) -> list[int]:
+    """Versions whose manifest is PRESENT (retained), ascending."""
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
-        return None
-    versions = [
+        return []
+    return sorted(
         int(name[1:-5])
         for name in os.listdir(mdir)
         if name.startswith("v") and name.endswith(".json")
-    ]
-    return max(versions) if versions else None
+    )
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an uninitialized table."""
+    versions = _manifest_versions(path)
+    return versions[-1] if versions else None
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as fh:
-        return json.load(fh)
+    try:
+        with open(_manifest_path(path, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        latest = latest_version(path)
+        if latest is not None and version < latest:
+            raise VersionVacuumedError(
+                f"version {version} of {path} is below the vacuum retention "
+                f"horizon (earliest retained: v{_manifest_versions(path)[0]})"
+            ) from None
+        raise
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
@@ -100,6 +142,178 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         raise CommitConflict(str(exc)) from exc
 
 
+# ---------------------------------------------------------------------------
+# per-file statistics (the VLDB 2020 §3.3 data-skipping substrate)
+# ---------------------------------------------------------------------------
+
+def _norm_file(p: str) -> str:
+    """input_file_name() URIs → the plain paths manifests store."""
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
+
+
+def _json_safe(v):
+    """min/max values must survive the JSON round-trip with their ORDER
+    intact: dates/timestamps serialize to ISO strings (lexicographic ==
+    chronological), Decimals to float, numerics/strings/bools as-is."""
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return v
+
+
+def _stats_columns(df: DataFrame) -> list[str]:
+    """Columns with a total order worth indexing: numerics, strings,
+    dates, timestamps, booleans. Nested/binary/array types carry no
+    useful single min/max — they are simply not tracked (reads touching
+    them never skip, which is the conservative contract)."""
+    from pyspark.sql import types as T
+
+    keep = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+        T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        T.BooleanType,
+    )
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, keep)]
+
+
+def _collect_file_stats(
+    spark: SparkSession, data_dir: str
+) -> tuple[list[str], dict[str, dict], int]:
+    """One distributed pass over a just-written data directory:
+    (sorted file list, {file: {rows, min{col}, max{col}, nulls{col}}},
+    total rows). Cost is O(new files' rows) per commit — the same rows
+    the commit just wrote — never a rescan of the table."""
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return [], {}, 0
+    df = spark.read.parquet(data_dir)
+    cols = _stats_columns(df)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn__{c}"))
+        aggs.append(F.max(c).alias(f"__mx__{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nl__{c}"))
+    per_file = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    stats: dict[str, dict] = {}
+    total = 0
+    for r in per_file:
+        entry = {
+            "rows": int(r["__rows"]),
+            "min": {c: _json_safe(r[f"__mn__{c}"]) for c in cols},
+            "max": {c: _json_safe(r[f"__mx__{c}"]) for c in cols},
+            "nulls": {c: int(r[f"__nl__{c}"]) for c in cols},
+        }
+        stats[_norm_file(r["__file"])] = entry
+        total += entry["rows"]
+    return files, stats, total
+
+
+_SKIP_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+#: a ``where=`` predicate: conjunction of (column, op, literal) triples.
+Where = Sequence[tuple[str, str, object]]
+
+
+def _coerced(stored, v):
+    """Align the caller's literal with the JSON-stored min/max domain
+    (dates/timestamps live as ISO strings in the manifest)."""
+    import datetime
+
+    if isinstance(stored, str) and isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(stored, (int, float)) and isinstance(v, (int, float)):
+        return v
+    if isinstance(stored, str) and not isinstance(v, str):
+        return str(v)
+    return v
+
+
+def _file_may_match(fstats: dict | None, where: Where) -> bool:
+    """Can ANY row of this file satisfy the conjunction? False only on
+    proof from the recorded ranges (unknown columns / missing stats /
+    incomparable literals keep the file — skipping must never change
+    results, only the files opened)."""
+    if not fstats:
+        return True  # legacy manifest or statless file: never skip
+    mins, maxs = fstats.get("min", {}), fstats.get("max", {})
+    for col, op, v in where:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use one of {_SKIP_OPS})")
+        if col not in mins:
+            continue  # untracked column: no evidence either way
+        mn, mx = mins[col], maxs.get(col)
+        if mn is None or mx is None:
+            return False  # zero non-null values: no comparison can hold
+        v = _coerced(mn, v)
+        try:
+            if op == "==" and (v < mn or v > mx):
+                return False
+            if op == "!=" and mn == mx == v:
+                return False
+            if op == "<" and mn >= v:
+                return False
+            if op == "<=" and mn > v:
+                return False
+            if op == ">" and mx <= v:
+                return False
+            if op == ">=" and mx < v:
+                return False
+        except TypeError:
+            continue  # incomparable literal: keep the file
+    return True
+
+
+def _where_column(where: Where) -> Column:
+    conds = []
+    for col, op, v in where:
+        c, lit = F.col(col), F.lit(v)
+        conds.append(
+            {"==": c == lit, "!=": c != lit, "<": c < lit,
+             "<=": c <= lit, ">": c > lit, ">=": c >= lit}[op]
+        )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def snapshot_files(
+    path: str, version: int | None = None, where: Where | None = None
+) -> list[str]:
+    """The exact file list a (possibly predicate-pruned) snapshot read
+    scans — the planning half of :func:`read_version`, exposed so tests
+    and external readers (e.g. a DuckDB ``read_parquet`` twin) can
+    verify pruning and read the identical bytes."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    manifest = _read_manifest(path, version)
+    files = manifest["files"]
+    if not where:
+        return list(files)
+    stats = manifest.get("stats", {})
+    return [f for f in files if _file_may_match(stats.get(f), where)]
+
+
 def versioned_write(
     df: DataFrame, path: str, *, mode: str = "append", expected_base: int | None = None
 ) -> int:
@@ -109,6 +323,12 @@ def versioned_write(
     files (no data rewrite — append is metadata-plus-new-files only).
     ``mode="overwrite"``: the new snapshot = the new files alone; prior
     versions remain readable (nothing is deleted).
+
+    Every commit records per-file min/max/null-count stats for the NEW
+    files (one pass over just-written data) and carries forward the
+    previous manifest's stats and streaming-txn ledger, so data skipping
+    and exactly-once bookkeeping survive arbitrary interleavings of
+    batch and streaming commits.
 
     ``expected_base`` pins the version this write was DERIVED from
     (read-modify-write transactions): if another writer committed since,
@@ -128,21 +348,18 @@ def versioned_write(
     version = 0 if prev is None else prev + 1
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
-    files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-    prev_files = []
-    if mode == "append" and prev is not None:
-        prev_files = _read_manifest(path, prev)["files"]
-    n_new = df.sparkSession.read.parquet(data_dir).count()
-    n_prev = _read_manifest(path, prev)["rows"] if prev_files else 0
+    files, new_stats, n_new = _collect_file_stats(df.sparkSession, data_dir)
+    prev_m = _read_manifest(path, prev) if prev is not None else {}
+    prev_files = prev_m.get("files", []) if mode == "append" else []
+    prev_stats = prev_m.get("stats", {}) if mode == "append" else {}
+    n_prev = prev_m.get("rows", 0) if mode == "append" else 0
     manifest = {
         "version": version,
         "mode": mode,
         "files": prev_files + files,
         "rows": n_prev + n_new,
+        "stats": {**prev_stats, **new_stats},
+        "txn": prev_m.get("txn", {}),
         "schema": df.schema.jsonValue(),
     }
     _commit(path, version, manifest)
@@ -150,20 +367,35 @@ def versioned_write(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    where: Where | None = None,
 ) -> DataFrame:
     """A pinned snapshot (default: latest committed). The manifest is
     resolved here, once — the returned frame reads a FIXED file list,
-    so concurrent commits cannot change what this query sees."""
+    so concurrent commits cannot change what this query sees.
+
+    ``where=[(col, op, value), ...]`` (conjunction; ops ``== != < <= >
+    >=``) prunes the file list against the manifest's per-file min/max
+    BEFORE planning — a selective read of a 100 TB table opens only the
+    files whose range can satisfy the predicate — and is then applied
+    as an ordinary filter on the surviving files, so the result equals
+    ``read_version(...).filter(...)`` exactly, stats or no stats."""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
-    files = manifest["files"]
+    files = snapshot_files(path, version, where)
     if not files:
-        return spark.createDataFrame([], _schema_of(manifest))
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+        out = spark.createDataFrame([], _schema_of(manifest))
+    else:
+        out = spark.read.option("mergeSchema", "true").parquet(*files)
+    if where:
+        out = out.where(_where_column(where))
+    return out
 
 
 def _schema_of(manifest: dict):
@@ -173,13 +405,16 @@ def _schema_of(manifest: dict):
 
 
 def table_versions(path: str) -> list[dict]:
-    """Audit view of the table's history from manifests alone — no data
-    files are touched: (version, mode, n_files, rows)."""
-    latest = latest_version(path)
-    if latest is None:
-        return []
+    """Audit view of the table's RETAINED history from manifests alone —
+    no data files are touched: (version, mode, n_files, rows). Versions
+    vacuumed below retention are absent (not an error): the audit view
+    of a vacuumed table is the trimmed history, exactly what a reader
+    can still time-travel to."""
     out = []
-    for v in range(latest + 1):
+    for v in _manifest_versions(path):
+        mp = _manifest_path(path, v)
+        if not os.path.exists(mp):  # vacuum raced us between list and read
+            continue
         m = _read_manifest(path, v)
         out.append(
             {
@@ -195,63 +430,216 @@ def table_versions(path: str) -> list[dict]:
 def rollback(path: str, version: int) -> int:
     """Commit a NEW version whose snapshot equals ``version`` — O(1),
     no data movement, and the rolled-back-over versions stay readable
-    for audit (history moves only forward)."""
-    target = _read_manifest(path, version)
+    for audit (history moves only forward). Rolling back to a version
+    below the vacuum retention horizon raises
+    :class:`VersionVacuumedError` — its data directories may already be
+    reclaimed, so the snapshot is unrecoverable by design (Delta's
+    retention contract)."""
+    target = _read_manifest(path, version)  # VersionVacuumedError if reclaimed
     prev = latest_version(path)
+    prev_m = _read_manifest(path, prev)
     new_version = prev + 1
     manifest = {
         "version": new_version,
         "mode": f"rollback->{version}",
         "files": target["files"],
         "rows": target["rows"],
+        "stats": target.get("stats", {}),
+        "txn": prev_m.get("txn", {}),  # ledger follows HISTORY, not the target
         "schema": target["schema"],
     }
     _commit(path, new_version, manifest)
     return new_version
 
 
-def committed_source_batches(path: str) -> set[int]:
-    """Source batch ids already committed to this table (scan of the
-    retained manifests — O(versions), metadata only)."""
-    latest = latest_version(path)
-    if latest is None:
-        return set()
+# ---------------------------------------------------------------------------
+# row-level MERGE (Delta MERGE §4.2: copy-on-write of touched files)
+# ---------------------------------------------------------------------------
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Sequence[str],
+    *,
+    when_matched: str = "update",
+    insert_unmatched: bool = True,
+) -> int:
+    """Row-level MERGE into a versioned table, committed as one new
+    version: rows of ``source`` whose key (``on``) exists in the latest
+    snapshot replace the stored rows (``when_matched="update"``) or
+    delete them (``"delete"``); unmatched source rows are appended when
+    ``insert_unmatched`` (update mode only).
+
+    Copy-on-write: a semi-join against the source keys identifies the
+    FILES containing any matched key (``input_file_name`` over the
+    snapshot — file list is O(files), collected once); only those files
+    are rewritten (their unmatched rows kept + the merged rows), every
+    other file is carried into the new manifest untouched and
+    byte-identical. A point update of a 100 TB table therefore rewrites
+    one file's worth of data, and the key-probe scan itself prunes via
+    the per-file stats when the keys are range-clustered. Concurrency:
+    the commit pins the snapshot it read (``expected_base`` semantics) —
+    a writer that lands in between forces :class:`CommitConflict`, never
+    a lost update; concurrent readers keep their pinned snapshots
+    (snapshot isolation). Update-mode sources must be key-unique —
+    ambiguous multi-row updates raise ValueError (pre-aggregate a
+    newest-wins ordering upstream, as ``upsert_parquet_partitioned``
+    does for plain directories)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    on = list(on)
+    base = latest_version(path)
+    if base is None:
+        if when_matched == "delete" or not insert_unmatched:
+            raise FileNotFoundError(f"no committed version at {path}")
+        return versioned_write(source, path, mode="append")
+    manifest = _read_manifest(path, base)
+    files = manifest["files"]
+    prev_stats = manifest.get("stats", {})
+
+    keys = source.select(*on).distinct()
+    if when_matched == "update":
+        n_src, n_keys = source.count(), keys.count()
+        if n_src != n_keys:
+            raise ValueError(
+                f"update-mode source has {n_src} rows over {n_keys} distinct "
+                f"keys {on} — deduplicate (newest-wins) before merging"
+            )
+    snap = spark.read.option("mergeSchema", "true").parquet(*files)
+    touched_norm = {
+        _norm_file(r["__file"])
+        for r in snap.withColumn("__file", F.input_file_name())
+        .join(keys, on, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in files if f in touched_norm]
+    untouched = [f for f in files if f not in touched_norm]
+
+    if touched:
+        old_rows = spark.read.option("mergeSchema", "true").parquet(*touched)
+        kept = old_rows.join(keys, on, "left_anti")
+    else:
+        old_rows = kept = None
+
+    if when_matched == "delete":
+        new_rows = kept  # None when nothing matched: the merge is a no-op
+        if new_rows is None:
+            return base
+    elif insert_unmatched:
+        new_rows = source if kept is None else kept.unionByName(
+            source, allowMissingColumns=True
+        )
+    else:
+        matched_src = (
+            source.join(old_rows.select(*on).distinct(), on, "left_semi")
+            if old_rows is not None
+            else source.limit(0)
+        )
+        if kept is None:  # no keys present and no inserts requested: no-op
+            return base
+        new_rows = kept.unionByName(matched_src, allowMissingColumns=True)
+
+    version = base + 1
+    data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    new_rows.write.mode("error").parquet(data_dir)
+    new_files, new_stats, n_new = _collect_file_stats(spark, data_dir)
+
+    untouched_with_stats = [f for f in untouched if f in prev_stats]
+    n_untouched = sum(prev_stats[f]["rows"] for f in untouched_with_stats)
+    legacy = [f for f in untouched if f not in prev_stats]
+    if legacy:  # pre-stats manifests: count once rather than guess
+        n_untouched += spark.read.parquet(*legacy).count()
+
+    if latest_version(path) != base:
+        raise CommitConflict(
+            f"concurrent commit during merge at {path}: derived from v{base}, "
+            f"table moved to v{latest_version(path)} — re-read and retry"
+        )
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "mode": f"merge-{when_matched}",
+            "files": untouched + new_files,
+            "rows": n_untouched + n_new,
+            "stats": {
+                **{f: prev_stats[f] for f in untouched_with_stats},
+                **new_stats,
+            },
+            "txn": manifest.get("txn", {}),
+            "schema": (new_rows if new_rows is not None else snap).schema.jsonValue(),
+        },
+    )
+    return version
+
+
+# ---------------------------------------------------------------------------
+# streaming sink (exactly-once via the txn ledger in the LATEST manifest)
+# ---------------------------------------------------------------------------
+
+def committed_source_batches(path: str, app_id: str | None = None) -> set[int]:
+    """Audit view: source batch ids committed to this table (scan of the
+    retained manifests — O(versions), metadata only). With ``app_id``,
+    only that stream's commits. NOTE: retention-bounded by vacuum — the
+    authoritative exactly-once ledger is the ``txn`` map carried in the
+    latest manifest, which vacuum never touches."""
     out = set()
-    for v in range(latest + 1):
+    for v in _manifest_versions(path):
         mp = _manifest_path(path, v)
         if not os.path.exists(mp):  # vacuumed below retention
             continue
-        b = _read_manifest(path, v).get("source_batch_id")
-        if b is not None:
+        m = _read_manifest(path, v)
+        b = m.get("source_batch_id")
+        if b is not None and (app_id is None or m.get("app_id") == app_id):
             out.add(b)
     return out
 
 
-def stream_versioned_sink(stream: DataFrame, path: str, *, checkpoint: str | None = None) -> None:
+def stream_versioned_sink(
+    stream: DataFrame, path: str, *, app_id: str, checkpoint: str | None = None
+) -> None:
     """Exactly-once streaming append into a versioned table: each
-    micro-batch commits as ONE table version carrying its source batch
-    id in the manifest, and a replayed batch (at-least-once delivery,
-    crash between data write and checkpoint advance) is SKIPPED when
-    its id is already committed — the manifest log doubles as the
-    idempotence ledger, which is precisely how Delta's streaming sink
-    achieves exactly-once (txn appId/version in the log; Armbrust VLDB
-    2020 §4.3). Readers get snapshot isolation per micro-batch commit
-    instead of observing half-written files."""
+    micro-batch commits as ONE table version, and idempotence is keyed
+    on ``(app_id, batch_id)`` exactly as in Delta's streaming sink
+    (txn appId/version in the log — Armbrust VLDB 2020 §4.3): the
+    latest manifest carries a ``txn`` map ``{app_id: max committed
+    batch_id}`` forward through EVERY commit (batch writes, merges,
+    rollbacks included), so a replayed batch — at-least-once delivery,
+    crash between data write and checkpoint advance — is skipped by
+    reading ONE manifest, not the whole retained history, and the
+    ledger survives vacuum (the latest manifest is always retained).
+
+    ``app_id`` names the logical stream. Two different pipelines
+    writing the same table MUST use distinct app_ids — otherwise one
+    stream's batch ids shadow the other's and its data is silently
+    skipped as replays. The flip side is Delta's documented contract:
+    restarting a pipeline with a FRESH checkpoint but the SAME app_id
+    re-numbers batches from 0, which the ledger will treat as replays —
+    a genuinely new incarnation of a stream needs a new app_id (or the
+    same checkpoint, which is the normal restart path).
+
+    Readers get snapshot isolation per micro-batch commit instead of
+    observing half-written files."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_source_batches(path):
-            return  # replay of a committed batch: exactly-once no-op
         prev = latest_version(path)
+        prev_m = _read_manifest(path, prev) if prev is not None else {}
+        txn = dict(prev_m.get("txn", {}))
+        if not txn and prev_m.get("source_batch_id") is not None:
+            # pre-txn table written by an older sink: seed the ledger
+            # from the manifest scan, once
+            txn[app_id] = max(committed_source_batches(path), default=-1)
+        if txn.get(app_id, -1) >= batch_id:
+            return  # replay of a committed batch: exactly-once no-op
         version = 0 if prev is None else prev + 1
         data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
         batch_df.write.mode("error").parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
+        files, new_stats, n_new = _collect_file_stats(
+            batch_df.sparkSession, data_dir
         )
-        prev_files = _read_manifest(path, prev)["files"] if prev is not None else []
-        n_prev = _read_manifest(path, prev)["rows"] if prev is not None else 0
-        n_new = batch_df.sparkSession.read.parquet(data_dir).count()
         _commit(
             path,
             version,
@@ -259,8 +647,11 @@ def stream_versioned_sink(stream: DataFrame, path: str, *, checkpoint: str | Non
                 "version": version,
                 "mode": "stream-append",
                 "source_batch_id": batch_id,
-                "files": prev_files + files,
-                "rows": n_prev + n_new,
+                "app_id": app_id,
+                "files": prev_m.get("files", []) + files,
+                "rows": prev_m.get("rows", 0) + n_new,
+                "stats": {**prev_m.get("stats", {}), **new_stats},
+                "txn": {**txn, app_id: batch_id},
                 "schema": batch_df.schema.jsonValue(),
             },
         )
@@ -292,44 +683,54 @@ def optimize_table(
     return versioned_write(df, path, mode="overwrite", expected_base=base)
 
 
-def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str, *, keep_versions: int = 1, min_age_seconds: float = 0.0
+) -> list[str]:
     """Reclaim data directories referenced by NO retained manifest:
     drops manifests older than the newest ``keep_versions`` snapshots,
     then deletes data dirs (crashed-write orphans included) that no
     surviving manifest references. Returns the deleted directories.
-    Time travel is bounded by retention, exactly as in Delta.
+    Time travel is bounded by retention, exactly as in Delta. The
+    streaming exactly-once ledger is NOT bounded by retention: it rides
+    in the latest manifest (``txn`` map), which vacuum always keeps.
 
-    CONCURRENCY CAVEAT (same as Delta's VACUUM): an IN-FLIGHT write's
-    data directory is indistinguishable from a crashed-write orphan
-    until its manifest renames, so vacuum racing a writer can delete
-    the files the writer is about to commit. Run vacuum from the same
-    maintenance schedule that owns writes, or add an age threshold
-    (Delta's RETAIN n HOURS) before adopting this at a multi-writer
-    deployment. Readers are safe regardless: a reader that resolved a
-    retained manifest reads files vacuum never touches — only if its
-    snapshot ages OUT of retention mid-query can its files vanish,
-    Delta's documented reader-retention contract."""
+    ``min_age_seconds`` is Delta's RETAIN n HOURS: an unreferenced
+    directory younger than the threshold (by mtime) is left alone,
+    because an IN-FLIGHT write's data directory is indistinguishable
+    from a crashed-write orphan until its manifest renames — a racing
+    vacuum would otherwise delete the files the writer is about to
+    commit. With the default threshold of 0 the caller asserts
+    single-writer scheduling (vacuum runs from the maintenance schedule
+    that owns writes); multi-writer deployments should pass a threshold
+    comfortably above their longest write. Readers are safe regardless:
+    a reader that resolved a retained manifest reads files vacuum never
+    touches — only if its snapshot ages OUT of retention mid-query can
+    its files vanish, Delta's documented reader-retention contract."""
     import shutil
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    latest = latest_version(path)
-    if latest is None:
+    versions = _manifest_versions(path)
+    if not versions:
         return []
-    keep_from = latest - keep_versions + 1
+    retained = versions[-keep_versions:]
     referenced: set[str] = set()
-    for v in range(keep_from, latest + 1):
+    for v in retained:
         for f in _read_manifest(path, v)["files"]:
             referenced.add(os.path.dirname(f))
-    for v in range(keep_from):
+    for v in versions[:-keep_versions]:
         mp = _manifest_path(path, v)
         if os.path.exists(mp):
             os.unlink(mp)
     removed = []
+    now = time.time()
     data_root = os.path.join(path, "data")
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         full = os.path.join(data_root, d)
-        if full not in referenced:
-            shutil.rmtree(full)
-            removed.append(full)
+        if full in referenced:
+            continue
+        if min_age_seconds > 0 and now - os.path.getmtime(full) < min_age_seconds:
+            continue  # possibly an in-flight write: too young to reclaim
+        shutil.rmtree(full)
+        removed.append(full)
     return removed
