@@ -399,6 +399,7 @@ def prefix_filtered_jaccard_join(
     text_col: str = "text",
     min_jaccard: float = 0.8,
     shingle_n: int = 3,
+    cache: LshSignatureCache | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (AllPairs,
     Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — the
@@ -418,7 +419,33 @@ def prefix_filtered_jaccard_join(
     quadratically in a naive shared-shingle join — out of candidate
     generation entirely; a mutual size-ratio filter
     (``|a| >= ceil(t·|b|)`` and vice versa) prunes cross-size pairs
-    before verification.
+    before verification, and Xiao et al.'s POSITIONAL filter (r6)
+    prunes candidates the prefix filter alone admits: a shared prefix
+    shingle at rarest-first ranks (i, j) bounds the achievable overlap
+    by ``1 + min(|a|−i, |b|−j)`` — if that bound is below the required
+    overlap ``⌈t/(1+t)·(|a|+|b|)⌉`` (the Jaccard⇔overlap identity
+    ``J ≥ t ⟺ |a∩b| ≥ t(|a|+|b|)/(1+t)``) for EVERY shared prefix
+    shingle, the pair cannot qualify and never reaches the distinct /
+    verify stages. For a qualifying pair the FIRST common shingle in
+    the global order always passes the bound, so the filter is
+    lossless.
+
+    All threshold ceilings are computed as ``ceil(x − 1e-9)``: IEEE
+    doubles overshoot products like 0.8·10 (→ 8.000000000000002, ceil
+    9 instead of 8), which would SHORTEN prefixes below the lossless
+    bound and silently drop boundary pairs — the epsilon restores the
+    exact integer ceiling for any realistic size (< 1e6 shingles).
+    The DuckDB oracle needs no epsilon (decimal arithmetic is exact
+    there), which is itself the cross-engine check that the epsilon
+    only corrects FP error rather than loosening the math.
+
+    Persist lifetime: the shingle-set table backs the prefix pass and
+    both verification joins; without a ``cache`` handle it persists
+    through Spark's CacheManager (deduped by logical plan — bounded by
+    distinct (corpus, params) calls, same contract as
+    :func:`minhash_lsh_dedup`); pass an :class:`LshSignatureCache` to
+    evict deterministically when chaining differently-parameterized
+    calls.
 
     Scale shape (100 TB): one shuffle keys the exploded shingles for the
     global df count (map-side partial agg — vocabulary-sized output),
@@ -440,11 +467,15 @@ def prefix_filtered_jaccard_join(
         F.col(id_col).alias("id"),
         _shingle_set(text_col, shingle_n).alias("toks"),
     )
-    shingled = shingled.persist()
+    shingled = cache.swap(shingled) if cache is not None else shingled.persist()
     ex = shingled.select("id", F.size("toks").alias("sz"), F.explode("toks").alias("g"))
     gdf = ex.groupBy("g").agg(F.count("*").alias("df_g"))
     t = F.lit(min_jaccard)
-    prefix_len = (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int")
+
+    def ceil_exact(x):  # FP-overshoot-proof integer ceiling (see docstring)
+        return F.ceil(x - F.lit(1e-9))
+
+    prefix_len = (F.col("sz") - ceil_exact(t * F.col("sz")) + 1).cast("int")
     prefix = (
         ex.join(gdf, "g")
         .withColumn(
@@ -452,15 +483,22 @@ def prefix_filtered_jaccard_join(
             F.row_number().over(Window.partitionBy("id").orderBy("df_g", "g")),
         )
         .where(F.col("rk") <= prefix_len)
-        .select("id", "g", "sz")
+        .select("id", "g", "sz", "rk")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap for J >= t, and the positional upper bound the
+    # shared shingle's ranks allow
+    need = ceil_exact(t / (1 + t) * (F.col("a.sz") + F.col("b.sz")))
+    pos_bound = 1 + F.least(
+        F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+    )
     cands = (
         a.join(b, "g")
         .where(
             (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") >= F.ceil(t * F.col("b.sz")))
-            & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
+            & (F.col("a.sz") >= ceil_exact(t * F.col("b.sz")))
+            & (F.col("b.sz") >= ceil_exact(t * F.col("a.sz")))
+            & (pos_bound >= need)
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -263,9 +263,14 @@ def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
     """decode → nearest-neighbor resize → re-encode bytes; metadata updated.
     Shows a transform that rewrites the payload while keeping the column
     contract (binary + struct) intact. Same format dispatch as
-    :func:`extract_image_features`: PNG payloads decode through the real
-    codec and re-encode as PNG (:func:`encode_png` — still
-    self-describing downstream), the fake format stays raw bytes."""
+    :func:`extract_image_features`, with one deliberate difference:
+    encoded stills decode through :func:`decode_real` DIRECTLY — color
+    channels are preserved through the resize and re-encoded as the
+    matching PNG color type (grey / RGB / RGBA; grey+alpha widens to
+    RGBA, :func:`encode_png` has no LA color type) rather than
+    collapsed to luminance, which is a lossy reduction that belongs to
+    feature extraction, not to a payload rewrite. The fake gray8 format
+    stays raw frame bytes."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -280,18 +285,29 @@ def resize_media(df: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 m = r["media_meta"]
                 encoded = m["format"] in ("png", "jpeg", "webp")
-                grid = _decode_any(r["media"], m)
-                yi = (np.arange(out_h) * grid.shape[1] // out_h)
-                xi = (np.arange(out_w) * grid.shape[2] // out_w)
-                small = grid[:, yi][:, :, xi]
-                payload = encode_png(small[0]) if encoded else small.tobytes()
+                if encoded:
+                    img = decode_real(bytes(r["media"]))  # (H,W) or (H,W,C)
+                    yi = np.arange(out_h) * img.shape[0] // out_h
+                    xi = np.arange(out_w) * img.shape[1] // out_w
+                    small = img[yi][:, xi]
+                    if small.ndim == 3 and small.shape[2] == 2:  # LA → RGBA
+                        l, a = small[:, :, 0], small[:, :, 1]
+                        small = np.stack([l, l, l, a], axis=2)
+                    payload = encode_png(small)
+                    n_frames = 1
+                else:
+                    grid = _decode_any(r["media"], m)
+                    yi = np.arange(out_h) * grid.shape[1] // out_h
+                    xi = np.arange(out_w) * grid.shape[2] // out_w
+                    payload = grid[:, yi][:, :, xi].tobytes()
+                    n_frames = int(grid.shape[0])
                 rows.append(
                     (
                         int(r["doc_id"]),
                         payload,
                         {"format": "png" if encoded else "fake-gray8",
                          "width": out_w, "height": out_h,
-                         "n_frames": int(grid.shape[0])},
+                         "n_frames": n_frames},
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])

@@ -193,6 +193,7 @@ def stream_corpus_ingest_neardup(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
+        base = cross_drop = None
         try:
             if batch_df.isEmpty():
                 return
@@ -208,7 +209,6 @@ def stream_corpus_ingest_neardup(
             new_toks = base.select(F.col("id").alias("new_id"), F.col("toks").alias("ta"))
 
             # --- cross-batch: batch bands vs persisted keeper bands ---
-            cross_drop = None
             if _path_exists(spark, bands_dir):
                 index = spark.read.parquet(bands_dir).where(
                     F.col("ingest_batch") != batch_id
@@ -288,10 +288,14 @@ def stream_corpus_ingest_neardup(
             keeper_bands.write.mode("overwrite").parquet(
                 f"{bands_dir}/ingest_batch={batch_id}"
             )
-            base.unpersist()
+        finally:
+            # unpersist in finally: a failing batch (which the stream
+            # retries) must not leak its cached tables for the lifetime
+            # of the session
+            if base is not None:
+                base.unpersist()
             if cross_drop is not None:
                 cross_drop.unpersist()
-        finally:
             batch_df.unpersist()
 
     writer = docs.writeStream.foreachBatch(_sink).trigger(availableNow=True)

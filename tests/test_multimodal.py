@@ -225,6 +225,42 @@ def test_resize_png_payload_reencodes_as_png(spark):
     assert (got == px[yi][:, yi]).all()
 
 
+def test_resize_preserves_color_channels(spark):
+    """Resizing a COLOR PNG keeps RGB (no silent luminance collapse —
+    ADVICE r5): output decodes to (h, w, 3) and every pixel is the
+    nearest-neighbor pick of the source, channels intact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_png(px)), {"format": "png", "width": 8, "height": 8, "n_frames": 1})],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+                T.StructField("media_meta", M.MEDIA_META),
+            ]
+        ),
+    )
+    r = M.resize_media(df, out_w=4, out_h=4).first()
+    got = M.decode_real(bytes(r["media"]))
+    yi = np.arange(4) * 8 // 4
+    assert got.shape == (4, 4, 3)
+    assert (got == px[yi][:, yi]).all()
+    # RGBA survives too, alpha included
+    pxa = rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+    dfa = spark.createDataFrame(
+        [(2, bytearray(M.encode_png(pxa)), {"format": "png", "width": 6, "height": 6, "n_frames": 1})],
+        df.schema,
+    )
+    ra = M.resize_media(dfa, out_w=3, out_h=3).first()
+    gota = M.decode_real(bytes(ra["media"]))
+    ya = np.arange(3) * 6 // 3
+    assert gota.shape == (3, 3, 4)
+    assert (gota == pxa[ya][:, ya]).all()
+
+
 def test_encode_png_decode_real_inverse_rgb():
     """encode_png → decode_real is the identity on RGB uint8 pixels."""
     import numpy as np
