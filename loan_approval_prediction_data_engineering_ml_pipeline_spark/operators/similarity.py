@@ -631,6 +631,7 @@ def ivf_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """Batch ANN join: cosine top-k from the persisted IVF index for
     EVERY row of ``queries``, as ONE distributed plan — the shape a
@@ -650,7 +651,21 @@ def ivf_batch_topk(
 
     Output: (query_id, vec_id, cosine), k rows per query. Deterministic
     given the persisted index, so the DuckDB oracle re-derives the
-    whole join from the same committed parquet."""
+    whole join from the same committed parquet.
+
+    Hot-cell skew: when the query distribution concentrates on a few
+    cells (clustered queries — the common retrieval reality), the
+    shuffle-join keys every probe of a hot cell to ONE reducer.
+    ``salt > 1`` splits it: each probe pair gets a deterministic salt
+    (``xxhash64(query_id) mod salt`` — not rand(), so replays and
+    oracle comparisons stay stable) and the corpus side replicates each
+    cell row across all ``salt`` buckets, so a hot cell's work spreads
+    over ``salt`` reducers at the cost of reading the (already
+    partition-pruned) probed cells ``salt`` times. Results are
+    identical by construction — salting only re-buckets the join.
+    AQE's skew-join split is the config-only alternative when cell
+    PARTITIONS are skewed; salting also covers the case where one cell
+    is hot from the probe side while its partition is ordinary."""
     from pyspark.sql import Window
 
     q = queries.select(
@@ -684,7 +699,16 @@ def ivf_batch_topk(
     cells = spark.read.parquet(path + "/cells").select(
         F.col(id_col), F.col("arr"), F.col("cell")
     )
-    scored = probe.join(cells, "cell")
+    if salt > 1:
+        probe = probe.withColumn(
+            "__salt", F.pmod(F.xxhash64("query_id"), F.lit(salt)).cast("int")
+        )
+        cells = cells.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        scored = probe.join(cells, ["cell", "__salt"]).drop("__salt")
+    else:
+        scored = probe.join(cells, "cell")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col("query_id"))
     scored = scored.select(

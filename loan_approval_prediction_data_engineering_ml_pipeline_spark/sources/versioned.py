@@ -295,23 +295,43 @@ def _where_column(where: Where) -> Column:
     return out
 
 
+def _rel_file(path: str, f: str) -> str:
+    """Manifests store file paths RELATIVE to the table root (Delta does
+    the same in its log) so a table — committed test fixtures included —
+    survives relocation of the directory tree. Files outside the root
+    stay absolute (never produced by this writer, tolerated on read)."""
+    root = os.path.abspath(path)
+    af = os.path.abspath(f)
+    if af.startswith(root + os.sep):
+        return os.path.relpath(af, root)
+    return f
+
+
+def _abs_file(path: str, f: str) -> str:
+    """Resolve a manifest entry against the table root. Absolute entries
+    (legacy manifests written before relative-path support) pass
+    through untouched."""
+    return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
+
+
 def snapshot_files(
     path: str, version: int | None = None, where: Where | None = None
 ) -> list[str]:
     """The exact file list a (possibly predicate-pruned) snapshot read
     scans — the planning half of :func:`read_version`, exposed so tests
     and external readers (e.g. a DuckDB ``read_parquet`` twin) can
-    verify pruning and read the identical bytes."""
+    verify pruning and read the identical bytes. Returned paths are
+    resolved against the table root (manifests store them relative)."""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
     files = manifest["files"]
-    if not where:
-        return list(files)
-    stats = manifest.get("stats", {})
-    return [f for f in files if _file_may_match(stats.get(f), where)]
+    if where:
+        stats = manifest.get("stats", {})
+        files = [f for f in files if _file_may_match(stats.get(f), where)]
+    return [_abs_file(path, f) for f in files]
 
 
 def versioned_write(
@@ -349,6 +369,8 @@ def versioned_write(
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     files, new_stats, n_new = _collect_file_stats(df.sparkSession, data_dir)
+    files = [_rel_file(path, f) for f in files]
+    new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
     prev_m = _read_manifest(path, prev) if prev is not None else {}
     prev_files = prev_m.get("files", []) if mode == "append" else []
     prev_stats = prev_m.get("stats", {}) if mode == "append" else {}
@@ -495,7 +517,8 @@ def merge_into(
             raise FileNotFoundError(f"no committed version at {path}")
         return versioned_write(source, path, mode="append")
     manifest = _read_manifest(path, base)
-    files = manifest["files"]
+    files = manifest["files"]  # manifest-form (table-root-relative)
+    abs_of = {f: _abs_file(path, f) for f in files}
     prev_stats = manifest.get("stats", {})
 
     keys = source.select(*on).distinct()
@@ -506,7 +529,7 @@ def merge_into(
                 f"update-mode source has {n_src} rows over {n_keys} distinct "
                 f"keys {on} — deduplicate (newest-wins) before merging"
             )
-    snap = spark.read.option("mergeSchema", "true").parquet(*files)
+    snap = spark.read.option("mergeSchema", "true").parquet(*abs_of.values())
     touched_norm = {
         _norm_file(r["__file"])
         for r in snap.withColumn("__file", F.input_file_name())
@@ -515,11 +538,13 @@ def merge_into(
         .distinct()
         .collect()
     }
-    touched = [f for f in files if f in touched_norm]
-    untouched = [f for f in files if f not in touched_norm]
+    touched = [f for f in files if abs_of[f] in touched_norm]
+    untouched = [f for f in files if abs_of[f] not in touched_norm]
 
     if touched:
-        old_rows = spark.read.option("mergeSchema", "true").parquet(*touched)
+        old_rows = spark.read.option("mergeSchema", "true").parquet(
+            *[abs_of[f] for f in touched]
+        )
         kept = old_rows.join(keys, on, "left_anti")
     else:
         old_rows = kept = None
@@ -546,12 +571,14 @@ def merge_into(
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     new_rows.write.mode("error").parquet(data_dir)
     new_files, new_stats, n_new = _collect_file_stats(spark, data_dir)
+    new_files = [_rel_file(path, f) for f in new_files]
+    new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
 
     untouched_with_stats = [f for f in untouched if f in prev_stats]
     n_untouched = sum(prev_stats[f]["rows"] for f in untouched_with_stats)
     legacy = [f for f in untouched if f not in prev_stats]
     if legacy:  # pre-stats manifests: count once rather than guess
-        n_untouched += spark.read.parquet(*legacy).count()
+        n_untouched += spark.read.parquet(*[abs_of[f] for f in legacy]).count()
 
     if latest_version(path) != base:
         raise CommitConflict(
@@ -640,6 +667,8 @@ def stream_versioned_sink(
         files, new_stats, n_new = _collect_file_stats(
             batch_df.sparkSession, data_dir
         )
+        files = [_rel_file(path, f) for f in files]
+        new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
         _commit(
             path,
             version,
@@ -717,14 +746,14 @@ def vacuum(
     referenced: set[str] = set()
     for v in retained:
         for f in _read_manifest(path, v)["files"]:
-            referenced.add(os.path.dirname(f))
+            referenced.add(os.path.dirname(_abs_file(path, f)))
     for v in versions[:-keep_versions]:
         mp = _manifest_path(path, v)
         if os.path.exists(mp):
             os.unlink(mp)
     removed = []
     now = time.time()
-    data_root = os.path.join(path, "data")
+    data_root = os.path.join(os.path.abspath(path), "data")
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         full = os.path.join(data_root, d)
         if full in referenced:

@@ -756,3 +756,42 @@ def test_ivf_batch_topk_one_row_equals_single_probe(spark, tmp_path):
     ]
     assert batch == single
     assert len(single) == 10
+
+
+def test_ivf_batch_topk_salted_equals_unsalted_on_hot_cell(spark, tmp_path):
+    """The skew knob (r6): an adversarial probe distribution — every
+    query carries the SAME vector, so all probes hammer one cell's
+    reducer — must produce IDENTICAL results under probe-side salting
+    (salting only re-buckets the shuffle join; xxhash64-deterministic,
+    so replays compare equal too)."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    q0 = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    from pyspark.sql import functions as F
+
+    hot = emb.where("vec_id < 64").select(
+        "vec_id", F.array(*[F.lit(x) for x in q0]).alias("embedding")
+    )
+    plain = [
+        tuple(r)
+        for r in S.ivf_batch_topk(spark, idx, hot, k=5, n_probe=2).collect()
+    ]
+    salted = [
+        tuple(r)
+        for r in S.ivf_batch_topk(spark, idx, hot, k=5, n_probe=2, salt=8).collect()
+    ]
+    assert salted == plain
+    assert len(plain) == 64 * 5
+    # and the salted 1-row batch still reproduces the single-probe path
+    single = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_query(spark, idx, q0, k=5, n_probe=2, exclude_id=0).collect()
+    ]
+    one = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_batch_topk(
+            spark, idx, emb.where("vec_id = 0"), k=5, n_probe=2, salt=4
+        ).collect()
+    ]
+    assert one == single

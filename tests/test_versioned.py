@@ -509,3 +509,31 @@ def test_vacuum_min_age_spares_inflight_writes(spark, tmp_path):
     # zero threshold (single-writer mode) reclaims it as before
     removed = vacuum(t, keep_versions=1)
     assert any("v9-inflight" in d for d in removed)
+
+
+def test_table_survives_relocation(spark, tmp_path):
+    """Manifests store table-root-relative file paths (as Delta's log
+    does), so moving the whole table directory — the committed-fixture
+    / repo-relocation case — leaves every snapshot readable, merge-able
+    and vacuum-able at the new location."""
+    import shutil
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        merge_into,
+        snapshot_files,
+    )
+
+    old = str(tmp_path / "old")
+    versioned_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), old)
+    versioned_write(spark.createDataFrame([(3, "c")], ["id", "v"]), old)
+    new = str(tmp_path / "moved")
+    shutil.move(old, new)
+    assert _rows(read_version(spark, new)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(read_version(spark, new, 0)) == [(1, "a"), (2, "b")]
+    for f in snapshot_files(new):
+        assert f.startswith(new + os.sep) and os.path.exists(f)
+    # write paths keep working at the new root
+    merge_into(spark, new, spark.createDataFrame([(2, "B")], ["id", "v"]), ["id"])
+    assert _rows(read_version(spark, new)) == [(1, "a"), (2, "B"), (3, "c")]
+    vacuum(new, keep_versions=1)
+    assert _rows(read_version(spark, new)) == [(1, "a"), (2, "B"), (3, "c")]
