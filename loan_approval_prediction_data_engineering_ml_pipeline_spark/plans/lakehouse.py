@@ -144,3 +144,44 @@ def versioned_snapshot_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "versioned_change_feed",
+    # the fixture history is append-only, so the CDF between v0 and v2 is
+    # exactly the rows of the v1 and v2 version directories as inserts —
+    # the oracle re-derives the feed from the same bytes with literal
+    # change columns.
+    oracle=f"""
+    SELECT _commit_version, _change_type, o_orderstatus,
+           count(*)                    AS n_rows,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM (
+      SELECT *, CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+      FROM read_parquet('{_ORACLE_VTAB_DIR}/data/v1-*/*.parquet')
+      UNION ALL
+      SELECT *, CAST(2 AS BIGINT), 'insert'
+      FROM read_parquet('{_ORACLE_VTAB_DIR}/data/v2-*/*.parquet')
+    )
+    GROUP BY _commit_version, _change_type, o_orderstatus
+    ORDER BY _commit_version, o_orderstatus
+    """,
+    description="Change data feed between versioned snapshots: rows each "
+    "commit inserted/deleted, derived from the manifest file-list diff and "
+    "stamped with _commit_version/_change_type (Delta CDF semantics); on the "
+    "append-only fixture the feed (v0, v2] must equal the v1+v2 bytes as "
+    "inserts — the oracle re-reads those directories with literal change "
+    "columns, proving the log-derived feed touches exactly the diffed files",
+    tier="local",
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_vtab(spark, sf_dir)
+    return (
+        V.read_changes(spark, path, 0, 2)
+        .groupBy("_commit_version", "_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("_commit_version", "o_orderstatus")
+    )

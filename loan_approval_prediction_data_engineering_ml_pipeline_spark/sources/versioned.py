@@ -49,17 +49,28 @@ cadence. Row-level upserts go through :func:`merge_into` — copy-on-write
 of ONLY the files that contain a matched key (Delta MERGE §4.2), so a
 point update rewrites kilobytes of a 100 TB table, not the snapshot.
 
-Durability boundary: commits go through ``os.rename`` — atomic on
-POSIX filesystems (local disk, NFS with proper semantics). S3-class
-object stores have no atomic rename; deploying there needs a LogStore
-(conditional-put or an external mutex, VLDB 2020 §3.2) behind
-:func:`_commit` — the protocol above it is store-agnostic.
+Durability boundary — the :class:`LogStore` layer (VLDB 2020 §3.2):
+every log-plane operation (manifest read / atomic publish / list /
+delete) and vacuum's reclamation walk goes through a pluggable
+:class:`LogStore`, resolved per table-path prefix. The bundled
+:class:`LocalLogStore` implements atomic put-if-absent with
+``os.link`` (EEXIST on a present destination is atomic on POSIX —
+strictly stronger than precheck-then-rename, whose race window lets a
+second writer silently overwrite the first). S3-class object stores
+have no atomic rename OR link; deploying there means registering a
+store whose :meth:`LogStore.write_exclusive` is a conditional put
+(``If-None-Match: *``) or an external mutex — the commit protocol
+above the store is unchanged, which is exactly Delta's LogStore
+contract. Data-plane parquet I/O already rides Spark's Hadoop
+filesystem layer (``s3a://`` works today); only the log plane needs
+the store.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Iterable, Sequence
@@ -71,6 +82,144 @@ from pyspark.sql import functions as F
 class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read latest
     state and retry (optimistic concurrency, first-writer-wins)."""
+
+
+# ---------------------------------------------------------------------------
+# LogStore: the pluggable durability boundary (Delta LogStore, VLDB 2020 §3.2)
+# ---------------------------------------------------------------------------
+
+class LogStore:
+    """Storage primitives the commit protocol needs, and nothing more.
+
+    Log plane (correctness-critical): :meth:`write_exclusive` MUST be an
+    atomic put-if-absent — two concurrent publishes of the same path see
+    exactly one winner, the loser raises :class:`FileExistsError`, and a
+    reader never observes a partial entry. :meth:`read_text` /
+    :meth:`list_dir` must see every previously published entry
+    (read-after-write consistency for the log).
+
+    Data plane (vacuum's reclamation walk + the stats pass's listing):
+    best-effort filesystem semantics suffice — data files are immutable
+    once a manifest references them, so these ops never race a reader.
+
+    Deploying on an object store = implement this class with a
+    conditional put (or an external coordination service) and
+    :func:`register_log_store` it for the bucket prefix; nothing in the
+    protocol changes (Delta's LogStore contract)."""
+
+    # -- log plane --
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        """Atomically publish ``text`` at ``path`` iff absent; raise
+        FileExistsError (never tear, never overwrite) otherwise."""
+        raise NotImplementedError
+
+    def list_dir(self, dirpath: str) -> list[str]:
+        """Entry names in ``dirpath`` ([] if it does not exist)."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    # -- data plane --
+    def list_subdirs(self, dirpath: str) -> list[str]:
+        raise NotImplementedError
+
+    def list_files(self, dirpath: str) -> list[str]:
+        raise NotImplementedError
+
+    def delete_tree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX filesystems (local disk, properly-semantic NFS): atomic
+    put-if-absent via ``os.link`` — link(2) fails with EEXIST atomically
+    when the destination exists, closing the precheck-then-rename race
+    where two writers both pass the check and the second rename silently
+    clobbers the first commit. Requires hardlink support (true of local
+    disk; mount options that strip it need a different store)."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        try:
+            os.link(tmp, path)  # atomic: EEXIST iff path already present
+        finally:
+            os.unlink(tmp)
+
+    def list_dir(self, dirpath: str) -> list[str]:
+        return os.listdir(dirpath) if os.path.isdir(dirpath) else []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def list_subdirs(self, dirpath: str) -> list[str]:
+        return sorted(
+            d for d in self.list_dir(dirpath)
+            if os.path.isdir(os.path.join(dirpath, d))
+        )
+
+    def list_files(self, dirpath: str) -> list[str]:
+        return sorted(
+            f for f in self.list_dir(dirpath)
+            if os.path.isfile(os.path.join(dirpath, f))
+        )
+
+    def delete_tree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
+_DEFAULT_STORE = LocalLogStore()
+_STORES: list[tuple[str, LogStore]] = []  # (prefix, store), longest-prefix wins
+
+
+def register_log_store(prefix: str, store: LogStore) -> None:
+    """Route every table whose path starts with ``prefix`` through
+    ``store`` (e.g. an S3 conditional-put store for ``s3a://bucket/``).
+    Longest matching prefix wins; unmatched paths use the POSIX store."""
+    _STORES.append((prefix, store))
+    _STORES.sort(key=lambda ps: -len(ps[0]))
+
+
+def unregister_log_store(prefix: str) -> None:
+    _STORES[:] = [(p, s) for p, s in _STORES if p != prefix]
+
+
+def log_store_for(path: str) -> LogStore:
+    for prefix, store in _STORES:
+        if path.startswith(prefix):
+            return store
+    return _DEFAULT_STORE
+
+
+class ConstraintViolation(ValueError):
+    """Rows being committed (or already stored, for
+    :func:`add_constraint`) fail a table CHECK constraint — the commit
+    is refused and the table is unchanged (the written-but-uncommitted
+    data directory is an invisible orphan, reclaimed by
+    :func:`vacuum`)."""
 
 
 class VersionVacuumedError(FileNotFoundError):
@@ -90,12 +239,9 @@ def _manifest_path(path: str, version: int) -> str:
 
 def _manifest_versions(path: str) -> list[int]:
     """Versions whose manifest is PRESENT (retained), ascending."""
-    mdir = _manifest_dir(path)
-    if not os.path.isdir(mdir):
-        return []
     return sorted(
         int(name[1:-5])
-        for name in os.listdir(mdir)
+        for name in log_store_for(path).list_dir(_manifest_dir(path))
         if name.startswith("v") and name.endswith(".json")
     )
 
@@ -108,8 +254,9 @@ def latest_version(path: str) -> int | None:
 
 def _read_manifest(path: str, version: int) -> dict:
     try:
-        with open(_manifest_path(path, version)) as fh:
-            return json.load(fh)
+        return json.loads(
+            log_store_for(path).read_text(_manifest_path(path, version))
+        )
     except FileNotFoundError:
         latest = latest_version(path)
         if latest is not None and version < latest:
@@ -121,25 +268,26 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
-    """The one atomic step: tmp-write then rename. rename() fails on
-    POSIX if the source vanished (another process won a same-name race)
-    and never tears; a pre-check turns the common conflict into a
-    typed error before any work is wasted."""
-    mdir = _manifest_dir(path)
-    os.makedirs(mdir, exist_ok=True)
+    """The one atomic step: the store's put-if-absent publish. A cheap
+    exists() precheck turns the common conflict into a typed error
+    before serializing; the publish itself is the authority — two
+    racing writers that both pass the precheck still get exactly one
+    winner (LocalLogStore: os.link EEXIST; object stores: conditional
+    put), the loser a :class:`CommitConflict`."""
+    store = log_store_for(path)
     final = _manifest_path(path, version)
-    if os.path.exists(final):
+    if store.exists(final):
         raise CommitConflict(
             f"version {version} already committed at {path}; reload and retry"
         )
-    tmp = os.path.join(mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
     try:
-        os.rename(tmp, final)
-    except OSError as exc:  # lost a rename race on a non-precheckable FS
-        os.unlink(tmp)
-        raise CommitConflict(str(exc)) from exc
+        store.write_exclusive(
+            final, json.dumps(manifest, indent=1, sort_keys=True)
+        )
+    except FileExistsError as exc:  # lost the publish race post-precheck
+        raise CommitConflict(
+            f"version {version} already committed at {path}; reload and retry"
+        ) from exc
 
 
 # ---------------------------------------------------------------------------
@@ -185,33 +333,62 @@ def _stats_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, keep)]
 
 
+def _violation_col(expr: str) -> Column:
+    """SQL CHECK semantics: a row violates only when the expression is
+    FALSE — NULL (unknown) passes, exactly as in ANSI CHECK and Delta
+    constraints."""
+    return ~F.coalesce(F.expr(expr), F.lit(True))
+
+
 def _collect_file_stats(
-    spark: SparkSession, data_dir: str
+    spark: SparkSession,
+    data_dir: str,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[list[str], dict[str, dict], int]:
     """One distributed pass over a just-written data directory:
     (sorted file list, {file: {rows, min{col}, max{col}, nulls{col}}},
     total rows). Cost is O(new files' rows) per commit — the same rows
-    the commit just wrote — never a rescan of the table."""
+    the commit just wrote — never a rescan of the table. Table CHECK
+    constraints are enforced in the SAME pass (extra agg columns, no
+    extra scan): any violating row raises :class:`ConstraintViolation`
+    before a manifest can reference the data."""
     files = sorted(
         os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
+        for f in log_store_for(data_dir).list_files(data_dir)
         if f.endswith(".parquet")
     )
     if not files:
         return [], {}, 0
     df = spark.read.parquet(data_dir)
     cols = _stats_columns(df)
+    cons = list((constraints or {}).items())
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn__{c}"))
         aggs.append(F.max(c).alias(f"__mx__{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nl__{c}"))
+    for i, (_, expr) in enumerate(cons):
+        aggs.append(
+            F.sum(_violation_col(expr).cast("long")).alias(f"__viol__{i}")
+        )
     per_file = (
         df.withColumn("__file", F.input_file_name())
         .groupBy("__file")
         .agg(*aggs)
         .collect()
     )
+    violations = {
+        name: sum(int(r[f"__viol__{i}"] or 0) for r in per_file)
+        for i, (name, _) in enumerate(cons)
+    }
+    broken = {n: v for n, v in violations.items() if v}
+    if broken:
+        raise ConstraintViolation(
+            f"commit refused: CHECK constraint(s) violated by new rows — "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}): {v} row(s)" for n, v in broken.items()
+            )
+        )
     stats: dict[str, dict] = {}
     total = 0
     for r in per_file:
@@ -366,12 +543,14 @@ def versioned_write(
             f"{'v' + str(prev) if prev is not None else 'uninitialized'}"
         )
     version = 0 if prev is None else prev + 1
+    prev_m = _read_manifest(path, prev) if prev is not None else {}
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
-    files, new_stats, n_new = _collect_file_stats(df.sparkSession, data_dir)
+    files, new_stats, n_new = _collect_file_stats(
+        df.sparkSession, data_dir, prev_m.get("constraints")
+    )
     files = [_rel_file(path, f) for f in files]
     new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
-    prev_m = _read_manifest(path, prev) if prev is not None else {}
     prev_files = prev_m.get("files", []) if mode == "append" else []
     prev_stats = prev_m.get("stats", {}) if mode == "append" else {}
     n_prev = prev_m.get("rows", 0) if mode == "append" else 0
@@ -382,6 +561,7 @@ def versioned_write(
         "rows": n_prev + n_new,
         "stats": {**prev_stats, **new_stats},
         "txn": prev_m.get("txn", {}),
+        "constraints": prev_m.get("constraints", {}),
         "schema": df.schema.jsonValue(),
     }
     _commit(path, version, manifest)
@@ -426,6 +606,73 @@ def _schema_of(manifest: dict):
     return StructType.fromJson(manifest["schema"])
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (Delta CDF semantics,
+    derived purely from the commit log): every row inserted or deleted
+    by each commit in ``(from_version, to_version]``, stamped with
+    ``_change_type`` (``'insert'`` | ``'delete'``) and
+    ``_commit_version``. The derivation is the per-commit FILE-LIST
+    diff — files a version adds contribute their rows as inserts, files
+    it drops as deletes — so the feed reads ONLY the diffed files, never
+    a snapshot: consuming a day of appends from a 100 TB table costs the
+    day's files. The defining invariant (tested):
+
+        snapshot(from) ⊎ inserts ∖ deletes == snapshot(to)   (as multisets)
+
+    Copy-on-write rewrites (``merge_into``, ``optimize_table``,
+    ``rollback``) show a row carried through a rewritten file as a
+    delete+insert of equal content — correct but verbose; Delta tightens
+    this by writing dedicated change files during MERGE (CDF §'change
+    data' in the Delta docs), a pure optimization this derivation can
+    adopt later without changing consumers. Append-only histories (the
+    streaming sink's) have no such noise: the feed IS the appended rows,
+    which makes ``read_changes(path, cursor)`` +
+    ``_change_type='insert'`` the incremental-consumption primitive for
+    downstream pipelines. Versions below the vacuum retention horizon
+    raise :class:`VersionVacuumedError`."""
+    if to_version is None:
+        to_version = latest_version(path)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    frames: list[DataFrame] = []
+    prev_files = set(_read_manifest(path, from_version)["files"])
+    for v in range(from_version + 1, to_version + 1):
+        cur_files = set(_read_manifest(path, v)["files"])
+        for files, tag in (
+            (sorted(cur_files - prev_files), "insert"),
+            (sorted(prev_files - cur_files), "delete"),
+        ):
+            if files:
+                frames.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[_abs_file(path, f) for f in files])
+                    .withColumn("_change_type", F.lit(tag))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        prev_files = cur_files
+    if not frames:
+        from pyspark.sql.types import LongType, StringType
+
+        schema = _schema_of(_read_manifest(path, to_version))
+        schema = schema.add("_change_type", StringType()).add(
+            "_commit_version", LongType()
+        )
+        return spark.createDataFrame([], schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def table_versions(path: str) -> list[dict]:
     """Audit view of the table's RETAINED history from manifests alone —
     no data files are touched: (version, mode, n_files, rows). Versions
@@ -433,10 +680,10 @@ def table_versions(path: str) -> list[dict]:
     of a vacuumed table is the trimmed history, exactly what a reader
     can still time-travel to."""
     out = []
+    store = log_store_for(path)
     for v in _manifest_versions(path):
-        mp = _manifest_path(path, v)
-        if not os.path.exists(mp):  # vacuum raced us between list and read
-            continue
+        if not store.exists(_manifest_path(path, v)):
+            continue  # vacuum raced us between list and read
         m = _read_manifest(path, v)
         out.append(
             {
@@ -468,6 +715,10 @@ def rollback(path: str, version: int) -> int:
         "rows": target["rows"],
         "stats": target.get("stats", {}),
         "txn": prev_m.get("txn", {}),  # ledger follows HISTORY, not the target
+        # governance follows HISTORY too: restoring old data does not
+        # silently drop a constraint added since (rollback data that now
+        # violates is still readable — constraints gate WRITES)
+        "constraints": prev_m.get("constraints", {}),
         "schema": target["schema"],
     }
     _commit(path, new_version, manifest)
@@ -570,7 +821,9 @@ def merge_into(
     version = base + 1
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     new_rows.write.mode("error").parquet(data_dir)
-    new_files, new_stats, n_new = _collect_file_stats(spark, data_dir)
+    new_files, new_stats, n_new = _collect_file_stats(
+        spark, data_dir, manifest.get("constraints")
+    )
     new_files = [_rel_file(path, f) for f in new_files]
     new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
 
@@ -598,6 +851,7 @@ def merge_into(
                 **new_stats,
             },
             "txn": manifest.get("txn", {}),
+            "constraints": manifest.get("constraints", {}),
             "schema": (new_rows if new_rows is not None else snap).schema.jsonValue(),
         },
     )
@@ -615,10 +869,10 @@ def committed_source_batches(path: str, app_id: str | None = None) -> set[int]:
     authoritative exactly-once ledger is the ``txn`` map carried in the
     latest manifest, which vacuum never touches."""
     out = set()
+    store = log_store_for(path)
     for v in _manifest_versions(path):
-        mp = _manifest_path(path, v)
-        if not os.path.exists(mp):  # vacuumed below retention
-            continue
+        if not store.exists(_manifest_path(path, v)):
+            continue  # vacuumed below retention
         m = _read_manifest(path, v)
         b = m.get("source_batch_id")
         if b is not None and (app_id is None or m.get("app_id") == app_id):
@@ -665,7 +919,7 @@ def stream_versioned_sink(
         data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
         batch_df.write.mode("error").parquet(data_dir)
         files, new_stats, n_new = _collect_file_stats(
-            batch_df.sparkSession, data_dir
+            batch_df.sparkSession, data_dir, prev_m.get("constraints")
         )
         files = [_rel_file(path, f) for f in files]
         new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
@@ -681,6 +935,7 @@ def stream_versioned_sink(
                 "rows": prev_m.get("rows", 0) + n_new,
                 "stats": {**prev_m.get("stats", {}), **new_stats},
                 "txn": {**txn, app_id: batch_id},
+                "constraints": prev_m.get("constraints", {}),
                 "schema": batch_df.schema.jsonValue(),
             },
         )
@@ -690,6 +945,73 @@ def stream_versioned_sink(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta's ``ALTER TABLE ADD CONSTRAINT``: register a SQL CHECK
+    expression the table must satisfy. The EXISTING snapshot is
+    validated first (one scan — the same contract Delta pays at add
+    time); from then on every commit path (batch write, merge, streaming
+    sink) enforces the constraint over its NEW rows inside the stats
+    pass it already runs — zero extra scans per commit — and refuses the
+    commit with :class:`ConstraintViolation` on any failing row. NULL
+    results pass, per ANSI CHECK. The constraint set rides the manifest
+    (carried forward like the ``txn`` ledger), so it survives vacuum,
+    rollback, and OPTIMIZE. Committed as a manifest-only version (mode
+    ``add-constraint:<name>``) — O(1), no data movement."""
+    base = latest_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _read_manifest(path, base)
+    cons = dict(m.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    bad = read_version(spark, path, base).where(_violation_col(expr)).count()
+    if bad:
+        raise ConstraintViolation(
+            f"cannot add CHECK constraint {name!r} ({expr}): {bad} existing "
+            f"row(s) violate it"
+        )
+    cons[name] = expr
+    return _commit_metadata_only(path, base, m, f"add-constraint:{name}", cons)
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: manifest-only commit removing
+    the named CHECK constraint (missing name raises KeyError)."""
+    base = latest_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _read_manifest(path, base)
+    cons = dict(m.get("constraints", {}))
+    del cons[name]
+    return _commit_metadata_only(path, base, m, f"drop-constraint:{name}", cons)
+
+
+def _commit_metadata_only(
+    path: str, base: int, m: dict, mode: str, constraints: dict[str, str]
+) -> int:
+    """Same snapshot, new governance: carry files/stats/rows/txn/schema
+    forward verbatim, dropping per-commit streaming markers
+    (source_batch_id/app_id) that belong to the commit that made them."""
+    version = base + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "mode": mode,
+            "files": m["files"],
+            "rows": m["rows"],
+            "stats": m.get("stats", {}),
+            "txn": m.get("txn", {}),
+            "constraints": constraints,
+            "schema": m["schema"],
+        },
+    )
+    return version
 
 
 def optimize_table(
@@ -735,10 +1057,9 @@ def vacuum(
     a reader that resolved a retained manifest reads files vacuum never
     touches — only if its snapshot ages OUT of retention mid-query can
     its files vanish, Delta's documented reader-retention contract."""
-    import shutil
-
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    store = log_store_for(path)
     versions = _manifest_versions(path)
     if not versions:
         return []
@@ -749,17 +1070,17 @@ def vacuum(
             referenced.add(os.path.dirname(_abs_file(path, f)))
     for v in versions[:-keep_versions]:
         mp = _manifest_path(path, v)
-        if os.path.exists(mp):
-            os.unlink(mp)
+        if store.exists(mp):
+            store.delete(mp)
     removed = []
     now = time.time()
     data_root = os.path.join(os.path.abspath(path), "data")
-    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+    for d in store.list_subdirs(data_root):
         full = os.path.join(data_root, d)
         if full in referenced:
             continue
-        if min_age_seconds > 0 and now - os.path.getmtime(full) < min_age_seconds:
+        if min_age_seconds > 0 and now - store.mtime(full) < min_age_seconds:
             continue  # possibly an in-flight write: too young to reclaim
-        shutil.rmtree(full)
+        store.delete_tree(full)
         removed.append(full)
     return removed

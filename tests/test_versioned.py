@@ -394,8 +394,8 @@ def test_merge_conflict_on_concurrent_commit(spark, tmp_path, monkeypatch):
     versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
     real = V._collect_file_stats
 
-    def race(spark_, data_dir):
-        out = real(spark_, data_dir)
+    def race(spark_, data_dir, constraints=None):
+        out = real(spark_, data_dir, constraints)
         if "merge_raced" not in race.__dict__:
             race.merge_raced = True
             versioned_write(
@@ -537,3 +537,220 @@ def test_table_survives_relocation(spark, tmp_path):
     assert _rows(read_version(spark, new)) == [(1, "a"), (2, "B"), (3, "c")]
     vacuum(new, keep_versions=1)
     assert _rows(read_version(spark, new)) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# change data feed
+# ---------------------------------------------------------------------------
+
+def _apply_changes(base_rows, changes):
+    """Multiset-apply a change feed: snapshot(from) ⊎ inserts ∖ deletes."""
+    from collections import Counter
+
+    bag = Counter(base_rows)
+    for r in changes:
+        row = tuple(r)[:-2]  # strip _change_type/_commit_version
+        if r["_change_type"] == "insert":
+            bag[row] += 1
+        else:
+            bag[row] -= 1
+    return sorted(bag.elements())
+
+
+def test_change_feed_append_only_is_exactly_the_appends(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        versioned_write(
+            spark.createDataFrame([(lo + i, f"r{lo + i}") for i in range(3)], ["id", "v"]),
+            t,
+        )
+    feed = read_changes(spark, t, 0)  # default to_version = latest
+    rows = feed.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["_commit_version"] for r in rows} == {1, 2}
+    got = sorted((r["id"], r["_commit_version"]) for r in rows)
+    assert got == [(10 + i, 1) for i in range(3)] + [(20 + i, 2) for i in range(3)]
+    # empty range: zero rows, schema = table schema + the two CDF columns
+    empty = read_changes(spark, t, 2, 2)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+
+
+def test_change_feed_reconstructs_snapshots_through_merge_and_rollback(
+    spark, tmp_path
+):
+    """The defining CDF invariant across EVERY commit kind in the repo:
+    applying the feed (from, to] onto snapshot(from) as a multiset
+    reproduces snapshot(to) — covering append, copy-on-write merge
+    (update + delete), overwrite, and rollback commits."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        merge_into,
+        read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100):
+        versioned_write(
+            spark.createDataFrame(
+                [(lo + i, f"old{lo + i}") for i in range(4)], ["id", "v"]
+            ).coalesce(1),
+            t,
+        )  # v0, v1
+    merge_into(
+        spark, t, spark.createDataFrame([(101, "NEW"), (999, "INS")], ["id", "v"]), ["id"]
+    )  # v2: COW update of the 100-file
+    merge_into(
+        spark, t, spark.createDataFrame([(0, "x")], ["id", "v"]),
+        ["id"], when_matched="delete",
+    )  # v3: COW delete
+    versioned_write(
+        spark.createDataFrame([(7, "over")], ["id", "v"]).coalesce(1),
+        t, mode="overwrite",
+    )  # v4
+    rollback(t, 2)  # v5
+
+    for frm in range(0, 5):
+        for to in range(frm, 6):
+            base = [tuple(r) for r in read_version(spark, t, frm).collect()]
+            target = sorted(tuple(r) for r in read_version(spark, t, to).collect())
+            feed = read_changes(spark, t, frm, to).collect()
+            assert _apply_changes(base, feed) == target, (frm, to)
+    # the COW merge's carried rows appear as matched delete+insert pairs,
+    # and the net change of v2 is exactly {101: old->NEW, +999}
+    v2 = read_changes(spark, t, 1, 2).collect()
+    net = _apply_changes([], v2)
+    deleted = sorted(tuple(r)[:-2] for r in v2 if r["_change_type"] == "delete")
+    inserted = sorted(tuple(r)[:-2] for r in v2 if r["_change_type"] == "insert")
+    assert (101, "old101") in deleted and (101, "NEW") in inserted
+    assert (999, "INS") in inserted and (999, "INS") in net
+
+
+def test_change_feed_errors(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        VersionVacuumedError,
+        read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        versioned_write(spark.createDataFrame([(i, "r")], ["id", "v"]), t)
+    with pytest.raises(ValueError):
+        read_changes(spark, t, 2, 1)
+    vacuum(t, keep_versions=1)
+    with pytest.raises(VersionVacuumedError):
+        read_changes(spark, t, 0).count()
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+def test_constraints_gate_every_write_path(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data, then every commit path
+    (append, merge) enforces over its new rows in the stats pass; a
+    violation refuses the commit and leaves the table unchanged."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        drop_constraint,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, 10), (2, 20)], ["id", "amt"]), t)
+    v = add_constraint(spark, t, "amt_positive", "amt > 0")
+    assert v == 1 and table_versions(t)[-1]["mode"] == "add-constraint:amt_positive"
+
+    # batch append violating -> refused, state unchanged
+    with pytest.raises(ConstraintViolation):
+        versioned_write(spark.createDataFrame([(3, -5)], ["id", "amt"]), t)
+    assert latest_version(t) == 1
+    assert read_version(spark, t).count() == 2
+
+    # valid append passes and carries the constraint forward
+    versioned_write(spark.createDataFrame([(3, 30)], ["id", "amt"]), t)
+    with pytest.raises(ConstraintViolation):
+        versioned_write(spark.createDataFrame([(4, 0)], ["id", "amt"]), t)
+
+    # merge introducing a bad row -> refused
+    with pytest.raises(ConstraintViolation):
+        merge_into(spark, t, spark.createDataFrame([(1, -1)], ["id", "amt"]), ["id"])
+    assert {r["amt"] for r in read_version(spark, t).collect()} == {10, 20, 30}
+
+    # NULL passes (ANSI CHECK: only FALSE violates)
+    versioned_write(spark.createDataFrame([(5, None)], "id long, amt long"), t)
+    assert read_version(spark, t).count() == 4
+
+    # adding a constraint the existing data violates is refused
+    with pytest.raises(ConstraintViolation):
+        add_constraint(spark, t, "amt_big", "amt >= 15")
+    # duplicate name refused
+    with pytest.raises(ValueError):
+        add_constraint(spark, t, "amt_positive", "amt > -99")
+
+    # drop, then the formerly-bad write lands
+    drop_constraint(t, "amt_positive")
+    versioned_write(spark.createDataFrame([(6, -5)], ["id", "amt"]), t)
+    assert read_version(spark, t).count() == 5
+
+
+def test_constraints_survive_rollback_optimize_vacuum(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, 10)], ["id", "amt"]), t)  # v0
+    add_constraint(spark, t, "amt_positive", "amt > 0")  # v1
+    versioned_write(spark.createDataFrame([(2, 20)], ["id", "amt"]), t)  # v2
+    optimize_table(spark, t)  # v3
+    rollback(t, 0)  # v4: pre-constraint DATA, but governance follows history
+    vacuum(t, keep_versions=1)
+    with pytest.raises(ConstraintViolation):
+        versioned_write(spark.createDataFrame([(9, -9)], ["id", "amt"]), t)
+    versioned_write(spark.createDataFrame([(9, 9)], ["id", "amt"]), t)
+    assert read_version(spark, t).count() == 2
+
+
+def test_constraint_violation_in_stream_sink_fails_batch(spark, tmp_path):
+    import glob
+    import shutil
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        add_constraint,
+        stream_versioned_sink,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, 10)], "id long, amt long"), t)
+    add_constraint(spark, t, "amt_positive", "amt > 0")
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    staged = os.path.join(src, "__stage")
+    spark.createDataFrame([(2, -20)], "id long, amt long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    shutil.copyfile(
+        glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+        os.path.join(src, "f0.parquet"),
+    )
+    shutil.rmtree(staged)
+
+    stream = spark.readStream.schema("id long, amt long").parquet(src)
+    with pytest.raises(Exception) as exc_info:
+        stream_versioned_sink(
+            stream, t, app_id="s", checkpoint=str(tmp_path / "ck")
+        )
+    assert "ConstraintViolation" in str(exc_info.value) or "amt_positive" in str(
+        exc_info.value
+    )
+    # nothing committed: the bad batch's data dir is an invisible orphan
+    assert latest_version(t) == 1
+    assert read_version(spark, t).count() == 1

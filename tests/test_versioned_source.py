@@ -1,0 +1,101 @@
+"""Streaming SOURCE over versioned tables (Spark Python Data Source):
+offsets are commit versions, a micro-batch reads exactly the files the
+versions in range appended, change commits fail fast (or skip on opt-in),
+and the checkpoint cursor makes restarts incremental — stream ≡ batch
+on the same commit log."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+    merge_into,
+    read_version,
+    versioned_write,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.versioned_source import (
+    register_versioned_source,
+)
+
+
+def _drain(spark, t, cp, collected, **options):
+    """Run the source until all available versions are consumed."""
+    register_versioned_source(spark)
+    reader = spark.readStream.format("versioned_table").option("path", t)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    stream = reader.load()
+
+    def sink(batch_df, batch_id):
+        collected.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_stream_source_replays_appends_then_tails(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in (0, 10):
+        versioned_write(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(3)], ["id", "v"]
+            ),
+            t,
+        )
+    cp = str(tmp_path / "cp")
+    got: list[tuple] = []
+    _drain(spark, t, cp, got)
+    assert sorted(got) == sorted(tuple(r) for r in read_version(spark, t).collect())
+
+    # tail: two more commits, SAME checkpoint -> only the new rows
+    versioned_write(spark.createDataFrame([(20, "r20")], ["id", "v"]), t)
+    versioned_write(spark.createDataFrame([(21, "r21")], ["id", "v"]), t)
+    tail: list[tuple] = []
+    _drain(spark, t, cp, tail)
+    assert sorted(tail) == [(20, "r20"), (21, "r21")]
+
+
+def test_stream_source_starting_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):
+        versioned_write(spark.createDataFrame([(i, f"r{i}")], ["id", "v"]), t)
+    got: list[tuple] = []
+    _drain(spark, t, str(tmp_path / "cp"), got, starting_version="2")
+    assert got == [(2, "r2")]
+
+
+def test_stream_source_change_commit_fails_then_skips(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1), t
+    )
+    merge_into(spark, t, spark.createDataFrame([(2, "B")], ["id", "v"]), ["id"])
+    versioned_write(spark.createDataFrame([(3, "c")], ["id", "v"]), t)
+
+    with pytest.raises(Exception) as exc_info:
+        _drain(spark, t, str(tmp_path / "cp1"), [])
+    assert "change commit" in str(exc_info.value)
+
+    got: list[tuple] = []
+    _drain(spark, t, str(tmp_path / "cp2"), got, skip_change_commits="true")
+    # v0's file + v2's file stream; v1 (the merge rewrite) is skipped whole
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_source_schema_evolution_fills_nulls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    versioned_write(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"), t
+    )
+    got: list[tuple] = []
+    _drain(spark, t, str(tmp_path / "cp"), got)
+    assert sorted(got, key=lambda r: r[0]) == [(1, "a", None), (2, "b", 9.5)]
