@@ -2039,3 +2039,129 @@ def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, "rank long, w1 string, w2 string, n long").orderBy(
         "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level corpus cleaning (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+_LINE_MIN_FRAC = 0.2  # boilerplate threshold: fraction of docs sharing a part
+
+
+@query(
+    "line_dedup_corpus",
+    # the synthetic documents table is single-line, so the registered
+    # form runs the operator with separator=' ' — the degenerate
+    # "lines = tokens" case, i.e. corpus-stopword removal: any token in
+    # >= ceil(20% of docs) distinct documents is boilerplate. The real
+    # multi-line semantics (blank-line exemption, order preservation,
+    # normalization) are pytest-covered in tests/test_spans.py.
+    oracle=f"""
+    WITH lines0 AS (
+      SELECT doc_id, unnest(arr) AS part, unnest(range(1, len(arr)+1)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) s
+    ),
+    boiler AS (
+      SELECT lower(trim(part)) AS norm
+      FROM lines0 WHERE trim(part) <> ''
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id)
+             >= ceil((SELECT count(*) FROM documents) * {_LINE_MIN_FRAC})
+    ),
+    kept AS (
+      SELECT l.doc_id, l.part, l.pos
+      FROM lines0 l LEFT JOIN boiler b ON lower(trim(l.part)) = b.norm
+      WHERE b.norm IS NULL
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(string_agg(k.part, ' ' ORDER BY k.pos), '') AS text_clean
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id, d.lang
+    ORDER BY d.doc_id
+    """,
+    description="Line-level boilerplate dedup (CCNet/RefinedWeb): parts "
+    "whose normalized form occurs in >= ceil(20% of docs) distinct "
+    "documents are removed from every document, survivors reassembled in "
+    "original order; one shuffle keyed on the normalized part + one "
+    "anti-join + one groupBy(doc) rebuild, all codegen built-ins",
+    tier="local",
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.spans import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    min_docs = math.ceil(docs.count() * _LINE_MIN_FRAC)
+    out = remove_boilerplate_lines(docs, min_docs=min_docs, separator=" ")
+    return out.select(
+        "doc_id", "lang", F.col("text").alias("text_clean")
+    ).orderBy("doc_id")
+
+
+_SPAN_WINDOW = 8
+
+
+@query(
+    "substring_dedup",
+    # Lee et al. 2022 exact substring dedup, fixed-window form. The
+    # oracle re-derives the full pipeline — window grams via a list()
+    # window frame, the SAME md5-derived 60-bit gram keys (the
+    # minhash oracle discipline), keeper = row_number over (doc, pos),
+    # covered-position explode, ordered rebuild.
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr)+1)) AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+            FROM documents) s
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(array_to_string(win, ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, pos,
+               list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {_SPAN_WINDOW - 1} FOLLOWING) AS win
+        FROM toks) g
+      WHERE len(win) = {_SPAN_WINDOW}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_id, pos + o.off AS pos
+      FROM marked, unnest(range(0, {_SPAN_WINDOW})) AS o(off)
+      WHERE n >= 2 AND rn > 1
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM toks t LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.pos = d.pos
+      WHERE d.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    description="Exact substring dedup (Lee et al. 2022, fixed-window "
+    f"variant, window={_SPAN_WINDOW} tokens): every occurrence-but-one of "
+    "a duplicated window-gram is cut; overlapping duplicate windows chain "
+    "so repeated spans of any length vanish whole. Token explode is "
+    "O(corpus tokens), gram keys shuffle once, the removal set is bounded "
+    "by duplicate mass — no UDFs anywhere",
+    tier="local",
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, window=_SPAN_WINDOW)
+    return out.select(
+        "doc_id", F.col("text").alias("text_clean")
+    ).orderBy("doc_id")
