@@ -312,6 +312,15 @@ def zorder_write(
     write. Run it on cold partitions as a maintenance op, like
     ``compact_parquet``.
     """
+    zorder_layout(df, cols, n_files=n_files).write.mode(mode).parquet(path)
+
+
+def zorder_layout(df: DataFrame, cols: list[str], *, n_files: int = 8) -> DataFrame:
+    """The clustering half of :func:`zorder_write` as a re-usable frame
+    transform: returns ``df`` range-partitioned into ``n_files`` tasks and
+    sorted by the Morton-interleaved quantile-bin key, helper columns
+    dropped — whatever writes it next (a plain parquet write, a versioned
+    OPTIMIZE commit) inherits the clustered layout, one file per task."""
     # one planning job for ALL columns (approxQuantile takes a col list)
     qs = df.stat.approxQuantile(cols, [i / 256.0 for i in range(1, 256)], 0.001)
     cutoffs = dict(zip(cols, qs))
@@ -325,11 +334,9 @@ def zorder_write(
         ],
     )
     zv = interleave_bits([F.col(f"__bin_{j}") for j in range(len(cols))]).alias("__zv")
-    (
+    return (
         binned.select("*", zv)
         .repartitionByRange(n_files, "__zv")
         .sortWithinPartitions("__zv")
         .drop("__zv", *[f"__bin_{j}" for j in range(len(cols))])
-        .write.mode(mode)
-        .parquet(path)
     )

@@ -1015,7 +1015,11 @@ def _commit_metadata_only(
 
 
 def optimize_table(
-    spark: SparkSession, path: str, *, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 1,
+    zorder_by: Sequence[str] | None = None,
 ) -> int:
     """Delta's OPTIMIZE: rewrite the LATEST snapshot into
     ``target_files`` files and commit the compacted layout as a new
@@ -1026,11 +1030,26 @@ def optimize_table(
     Reclaim the superseded small files later via :func:`vacuum`.
     Returns the new version number, pinned to the optimized base via
     ``expected_base`` so a concurrent append can't be silently
-    clobbered by the rewrite."""
+    clobbered by the rewrite.
+
+    ``zorder_by`` = Delta's ``OPTIMIZE ... ZORDER BY (cols)``: lay the
+    rewrite out in Morton order over the named columns
+    (:func:`~..operators.maintenance.zorder_layout`) so the per-file
+    min/max stats this table's commits already record become NARROW on
+    every clustered dimension at once — compaction and data-skipping
+    effectiveness land in the same single rewrite, which is the whole
+    point of pairing OPTIMIZE with stats-pruned ``read_version(where=)``
+    at 100 TB (one maintenance pass buys every later selective read)."""
     base = latest_version(path)
     if base is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    df = read_version(spark, path, base).coalesce(target_files)
+    df = read_version(spark, path, base)
+    if zorder_by:
+        from ..operators.maintenance import zorder_layout
+
+        df = zorder_layout(df, list(zorder_by), n_files=target_files)
+    else:
+        df = df.coalesce(target_files)
     return versioned_write(df, path, mode="overwrite", expected_base=base)
 
 

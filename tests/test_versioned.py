@@ -754,3 +754,42 @@ def test_constraint_violation_in_stream_sink_fails_batch(spark, tmp_path):
     # nothing committed: the bad batch's data dir is an invisible orphan
     assert latest_version(t) == 1
     assert read_version(spark, t).count() == 1
+
+
+def test_optimize_zorder_makes_skipping_selective_on_both_dims(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY (x, y): the rewrite is content-identical,
+    and because the commit's stats pass records per-file min/max over the
+    now-clustered layout, selective reads on EITHER dimension prune to a
+    small file subset — where the pre-optimize shuffled layout pruned
+    nothing."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        optimize_table,
+        snapshot_files,
+    )
+
+    n = 4096
+    rows = [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)]
+    df = (
+        spark.createDataFrame(rows, ["id", "x", "y"])
+        .repartition(8)  # random layout: every file spans ~the full domain
+    )
+    t = str(tmp_path / "t")
+    versioned_write(df, t)
+    before = {r for r in read_version(spark, t).collect()}
+    pred_x = [("x", "<", 256)]
+    pred_y = [("y", "<", 256)]
+    assert len(snapshot_files(t, where=pred_x)) == 8  # nothing prunes
+    assert len(snapshot_files(t, where=pred_y)) == 8
+
+    v = optimize_table(spark, t, target_files=8, zorder_by=["x", "y"])
+    assert v == 1
+    assert len(snapshot_files(t)) == 8
+    # z-order: a 1/16-domain slab on either dim touches a strict subset
+    assert len(snapshot_files(t, where=pred_x)) <= 4
+    assert len(snapshot_files(t, where=pred_y)) <= 4
+    # content identical, and the pruned read returns the full filter result
+    assert {r for r in read_version(spark, t).collect()} == before
+    got = {
+        r["id"] for r in read_version(spark, t, where=pred_x).where("x < 256").collect()
+    }
+    assert got == {r["id"] for r in df.where("x < 256").collect()}
