@@ -492,23 +492,40 @@ def main() -> None:
     except Exception as exc:  # keep the bench artifact even if RocksDB is absent
         streaming_state["transition_stream_multibatch_rocksdb"] = {"error": str(exc)[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "iters": iters,
-                "calibration": calibration,
-                "streaming_state": streaming_state,
-                "maintenance": maintenance,
-                "ingest_dedup": ingest_dedup,
-                "versioned": versioned,
-            }
-        )
-    )
+    # The driver captures only the LAST ~2000 chars of stdout and parses the
+    # final JSON line; since r5 the full artifact (queries + calibration +
+    # streaming/maintenance/versioned blocks) outgrew that window and the
+    # recorded BENCH_r{N}.json had "parsed": null.  Keep the machine-readable
+    # line compact (metric/value/queries only, 3-decimal timings) and write
+    # the complete detail to BENCH_DETAIL.json alongside the repo root.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "iters": iters,
+        "calibration": calibration,
+        "streaming_state": streaming_state,
+        "maintenance": maintenance,
+        "ingest_dedup": ingest_dedup,
+        "versioned": versioned,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the driver's capture window again
+        compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

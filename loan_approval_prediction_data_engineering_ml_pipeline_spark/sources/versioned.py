@@ -61,15 +61,19 @@ have no atomic rename OR link; deploying there means registering a
 store whose :meth:`LogStore.write_exclusive` is a conditional put
 (``If-None-Match: *``) or an external mutex — the commit protocol
 above the store is unchanged, which is exactly Delta's LogStore
-contract. Data-plane parquet I/O already rides Spark's Hadoop
-filesystem layer (``s3a://`` works today); only the log plane needs
-the store.
+contract. NOTE the current boundary honestly: the path arithmetic
+around the table root (``_rel_file``/``_abs_file``, merge_into's
+``input_file_name()`` matching) is ``os.path``-based, so URI-style
+table paths (``s3a://…``) are REJECTED at entry today — object-store
+deployment needs a scheme-aware path layer in addition to a LogStore;
+the protocol itself is already store-agnostic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -229,7 +233,31 @@ class VersionVacuumedError(FileNotFoundError):
     while rollback/time-travel callers get the precise cause."""
 
 
+# 2+ chars before the colon: real URI schemes (s3a:, hdfs:, file:, …)
+# match, single-letter Windows drive prefixes (C:\…) do not.
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:")
+
+
+def _require_local_path(path: str) -> str:
+    """The table-path arithmetic around the log (``_rel_file`` /
+    ``_abs_file``, merge_into's ``input_file_name()`` matching) is
+    ``os.path``-based — correct only for local-filesystem paths. A
+    URI-style table path (``s3a://…``, ``hdfs://…``, ``file:…``) would
+    silently mangle into ``/cwd/s3a:/…`` and never match
+    ``input_file_name()`` output, so it is refused loudly here. An
+    object-store deployment needs a scheme-aware path layer in addition
+    to a registered :class:`LogStore` (see module docstring)."""
+    if _URI_SCHEME_RE.match(path):
+        raise ValueError(
+            f"versioned table path must be a local filesystem path, got URI "
+            f"{path!r}: the data-plane path arithmetic is os.path-based; "
+            f"object stores need a scheme-aware path layer (not just a LogStore)"
+        )
+    return path
+
+
 def _manifest_dir(path: str) -> str:
+    _require_local_path(path)
     return os.path.join(path, "_manifests")
 
 
@@ -290,6 +318,16 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         ) from exc
 
 
+def _txn_carry(base: dict) -> dict:
+    """Streaming-ledger carry-forward for NON-stream commits: the txn
+    key rides along only when the base manifest has one. Materializing
+    an empty ``{}`` onto a pre-txn (legacy) table would erase the
+    missing-key marker :func:`stream_versioned_sink` uses to trigger its
+    one-time ledger seed, and a replayed legacy stream batch would then
+    append twice (ADVICE r6)."""
+    return {"txn": base["txn"]} if "txn" in base else {}
+
+
 # ---------------------------------------------------------------------------
 # per-file statistics (the VLDB 2020 §3.3 data-skipping substrate)
 # ---------------------------------------------------------------------------
@@ -303,15 +341,29 @@ def _norm_file(p: str) -> str:
     return p
 
 
-def _json_safe(v):
+def _json_safe(v, toward: str | None = None):
     """min/max values must survive the JSON round-trip with their ORDER
     intact: dates/timestamps serialize to ISO strings (lexicographic ==
-    chronological), Decimals to float, numerics/strings/bools as-is."""
+    chronological), Decimals to float, numerics/strings/bools as-is.
+
+    Decimals round DIRECTIONALLY (``toward="down"`` for mins, ``"up"``
+    for maxes — Delta does the same): float() rounds to nearest, so a
+    stored min could land ABOVE the true min (Decimal('0.1') →
+    0.1000000000000000055…) and :func:`_file_may_match` would prune a
+    file containing matching rows. One ulp of widening keeps the range
+    a true superset, so skipping stays a pure optimization."""
     import datetime
     import decimal
+    import math
 
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        f = float(v)
+        if math.isfinite(f):
+            if toward == "down" and decimal.Decimal(f) > v:
+                f = math.nextafter(f, -math.inf)
+            elif toward == "up" and decimal.Decimal(f) < v:
+                f = math.nextafter(f, math.inf)
+        return f
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
     return v
@@ -394,8 +446,8 @@ def _collect_file_stats(
     for r in per_file:
         entry = {
             "rows": int(r["__rows"]),
-            "min": {c: _json_safe(r[f"__mn__{c}"]) for c in cols},
-            "max": {c: _json_safe(r[f"__mx__{c}"]) for c in cols},
+            "min": {c: _json_safe(r[f"__mn__{c}"], toward="down") for c in cols},
+            "max": {c: _json_safe(r[f"__mx__{c}"], toward="up") for c in cols},
             "nulls": {c: int(r[f"__nl__{c}"]) for c in cols},
         }
         stats[_norm_file(r["__file"])] = entry
@@ -409,18 +461,57 @@ _SKIP_OPS = ("==", "!=", "<", "<=", ">", ">=")
 Where = Sequence[tuple[str, str, object]]
 
 
+#: sentinel from :func:`_coerced`: no order-preserving alignment exists
+#: between the stored stat and the caller's literal — the caller must
+#: KEEP the file (pruning on a coerced order that disagrees with the
+#: residual Spark filter's cast semantics would drop matching rows).
+_KEEP = object()
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _coerced(stored, v):
     """Align the caller's literal with the JSON-stored min/max domain
-    (dates/timestamps live as ISO strings in the manifest)."""
-    import datetime
+    (dates/timestamps live as ISO strings in the manifest). Returns
+    :data:`_KEEP` whenever the cross-type comparison is not provably
+    order-identical to Spark's own cast semantics — conservative by
+    contract: skipping must never change results.
 
-    if isinstance(stored, str) and isinstance(v, (datetime.date, datetime.datetime)):
-        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
-    if isinstance(stored, (int, float)) and isinstance(v, (int, float)):
-        return v
-    if isinstance(stored, str) and not isinstance(v, str):
-        return str(v)
-    return v
+    The two subtle pairings (both previously mis-pruned):
+
+    - DateType stats ('YYYY-MM-DD') vs a ``datetime`` literal: only an
+      exact-midnight naive timestamp IS its date; coercing
+      '1998-08-02 12:00:00' against date strings makes the range bound
+      direction-dependent ('>= max' skips a file whose rows match), so
+      any non-midnight time keeps the file.
+    - TimestampType stats ('YYYY-MM-DD HH:MM:SS') vs a ``date``
+      literal: the literal means midnight, and bare 'YYYY-MM-DD' sorts
+      BEFORE 'YYYY-MM-DD 00:00:00' — serialize the midnight explicitly
+      so '<='/'>' bounds land exactly where Spark's date→timestamp
+      cast puts them.
+    """
+    import datetime
+    import decimal
+
+    if isinstance(stored, bool):
+        return v if isinstance(v, bool) else _KEEP
+    if isinstance(stored, (int, float)):
+        if isinstance(v, (bool, int, float, decimal.Decimal)):
+            return v  # Python's numeric tower compares these exactly
+        return _KEEP
+    if isinstance(stored, str):
+        if isinstance(v, datetime.datetime):
+            if _DATE_RE.match(stored):
+                if v.tzinfo is None and v.time() == datetime.time():
+                    return v.date().isoformat()
+                return _KEEP
+            return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            return v.isoformat() if _DATE_RE.match(stored) else v.isoformat() + " 00:00:00"
+        if isinstance(v, str):
+            return v
+        return _KEEP  # str(v) lexicographic order != Spark's cast semantics
+    return v if type(stored) is type(v) else _KEEP
 
 
 def _file_may_match(fstats: dict | None, where: Where) -> bool:
@@ -440,6 +531,8 @@ def _file_may_match(fstats: dict | None, where: Where) -> bool:
         if mn is None or mx is None:
             return False  # zero non-null values: no comparison can hold
         v = _coerced(mn, v)
+        if v is _KEEP:
+            continue  # no sound cross-type order: keep the file
         try:
             if op == "==" and (v < mn or v > mx):
                 return False
@@ -560,7 +653,7 @@ def versioned_write(
         "files": prev_files + files,
         "rows": n_prev + n_new,
         "stats": {**prev_stats, **new_stats},
-        "txn": prev_m.get("txn", {}),
+        **_txn_carry(prev_m),
         "constraints": prev_m.get("constraints", {}),
         "schema": df.schema.jsonValue(),
     }
@@ -714,7 +807,7 @@ def rollback(path: str, version: int) -> int:
         "files": target["files"],
         "rows": target["rows"],
         "stats": target.get("stats", {}),
-        "txn": prev_m.get("txn", {}),  # ledger follows HISTORY, not the target
+        **_txn_carry(prev_m),  # ledger follows HISTORY, not the target
         # governance follows HISTORY too: restoring old data does not
         # silently drop a constraint added since (rollback data that now
         # violates is still readable — constraints gate WRITES)
@@ -850,7 +943,7 @@ def merge_into(
                 **{f: prev_stats[f] for f in untouched_with_stats},
                 **new_stats,
             },
-            "txn": manifest.get("txn", {}),
+            **_txn_carry(manifest),
             "constraints": manifest.get("constraints", {}),
             "schema": (new_rows if new_rows is not None else snap).schema.jsonValue(),
         },
@@ -909,9 +1002,14 @@ def stream_versioned_sink(
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
         txn = dict(prev_m.get("txn", {}))
-        if not txn and prev_m.get("source_batch_id") is not None:
-            # pre-txn table written by an older sink: seed the ledger
-            # from the manifest scan, once
+        if prev is not None and "txn" not in prev_m:
+            # pre-txn table (manifest written before the ledger existed —
+            # whether its latest version is a stream OR a plain batch
+            # commit): seed the ledger from the manifest scan, once. Keyed
+            # on the MISSING key, not on source_batch_id being present:
+            # a legacy table whose latest version is a batch commit still
+            # has committed stream batches below it whose replay must
+            # stay a no-op across the upgrade (ADVICE r6).
             txn[app_id] = max(committed_source_batches(path), default=-1)
         if txn.get(app_id, -1) >= batch_id:
             return  # replay of a committed batch: exactly-once no-op
@@ -1006,7 +1104,7 @@ def _commit_metadata_only(
             "files": m["files"],
             "rows": m["rows"],
             "stats": m.get("stats", {}),
-            "txn": m.get("txn", {}),
+            **_txn_carry(m),
             "constraints": constraints,
             "schema": m["schema"],
         },

@@ -784,12 +784,191 @@ def test_optimize_zorder_makes_skipping_selective_on_both_dims(spark, tmp_path):
     v = optimize_table(spark, t, target_files=8, zorder_by=["x", "y"])
     assert v == 1
     assert len(snapshot_files(t)) == 8
-    # z-order: a 1/16-domain slab on either dim touches a strict subset
-    assert len(snapshot_files(t, where=pred_x)) <= 4
-    assert len(snapshot_files(t, where=pred_y)) <= 4
+    # z-order: a 1/16-domain slab on either dim touches a strict subset.
+    # Bound is 5, not the ideal 4: repartitionByRange draws a fresh random
+    # sample per run, so a file boundary can straddle the 256 cut and add
+    # one file — layout jitter, not a stats/pruning defect.
+    assert len(snapshot_files(t, where=pred_x)) <= 5
+    assert len(snapshot_files(t, where=pred_y)) <= 5
     # content identical, and the pruned read returns the full filter result
     assert {r for r in read_version(spark, t).collect()} == before
     got = {
         r["id"] for r in read_version(spark, t, where=pred_x).where("x < 256").collect()
     }
     assert got == {r["id"] for r in df.where("x < 256").collect()}
+
+
+# ---------------------------------------------------------------------------
+# r7 (ADVICE r6): decimal stat rounding, cross-type prune soundness,
+# URI path rejection, legacy ledger seeding
+# ---------------------------------------------------------------------------
+
+
+def test_decimal_stats_round_directionally_never_skip_matches(spark, tmp_path):
+    """float() rounds a Decimal to NEAREST, so an un-widened stored min
+    can land ABOVE the true min (Decimal('0.1') -> 0.1000...0055) and
+    a stored max BELOW the true max (Decimal('0.3') -> 0.2999...9889),
+    pruning files that contain matching rows. Stats round min down /
+    max up by one ulp so the recorded range is a true superset and
+    skipping never changes results (ADVICE r6)."""
+    from decimal import Decimal
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, Decimal("0.1")), (2, Decimal("0.3"))], "id long, d decimal(10,1)"
+        ).coalesce(1),
+        t,
+    )
+    # min side: float(Decimal('0.1')) > 0.1 would claim min > literal and skip
+    assert len(snapshot_files(t, where=[("d", "<=", Decimal("0.1"))])) == 1
+    assert _rows(read_version(spark, t, where=[("d", "<=", Decimal("0.1"))])) == [
+        (1, Decimal("0.1"))
+    ]
+    # max side: float(Decimal('0.3')) < 0.3 would claim max < literal and skip
+    assert len(snapshot_files(t, where=[("d", ">=", Decimal("0.3"))])) == 1
+    assert _rows(read_version(spark, t, where=[("d", ">=", Decimal("0.3"))])) == [
+        (2, Decimal("0.3"))
+    ]
+
+
+def test_cross_type_pruning_agrees_with_residual_filter(spark, tmp_path):
+    """Pruning must agree with Spark's cast semantics, never with a
+    lexicographic str() coercion (ADVICE r6): a midnight datetime
+    against a DateType column IS its date; a date against a
+    TimestampType column is its midnight; any other cross-type pairing
+    keeps the file and lets the residual filter decide."""
+    import datetime
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "dates")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, datetime.date(1998, 8, 1)), (2, datetime.date(1998, 8, 2))],
+            "id long, d date",
+        ).coalesce(1),
+        t,
+    )
+    # the ADVICE failure: '>= max-date at midnight' was coerced to
+    # '1998-08-02 00:00:00' > stored max '1998-08-02' and wrongly skipped
+    lit = datetime.datetime(1998, 8, 2)
+    assert len(snapshot_files(t, where=[("d", ">=", lit)])) == 1
+    assert _rows(read_version(spark, t, where=[("d", ">=", lit)])) == [
+        (2, datetime.date(1998, 8, 2))
+    ]
+    # non-midnight literal: no sound date-domain order -> file kept,
+    # result identical to the residual filter applied to the full read
+    noon = datetime.datetime(1998, 8, 2, 12, 0)
+    assert len(snapshot_files(t, where=[("d", "<", noon)])) == 1
+    want = read_version(spark, t).where("d < timestamp'1998-08-02 12:00:00'")
+    assert _rows(read_version(spark, t, where=[("d", "<", noon)])) == _rows(want)
+
+    # date literal vs TimestampType stats: midnight boundary must not skip
+    t2 = str(tmp_path / "ts")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, datetime.datetime(1998, 8, 2))], "id long, ts timestamp"
+        ).coalesce(1),
+        t2,
+    )
+    d = datetime.date(1998, 8, 2)
+    assert len(snapshot_files(t2, where=[("ts", "<=", d)])) == 1
+    assert read_version(spark, t2, where=[("ts", "<=", d)]).count() == 1
+
+    # numeric literal vs string column: lexicographic '9' > '10' used to
+    # skip a file whose rows MATCH under Spark's numeric-cast semantics
+    t3 = str(tmp_path / "strs")
+    versioned_write(
+        spark.createDataFrame([(1, "09"), (2, "10")], "id long, v string").coalesce(1),
+        t3,
+    )
+    assert len(snapshot_files(t3, where=[("v", "==", 9)])) == 1
+    assert _rows(read_version(spark, t3, where=[("v", "==", 9)])) == [(1, "09")]
+
+
+def test_uri_table_paths_rejected(spark):
+    """os.path-based path arithmetic silently mangles URI table paths
+    ('/cwd/s3a:/...'), so they are refused loudly at entry (ADVICE r6)."""
+    df = None  # never reaches the write: validation precedes data I/O
+    for bad in ("s3a://bucket/table", "hdfs://nn/table", "file:/tmp/t"):
+        with pytest.raises(ValueError, match="local filesystem path"):
+            latest_version(bad)
+        with pytest.raises(ValueError, match="local filesystem path"):
+            versioned_write(df, bad)
+
+
+def test_legacy_table_seeds_ledger_even_after_batch_commit(spark, tmp_path):
+    """A pre-txn table whose LATEST version is a plain batch commit (no
+    txn key at all) must still seed the exactly-once ledger from the
+    manifest scan — otherwise a replayed legacy stream batch appends
+    twice across the upgrade (ADVICE r6). Also locks the carry-forward
+    contract: non-stream commits never materialize an empty txn map
+    onto a legacy table (that would erase the needs-seeding marker)."""
+    import glob
+    import json
+    import shutil
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        committed_source_batches,
+        stream_versioned_sink,
+    )
+
+    # legacy layout: v0 written by an old (pre-txn) streaming sink, v1 by
+    # an old batch writer — neither manifest carries a txn key
+    t = str(tmp_path / "table")
+    versioned_write(spark.createDataFrame([(0, "s0")], "id long, v string"), t)
+    versioned_write(spark.createDataFrame([(100, "b")], "id long, v string"), t)
+    for ver, extra in (
+        (0, {"source_batch_id": 0, "app_id": "loader", "mode": "stream-append"}),
+        (1, {}),
+    ):
+        p = _manifest_path(t, ver)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("txn", None)
+        m.update(extra)
+        os.remove(p)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    assert committed_source_batches(t, "loader") == {0}
+
+    # feed: batch 0 is a redelivery of the committed legacy batch,
+    # batch 1 is genuinely new
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    now = _t.time()
+    for i in range(2):
+        staged = os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(
+            [(i * 10, f"row{i}")], "id long, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_versioned_sink(stream, t, app_id="loader", checkpoint=str(tmp_path / "cp"))
+
+    # batch-0 replay skipped (seeded ledger), batch 1 committed exactly once
+    assert latest_version(t) == 2
+    assert read_version(spark, t).count() == 3
+    hist = table_versions(t)
+    assert hist[-1]["mode"] == "stream-append"
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _read_manifest,
+    )
+    assert _read_manifest(t, 2)["txn"] == {"loader": 1}
