@@ -38,14 +38,21 @@ applied to the surviving files, so skipping is a pure optimization —
 results are byte-identical with or without stats (legacy manifests
 without stats simply skip nothing).
 
-Write-path scale: a manifest is O(files), not O(rows), and commits are
-O(1) renames — table size never enters the commit path. Listing
-avoidance is the point: readers never glob ``data/`` (object-store LIST
-is slow and eventually consistent), they read the file list from the
-manifest. Append cost is O(manifest) rewrite per commit; at very high
-commit rates the Delta refinement (log of deltas + periodic checkpoint)
-drops that to O(new files) — documented trade, not needed at this
-cadence. Row-level upserts go through :func:`merge_into` — copy-on-write
+Write-path scale: commits are O(1) renames and — the Delta §3.1 log
+refinement — append/merge/stream/metadata commits write DELTA records
+(``base`` + ``add_files``/``add_stats``/``remove_files``), so the bytes
+written per commit are O(files touched), never O(table files): a
+micro-batch append to a million-file table logs kilobytes. Readers
+resolve a snapshot by walking deltas back to the nearest full manifest
+or checkpoint sidecar (``vN.checkpoint.json``, published automatically
+every :data:`CHECKPOINT_EVERY` delta commits — put-if-absent, so racing
+duplicate writers are harmless), which bounds resolution to O(K)
+metadata reads. Listing avoidance is the point: readers never glob
+``data/`` (object-store LIST is slow and eventually consistent), they
+read the file list from the log. Vacuum pins the earliest retained
+version with a checkpoint before dropping older records, so retained
+chains never dangle below the horizon.
+Row-level upserts go through :func:`merge_into` — copy-on-write
 of ONLY the files that contain a matched key (Delta MERGE §4.2), so a
 point update rewrites kilobytes of a 100 TB table, not the snapshot.
 
@@ -265,13 +272,19 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version}.json")
 
 
+_MANIFEST_NAME_RE = re.compile(r"^v(\d+)\.json$")
+
+
 def _manifest_versions(path: str) -> list[int]:
-    """Versions whose manifest is PRESENT (retained), ascending."""
-    return sorted(
-        int(name[1:-5])
-        for name in log_store_for(path).list_dir(_manifest_dir(path))
-        if name.startswith("v") and name.endswith(".json")
-    )
+    """Versions whose manifest is PRESENT (retained), ascending.
+    Checkpoint sidecars (``vN.checkpoint.json``) are not commits and are
+    excluded by the exact-name match."""
+    out = []
+    for name in log_store_for(path).list_dir(_manifest_dir(path)):
+        m = _MANIFEST_NAME_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def latest_version(path: str) -> int | None:
@@ -280,7 +293,12 @@ def latest_version(path: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def _read_manifest(path: str, version: int) -> dict:
+def _read_raw_manifest(path: str, version: int) -> dict:
+    """The PHYSICAL commit record — either a full snapshot (has
+    ``files``/``stats``) or a delta record (``base``/``add_files``/
+    ``add_stats``/``remove_files``). Per-commit attributes (mode, rows,
+    txn, constraints, schema, source_batch_id) are always present raw;
+    only the file inventory may need :func:`_resolve_files_stats`."""
     try:
         return json.loads(
             log_store_for(path).read_text(_manifest_path(path, version))
@@ -293,6 +311,109 @@ def _read_manifest(path: str, version: int) -> dict:
                 f"horizon (earliest retained: v{_manifest_versions(path)[0]})"
             ) from None
         raise
+
+
+#: write a checkpoint sidecar once a delta chain reaches this many
+#: records — bounds snapshot resolution to O(CHECKPOINT_EVERY) metadata
+#: reads while keeping the per-commit write O(new files), Delta's
+#: log-plus-checkpoint cost model (VLDB 2020 §3.1).
+CHECKPOINT_EVERY = 10
+
+_DELTA_KEYS = ("base", "add_files", "add_stats", "remove_files", "n_files")
+
+
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version}.checkpoint.json")
+
+
+def _read_checkpoint(path: str, version: int) -> dict | None:
+    try:
+        return json.loads(
+            log_store_for(path).read_text(_checkpoint_path(path, version))
+        )
+    except FileNotFoundError:
+        return None
+
+
+def _resolve_files_stats(path: str, version: int) -> tuple[list[str], dict]:
+    """(files, stats) of the snapshot at ``version``: walk delta records
+    back to the nearest full manifest OR checkpoint sidecar (post-state
+    of its version), then apply the deltas forward. Chain length is
+    bounded by :data:`CHECKPOINT_EVERY` once checkpoints exist; every
+    walk passes through each intermediate version (``base`` is always
+    ``version-1``), so one checkpoint covers all higher resolutions."""
+    chain: list[dict] = []
+    v = version
+    raw = _read_raw_manifest(path, v)
+    while "files" not in raw:
+        cp = _read_checkpoint(path, v)
+        if cp is not None:
+            files, stats = list(cp["files"]), dict(cp.get("stats", {}))
+            break
+        chain.append(raw)
+        v = raw["base"]
+        raw = _read_raw_manifest(path, v)
+    else:
+        files, stats = list(raw["files"]), dict(raw.get("stats", {}))
+    for d in reversed(chain):
+        rm = set(d.get("remove_files", ()))
+        if rm:
+            files = [f for f in files if f not in rm]
+            for f in rm:
+                stats.pop(f, None)
+        files = files + list(d.get("add_files", ()))
+        stats.update(d.get("add_stats", {}))
+    return files, stats
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    """The RESOLVED manifest view at ``version`` — always carries
+    ``files``/``stats``/``rows``/``constraints``/``schema`` (and ``txn``
+    iff the record has one), whatever the physical record form. This is
+    the contract every reader in and outside this module programs
+    against; the log-of-deltas representation is invisible above it."""
+    raw = _read_raw_manifest(path, version)
+    if "files" in raw:
+        return raw
+    files, stats = _resolve_files_stats(path, version)
+    view = {k: v for k, v in raw.items() if k not in _DELTA_KEYS}
+    view["files"] = files
+    view["stats"] = stats
+    return view
+
+
+def _chain_len(path: str, version: int) -> int:
+    """Delta records between ``version`` (inclusive) and the nearest
+    full manifest or checkpoint at/below it — metadata reads only."""
+    n, v = 0, version
+    while True:
+        raw = _read_raw_manifest(path, v)
+        if "files" in raw or _read_checkpoint(path, v) is not None:
+            return n
+        n += 1
+        v = raw["base"]
+
+
+def _maybe_checkpoint(path: str, version: int, *, force: bool = False) -> None:
+    """Post-commit: once ``version`` tops a delta chain of
+    :data:`CHECKPOINT_EVERY` records, publish its resolved state as a
+    checkpoint sidecar. Best-effort and race-safe: the content is a
+    deterministic function of the immutable log, and the put-if-absent
+    publish makes concurrent duplicate writers harmless (one wins, the
+    rest see FileExistsError on identical content)."""
+    raw = _read_raw_manifest(path, version)
+    if "files" in raw:
+        return  # full manifests ARE checkpoints
+    if not force and _chain_len(path, version) < CHECKPOINT_EVERY:
+        return
+    files, stats = _resolve_files_stats(path, version)
+    try:
+        log_store_for(path).write_exclusive(
+            _checkpoint_path(path, version),
+            json.dumps({"files": files, "stats": stats}, sort_keys=True),
+        )
+    except FileExistsError:
+        pass
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
@@ -636,7 +757,10 @@ def versioned_write(
             f"{'v' + str(prev) if prev is not None else 'uninitialized'}"
         )
     version = 0 if prev is None else prev + 1
-    prev_m = _read_manifest(path, prev) if prev is not None else {}
+    # append commits need only the previous RECORD's metadata (rows, txn,
+    # constraints — all present raw): the file inventory is never
+    # materialized, so commit cost is O(new files), not O(table files)
+    prev_m = _read_raw_manifest(path, prev) if prev is not None else {}
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     files, new_stats, n_new = _collect_file_stats(
@@ -644,20 +768,34 @@ def versioned_write(
     )
     files = [_rel_file(path, f) for f in files]
     new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
-    prev_files = prev_m.get("files", []) if mode == "append" else []
-    prev_stats = prev_m.get("stats", {}) if mode == "append" else {}
-    n_prev = prev_m.get("rows", 0) if mode == "append" else 0
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "files": prev_files + files,
-        "rows": n_prev + n_new,
-        "stats": {**prev_stats, **new_stats},
-        **_txn_carry(prev_m),
-        "constraints": prev_m.get("constraints", {}),
-        "schema": df.schema.jsonValue(),
-    }
+    if mode == "append" and prev is not None:
+        # delta record: the log-of-actions form (Delta VLDB 2020 §3.1)
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "base": prev,
+            "add_files": files,
+            "add_stats": new_stats,
+            "remove_files": [],
+            "n_files": prev_m.get("n_files", len(prev_m.get("files", ()))) + len(files),
+            "rows": prev_m.get("rows", 0) + n_new,
+            **_txn_carry(prev_m),
+            "constraints": prev_m.get("constraints", {}),
+            "schema": df.schema.jsonValue(),
+        }
+    else:  # first commit or overwrite: the new file set IS the snapshot
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "rows": n_new,
+            "stats": new_stats,
+            **_txn_carry(prev_m),
+            "constraints": prev_m.get("constraints", {}),
+            "schema": df.schema.jsonValue(),
+        }
     _commit(path, version, manifest)
+    _maybe_checkpoint(path, version)
     return version
 
 
@@ -739,7 +877,13 @@ def read_changes(
     frames: list[DataFrame] = []
     prev_files = set(_read_manifest(path, from_version)["files"])
     for v in range(from_version + 1, to_version + 1):
-        cur_files = set(_read_manifest(path, v)["files"])
+        raw = _read_raw_manifest(path, v)
+        if "files" in raw:
+            cur_files = set(raw["files"])
+        else:  # delta record: roll the set forward — O(commit), not O(table)
+            cur_files = (
+                prev_files - set(raw.get("remove_files", ()))
+            ) | set(raw.get("add_files", ()))
         for files, tag in (
             (sorted(cur_files - prev_files), "insert"),
             (sorted(prev_files - cur_files), "delete"),
@@ -777,12 +921,12 @@ def table_versions(path: str) -> list[dict]:
     for v in _manifest_versions(path):
         if not store.exists(_manifest_path(path, v)):
             continue  # vacuum raced us between list and read
-        m = _read_manifest(path, v)
+        m = _read_raw_manifest(path, v)  # mode/rows/n_files: no resolution
         out.append(
             {
                 "version": v,
                 "mode": m["mode"],
-                "n_files": len(m["files"]),
+                "n_files": len(m["files"]) if "files" in m else m["n_files"],
                 "rows": m["rows"],
             }
         )
@@ -799,7 +943,7 @@ def rollback(path: str, version: int) -> int:
     retention contract)."""
     target = _read_manifest(path, version)  # VersionVacuumedError if reclaimed
     prev = latest_version(path)
-    prev_m = _read_manifest(path, prev)
+    prev_m = _read_raw_manifest(path, prev)  # txn/constraints: no resolution
     new_version = prev + 1
     manifest = {
         "version": new_version,
@@ -937,17 +1081,18 @@ def merge_into(
         {
             "version": version,
             "mode": f"merge-{when_matched}",
-            "files": untouched + new_files,
+            "base": base,
+            "add_files": new_files,
+            "add_stats": new_stats,
+            "remove_files": touched,
+            "n_files": len(untouched) + len(new_files),
             "rows": n_untouched + n_new,
-            "stats": {
-                **{f: prev_stats[f] for f in untouched_with_stats},
-                **new_stats,
-            },
             **_txn_carry(manifest),
             "constraints": manifest.get("constraints", {}),
             "schema": (new_rows if new_rows is not None else snap).schema.jsonValue(),
         },
     )
+    _maybe_checkpoint(path, version)
     return version
 
 
@@ -966,7 +1111,7 @@ def committed_source_batches(path: str, app_id: str | None = None) -> set[int]:
     for v in _manifest_versions(path):
         if not store.exists(_manifest_path(path, v)):
             continue  # vacuumed below retention
-        m = _read_manifest(path, v)
+        m = _read_raw_manifest(path, v)  # per-commit attrs: no resolution
         b = m.get("source_batch_id")
         if b is not None and (app_id is None or m.get("app_id") == app_id):
             out.add(b)
@@ -1000,7 +1145,10 @@ def stream_versioned_sink(
     observing half-written files."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         prev = latest_version(path)
-        prev_m = _read_manifest(path, prev) if prev is not None else {}
+        # raw record only: rows/txn/constraints are per-commit attributes,
+        # and the delta form below never materializes the file inventory —
+        # a micro-batch commit stays O(new files) at any table size
+        prev_m = _read_raw_manifest(path, prev) if prev is not None else {}
         txn = dict(prev_m.get("txn", {}))
         if prev is not None and "txn" not in prev_m:
             # pre-txn table (manifest written before the ledger existed —
@@ -1021,22 +1169,37 @@ def stream_versioned_sink(
         )
         files = [_rel_file(path, f) for f in files]
         new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
-        _commit(
-            path,
-            version,
-            {
+        if prev is None:
+            record = {
                 "version": version,
                 "mode": "stream-append",
                 "source_batch_id": batch_id,
                 "app_id": app_id,
-                "files": prev_m.get("files", []) + files,
+                "files": files,
+                "rows": n_new,
+                "stats": new_stats,
+                "txn": {**txn, app_id: batch_id},
+                "constraints": {},
+                "schema": batch_df.schema.jsonValue(),
+            }
+        else:
+            record = {
+                "version": version,
+                "mode": "stream-append",
+                "source_batch_id": batch_id,
+                "app_id": app_id,
+                "base": prev,
+                "add_files": files,
+                "add_stats": new_stats,
+                "remove_files": [],
+                "n_files": prev_m.get("n_files", len(prev_m.get("files", ()))) + len(files),
                 "rows": prev_m.get("rows", 0) + n_new,
-                "stats": {**prev_m.get("stats", {}), **new_stats},
                 "txn": {**txn, app_id: batch_id},
                 "constraints": prev_m.get("constraints", {}),
                 "schema": batch_df.schema.jsonValue(),
-            },
-        )
+            }
+        _commit(path, version, record)
+        _maybe_checkpoint(path, version)
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:
@@ -1091,9 +1254,11 @@ def drop_constraint(path: str, name: str) -> int:
 def _commit_metadata_only(
     path: str, base: int, m: dict, mode: str, constraints: dict[str, str]
 ) -> int:
-    """Same snapshot, new governance: carry files/stats/rows/txn/schema
-    forward verbatim, dropping per-commit streaming markers
-    (source_batch_id/app_id) that belong to the commit that made them."""
+    """Same snapshot, new governance: an empty delta record (no file
+    adds/removes — O(1) bytes whatever the table size) that carries
+    rows/txn/schema forward and swaps the constraint set, dropping
+    per-commit streaming markers (source_batch_id/app_id) that belong
+    to the commit that made them."""
     version = base + 1
     _commit(
         path,
@@ -1101,14 +1266,18 @@ def _commit_metadata_only(
         {
             "version": version,
             "mode": mode,
-            "files": m["files"],
+            "base": base,
+            "add_files": [],
+            "add_stats": {},
+            "remove_files": [],
+            "n_files": len(m["files"]),
             "rows": m["rows"],
-            "stats": m.get("stats", {}),
             **_txn_carry(m),
             "constraints": constraints,
             "schema": m["schema"],
         },
     )
+    _maybe_checkpoint(path, version)
     return version
 
 
@@ -1185,10 +1354,23 @@ def vacuum(
     for v in retained:
         for f in _read_manifest(path, v)["files"]:
             referenced.add(os.path.dirname(_abs_file(path, f)))
+    # a retained delta chain must not dangle below the horizon: before
+    # the lower manifests disappear, pin the EARLIEST retained version
+    # with a checkpoint sidecar (every higher resolution walks through
+    # it, so one checkpoint covers the whole retained range)
+    earliest = retained[0]
+    if (
+        "files" not in _read_raw_manifest(path, earliest)
+        and _read_checkpoint(path, earliest) is None
+    ):
+        _maybe_checkpoint(path, earliest, force=True)
     for v in versions[:-keep_versions]:
         mp = _manifest_path(path, v)
         if store.exists(mp):
             store.delete(mp)
+        cp = _checkpoint_path(path, v)
+        if store.exists(cp):  # sidecars of dropped versions go with them
+            store.delete(cp)
     removed = []
     now = time.time()
     data_root = os.path.join(os.path.abspath(path), "data")

@@ -972,3 +972,127 @@ def test_legacy_table_seeds_ledger_even_after_batch_commit(spark, tmp_path):
         _read_manifest,
     )
     assert _read_manifest(t, 2)["txn"] == {"loader": 1}
+
+
+# ---------------------------------------------------------------------------
+# r7: log-of-deltas commit records + checkpoint sidecars (Delta §3.1)
+# ---------------------------------------------------------------------------
+
+
+def test_append_commits_are_delta_records_resolving_identically(spark, tmp_path):
+    """Appends after v0 log only their own files (O(new files) per
+    commit); readers resolve through the chain to the identical content
+    a full-manifest log would give, at every version."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+
+    t = str(tmp_path / "t")
+    expect = []
+    for i in range(4):
+        rows = [(i * 10 + j, f"r{i}-{j}") for j in range(3)]
+        expect.extend(rows)
+        versioned_write(spark.createDataFrame(rows, ["id", "v"]).coalesce(1), t)
+    # physical form: v0 full, v1..v3 delta
+    assert "files" in V._read_raw_manifest(t, 0)
+    for v in range(1, 4):
+        raw = V._read_raw_manifest(t, v)
+        assert "files" not in raw and raw["base"] == v - 1
+        assert len(raw["add_files"]) == 1 and raw["remove_files"] == []
+        assert raw["n_files"] == v + 1
+    # resolved views: every snapshot identical to the running expectation
+    for v in range(4):
+        m = V._read_manifest(t, v)
+        assert len(m["files"]) == v + 1 and m["rows"] == (v + 1) * 3
+        assert set(m["stats"]) == set(m["files"])  # stats follow the inventory
+        assert _rows(read_version(spark, t, v)) == sorted(expect[: (v + 1) * 3])
+    # data skipping still prunes through the resolved stats
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        snapshot_files,
+    )
+
+    assert len(snapshot_files(t, where=[("id", ">=", 30)])) == 1
+
+
+def test_checkpoint_bounds_resolution_reads(spark, tmp_path, monkeypatch):
+    """A long append chain gets a checkpoint sidecar every
+    CHECKPOINT_EVERY delta commits, and snapshot resolution reads O(K)
+    manifests — not the whole history."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+
+    t = str(tmp_path / "t")
+    n = V.CHECKPOINT_EVERY + 3  # v0 full + deltas past one checkpoint
+    for i in range(n):
+        versioned_write(spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1), t)
+    cp_versions = [
+        v for v in range(n) if V._read_checkpoint(t, v) is not None
+    ]
+    assert cp_versions == [V.CHECKPOINT_EVERY]  # v10 tops a 10-delta chain
+    calls = {"n": 0}
+    real = V._read_raw_manifest
+
+    def counting(path, version):
+        calls["n"] += 1
+        return real(path, version)
+
+    monkeypatch.setattr(V, "_read_raw_manifest", counting)
+    m = V._read_manifest(t, n - 1)
+    assert len(m["files"]) == n and m["rows"] == n
+    # walk stops at the checkpoint: reads ≤ chain-above-checkpoint + slack,
+    # never the n manifests a checkpoint-less log would need
+    assert calls["n"] <= (n - 1 - V.CHECKPOINT_EVERY) + 3
+
+
+def test_vacuum_pins_mid_chain_horizon_with_checkpoint(spark, tmp_path):
+    """Vacuum with the horizon mid-delta-chain publishes a checkpoint at
+    the earliest retained version before dropping lower manifests, so
+    every retained snapshot stays resolvable (reads, rollback, history)."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # v0 full + v1..v5 deltas, no cadence checkpoint yet
+        versioned_write(spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1), t)
+    assert V._read_checkpoint(t, 3) is None
+    vacuum(t, keep_versions=3)  # horizon at v3, mid-chain
+    assert V._read_checkpoint(t, 3) is not None  # pinned before the drop
+    assert [h["version"] for h in table_versions(t)] == [3, 4, 5]
+    assert read_version(spark, t, 3).count() == 4
+    assert read_version(spark, t).count() == 6
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 1)
+    # rollback to a retained mid-chain version resolves through the pin
+    v = rollback(t, 4)
+    assert read_version(spark, t, v).count() == 5
+    # a second vacuum drops the pinned version and its sidecar together
+    vacuum(t, keep_versions=1)
+    assert V._read_checkpoint(t, 3) is None
+    assert read_version(spark, t).count() == 5
+
+
+def test_merge_and_metadata_commits_are_delta_records(spark, tmp_path):
+    """merge_into logs adds+removes (O(files touched)); constraint
+    commits log an empty delta (O(1) bytes) — and both resolve."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        add_constraint,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100):
+        versioned_write(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(5)], ["id", "v"]
+            ).coalesce(1),
+            t,
+        )
+    merge_into(
+        spark, t, spark.createDataFrame([(101, "UP")], ["id", "v"]), on=["id"]
+    )
+    raw = V._read_raw_manifest(t, 2)
+    assert "files" not in raw
+    assert len(raw["remove_files"]) == 1 and len(raw["add_files"]) >= 1
+    assert _rows(read_version(spark, t).where("id = 101")) == [(101, "UP")]
+    assert read_version(spark, t).count() == 10
+    v = add_constraint(spark, t, "id_nonneg", "id >= 0")
+    raw = V._read_raw_manifest(t, v)
+    assert raw["add_files"] == [] and raw["remove_files"] == []
+    assert V._read_manifest(t, v)["constraints"] == {"id_nonneg": "id >= 0"}
