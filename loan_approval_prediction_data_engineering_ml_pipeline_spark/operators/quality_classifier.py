@@ -1,0 +1,218 @@
+"""fastText-style hashed-bag-of-words linear quality classifier — the
+supervised corpus-quality filter of CCNet / GPT-3-class data pipelines
+(Joulin et al., "Bag of Tricks for Efficient Text Classification",
+EACL 2017; Wenzek et al., "CCNet", LREC 2020; Brown et al. 2020,
+Appendix A): a tiny linear model over hashing-trick features scores
+every document, and curation keeps the high-scoring tail.
+
+Reference parity note: the reference repo (LP.ipynb / MY.ipynb) is a
+loan-ML notebook with no corpus tooling — this family belongs to the
+beyond-reference training-data surface the brief mandates.
+
+Scale design (the reason this is NOT Spark MLlib's LogisticRegression
+verbatim):
+
+- **Features are the hashing trick** — ``bucket = md5(token) mod B`` —
+  so the feature space is fixed (B ≈ 2^10..2^21) at ANY corpus size:
+  no vocabulary pass, no fit-time state proportional to data. The
+  hash is the repo's portable md5 fold (`functions.text.token_base_hash`),
+  so a DuckDB oracle reproduces features bit-for-bit.
+- **The model lives on the driver, the gradients live on the cluster.**
+  L2-regularized logistic regression trained by full-batch gradient
+  descent expressed in DataFrame ops: per iteration one broadcast join
+  (weights → features), one groupBy(id) for margins, one groupBy(bucket)
+  for the gradient — the only driver traffic is B+1 doubles each way,
+  the MLlib design point. Zero Python UDFs anywhere.
+- **Scoring is one broadcast join + one aggregation** over (id, bucket,
+  tf) — map-side-combinable, embarrassingly parallel, and the weight
+  table broadcast is kilobytes. At 100 TB the scoring pass is
+  bandwidth-bound on the text scan, which is the floor.
+
+Gradient sums are rounded (9 dp) before the driver update so a rebuild
+of a persisted model is stable against partition-order summation noise
+— the same build-once/probe-forever lifecycle the ANN indexes use.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+#: default feature dimension (2^10): plenty for stopword-level quality
+#: signals at test scale; production text filters use 2^20-2^21 and the
+#: code path is identical (the bucket column just gets wider).
+N_BUCKETS = 1024
+
+
+def hashed_bow(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """``(id, bucket, tf)`` sparse hashed features: tokens fold to
+    ``md5 mod n_buckets`` and term frequency is fastText's sublinear
+    ``1 + ln(count)``. Map-only explode + one (id, bucket) groupBy —
+    partial aggregation keeps the shuffle at O(distinct buckets per
+    doc), and no vocabulary is ever materialized."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(X.tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        base.withColumn(
+            "bucket", (X.token_base_hash(F.col("tok")) % n_buckets).cast("int")
+        )
+        .groupBy("id", "bucket")
+        .agg((F.lit(1.0) + F.log(F.count(F.lit(1)))).alias("tf"))
+    )
+
+
+def _sigmoid(c: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+
+def _weights_df(spark: SparkSession, weights: Sequence[float], bias: float) -> DataFrame:
+    rows = [(i, float(w)) for i, w in enumerate(weights)] + [(-1, float(bias))]
+    return spark.createDataFrame(rows, "bucket int, w double")
+
+
+def fit_linear_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    *,
+    n_buckets: int = N_BUCKETS,
+    iters: int = 80,
+    lr: float = 20.0,
+    l2: float = 1e-4,
+) -> tuple[list[float], float]:
+    """Full-batch Adagrad (Duchi et al., JMLR 2011) for L2-logistic
+    regression over ``hashed_bow`` features — the per-coordinate
+    adaptive step is what makes a few dozen full-batch rounds converge
+    on hashed text features, where constant-step GD crawls (the feature
+    columns share mass with the bias and are mutually correlated
+    through document length). ``labels`` is ``(id, label)`` with label
+    in {0.0, 1.0}. Returns ``(weights[n_buckets], bias)``.
+
+    Per iteration: broadcast-join the B-row weight table onto the
+    cached feature relation, aggregate margins per id, join labels,
+    aggregate the per-bucket gradient — two shuffles, both keyed on
+    columns the data is already clustered by after the first pass.
+    Driver state is B+1 weights plus B+1 Adagrad accumulators;
+    everything O(data) stays distributed. Gradient sums are rounded to
+    9 dp before the driver update so the fitted model is reproducible
+    run-to-run (partition-order summation noise cannot drift the
+    trajectory)."""
+    import numpy as np
+
+    spark = feats.sparkSession
+    n = labels.count()
+    feats = feats.cache()
+    labels = F.broadcast(labels.select(F.col("id"), F.col("label").cast("double")))
+    w = np.zeros(n_buckets)
+    b = 0.0
+    G = np.full(n_buckets, 1e-8)  # Adagrad accumulated squared gradients
+    Gb = 1e-8
+    try:
+        for _ in range(iters):
+            wdf = F.broadcast(_weights_df(spark, w.tolist(), b).where("bucket >= 0"))
+            margins = (
+                feats.join(wdf, "bucket")
+                .groupBy("id")
+                .agg(F.sum(F.col("tf") * F.col("w")).alias("margin"))
+            )
+            resid = (
+                labels.join(margins, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("label")
+                        - _sigmoid(F.coalesce(F.col("margin"), F.lit(0.0)) + F.lit(b))
+                    ).alias("r"),
+                )
+            )
+            agg = (
+                feats.join(F.broadcast(resid), "id")
+                .groupBy("bucket")
+                .agg(F.round(F.sum(F.col("tf") * F.col("r")), 9).alias("g"))
+            ).collect()
+            b_sum = round(
+                resid.agg(F.round(F.sum("r"), 9).alias("g")).first()["g"] or 0.0, 9
+            )
+            g = np.zeros(n_buckets)
+            for r in agg:
+                g[r["bucket"]] = r["g"]
+            g = g / n - l2 * w
+            gb = b_sum / n
+            G += g * g
+            Gb += gb * gb
+            w = w + lr * g / np.sqrt(G)
+            b = b + lr * gb / math.sqrt(Gb)
+    finally:
+        feats.unpersist()
+    return [float(x) for x in w], float(b)
+
+
+def score_documents(
+    df: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    out_col: str = "quality",
+    decimals: int = 6,
+) -> DataFrame:
+    """``(id_col, out_col)`` for EVERY input document (token-free docs
+    score ``sigmoid(bias)``): one hashed-features pass, one broadcast
+    join against the kilobyte weight table, one per-id aggregation —
+    the scan-bound scoring shape that holds at 100 TB. Scores are
+    rounded so cross-engine summation order cannot flip a value hash."""
+    spark = df.sparkSession
+    feats = hashed_bow(df, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    wdf = F.broadcast(_weights_df(spark, weights, bias).where("bucket >= 0"))
+    margins = (
+        feats.join(wdf, "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("margin"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(margins.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                _sigmoid(F.coalesce(F.col("margin"), F.lit(0.0)) + F.lit(float(bias))),
+                decimals,
+            ).alias(out_col),
+        )
+    )
+
+
+def save_weights(
+    spark: SparkSession, weights: Sequence[float], bias: float, path: str
+) -> None:
+    """Persist the model as a plain parquet weight table (``bucket``,
+    ``w``; bias at bucket = -1) — the shipped-pretrained-filter
+    lifecycle: train once, commit the artifact, score everywhere. A
+    DuckDB oracle reads the SAME parquet to re-derive every score."""
+    _weights_df(spark, weights, bias).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_weights(spark: SparkSession, path: str) -> tuple[list[float], float]:
+    rows = spark.read.parquet(path).collect()
+    bias = 0.0
+    pairs = {}
+    for r in rows:
+        if r["bucket"] == -1:
+            bias = r["w"]
+        elif r["bucket"] >= 0:  # buckets < -1 are caller metadata rows
+            pairs[r["bucket"]] = r["w"]
+    n = (max(pairs) + 1) if pairs else 0
+    return [pairs.get(i, 0.0) for i in range(n)], bias

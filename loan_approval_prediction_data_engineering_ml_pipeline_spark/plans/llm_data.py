@@ -2165,3 +2165,114 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("text").alias("text_clean")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Supervised quality classifier (fastText-style hashed linear model)
+# ---------------------------------------------------------------------------
+
+_ORACLE_QLR_DIR = _index_dir("sf0.01", "quality_lr")
+_QLR_BUCKETS = 1024
+
+
+def _build_quality_model(spark: SparkSession, docs: DataFrame, wpath: str) -> None:
+    """Train-once half of the shipped-pretrained-filter lifecycle:
+    weak labels take the lexically-DIVERSE half of the corpus (distinct
+    tokens / total tokens above the corpus median — the Gopher/CCNet
+    repetition-quality heuristic, Rae et al. 2021 §A.1.2) as the
+    curated seed class; the classifier distills that heuristic into a
+    B+1-double linear model whose committed parquet is what BOTH the
+    Spark scorer and the DuckDB oracle read. Fingerprint rows
+    (bucket -2: doc count, bucket -3: doc_id sum) ride in the same
+    artifact for the staleness guard."""
+    from ..operators import quality_classifier as Q
+
+    feats = Q.hashed_bow(docs, n_buckets=_QLR_BUCKETS)
+    toks = F.filter(X.tokens("text"), lambda t: t != "")
+    div = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("div"),
+    )
+    med = div.agg(F.expr("percentile(div, 0.5)").alias("m")).first()["m"]
+    labels = div.select("id", (F.col("div") >= med).cast("double").alias("label"))
+    w, b = Q.fit_linear_classifier(
+        feats, labels, n_buckets=_QLR_BUCKETS, iters=80, lr=20.0
+    )
+    fp = docs.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    rows = (
+        [(i, float(x)) for i, x in enumerate(w)]
+        + [(-1, float(b)), (-2, float(fp["n"])), (-3, float(fp["s"] or 0))]
+    )
+    spark.createDataFrame(rows, "bucket int, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(wpath)
+
+
+@query(
+    "quality_classifier_score",
+    tier="local",
+    # The score is EXACT given the committed weight table: features are
+    # the portable md5 fold (token_base_hash) mod B with 1+ln(tf)
+    # scaling, so DuckDB re-derives every document's margin and sigmoid
+    # from the SAME persisted parquet the Spark scorer broadcasts.
+    # Rounding (6 dp) absorbs cross-engine summation order.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                   % 2147483647) % {_QLR_BUCKETS} AS INT) AS bucket,
+             1.0 + ln(count(*)) AS tf
+      FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ),
+    w AS (SELECT CAST(bucket AS INT) AS bucket, w
+          FROM read_parquet('{_ORACLE_QLR_DIR}/weights.parquet/*.parquet')
+          WHERE bucket >= 0),
+    b AS (SELECT w AS bias
+          FROM read_parquet('{_ORACLE_QLR_DIR}/weights.parquet/*.parquet')
+          WHERE bucket = -1),
+    m AS (
+      SELECT f.doc_id, sum(f.tf * w.w) AS margin
+      FROM feat f JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + b.bias))), 6) AS quality
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id CROSS JOIN b
+    ORDER BY d.doc_id
+    """,
+    description="fastText-style corpus quality filter (Joulin 2017 / CCNet "
+    "Wenzek 2020 / GPT-3 App.A): hashed-bag-of-words (md5 mod 1024, "
+    "1+ln tf) scored by a committed linear model — scoring is one "
+    "broadcast join + one per-doc aggregation (scan-bound at 100 TB); "
+    "training is distributed full-batch Adagrad with driver-resident weights, "
+    "zero UDFs; oracle re-derives every sigmoid from the same weights "
+    "parquet",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import quality_classifier as Q
+
+    idx = _index_dir(sf_dir, "quality_lr")
+    wpath = os.path.join(idx, "weights.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(wpath, "_SUCCESS")):
+        _build_quality_model(spark, docs, wpath)
+    elif idx not in _FRESH_INDEXES:
+        fp = docs.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+        meta = {
+            r["bucket"]: r["w"]
+            for r in spark.read.parquet(wpath).where("bucket < -1").collect()
+        }
+        if (float(fp["n"]), float(fp["s"] or 0)) != (meta.get(-2), meta.get(-3)):
+            _build_quality_model(spark, docs, wpath)
+    _FRESH_INDEXES.add(idx)
+    w, b = Q.load_weights(spark, wpath)
+    return Q.score_documents(docs, w, b, n_buckets=_QLR_BUCKETS).orderBy("doc_id")
