@@ -78,6 +78,9 @@ HEADLINE = [
     "dedup_jaccard_prefix",  # exact PPJoin twin of dedup_minhash_near (r5)
     "ann_ivfpq",  # IVF-PQ composite probe (build amortized at first run, r5)
     "ann_ivf_batch",  # fused 16-query batch ANN join over the IVF index (r5)
+    "line_dedup_corpus",  # span-level boilerplate line dedup (r6)
+    "substring_dedup",  # Lee et al. exact substring dedup, windowed (r6)
+    "quality_classifier_score",  # hashed-LR corpus scoring (build amortized, r7)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
