@@ -439,6 +439,58 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         ) from exc
 
 
+class SchemaMismatch(ValueError):
+    """The write's schema is incompatible with the table schema — a new
+    column without ``merge_schema=True``, or a changed column type.
+    Delta's schema-on-write enforcement: silent widening/corruption is
+    refused before any data lands; evolution is an explicit opt-in."""
+
+
+def _schema_types(schema_json: dict) -> dict[str, str]:
+    """name → canonical type signature (nullability and metadata are
+    advisory in Spark and deliberately ignored)."""
+    return {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in schema_json["fields"]
+    }
+
+
+def _enforced_schema(
+    stored: dict | None, incoming: dict, *, merge_schema: bool, context: str
+) -> dict:
+    """The schema the new manifest should record, under Delta's write
+    rules: equal/subset writes keep the TABLE schema (a subset append
+    must not shrink the recorded schema out from under readers — missing
+    columns read back as NULL via the mergeSchema scan); new columns
+    require ``merge_schema=True`` and append to the stored field list;
+    a changed column type is always refused (rewrite via
+    ``overwrite_schema`` instead)."""
+    if stored is None:
+        return incoming
+    st, inc = _schema_types(stored), _schema_types(incoming)
+    changed = sorted(n for n in inc if n in st and inc[n] != st[n])
+    if changed:
+        raise SchemaMismatch(
+            f"{context}: column type changed for {changed} — versioned tables "
+            f"refuse silent type evolution; overwrite with overwrite_schema=True "
+            f"to rewrite the schema"
+        )
+    new = [f["name"] for f in incoming["fields"] if f["name"] not in st]
+    if new and not merge_schema:
+        raise SchemaMismatch(
+            f"{context}: new column(s) {new} not in the table schema — pass "
+            f"merge_schema=True to evolve (new columns read as NULL in old "
+            f"snapshots)"
+        )
+    if not new:
+        return stored
+    return {
+        **stored,
+        "fields": list(stored["fields"])
+        + [f for f in incoming["fields"] if f["name"] in set(new)],
+    }
+
+
 def _txn_carry(base: dict) -> dict:
     """Streaming-ledger carry-forward for NON-stream commits: the txn
     key rides along only when the base manifest has one. Materializing
@@ -726,7 +778,13 @@ def snapshot_files(
 
 
 def versioned_write(
-    df: DataFrame, path: str, *, mode: str = "append", expected_base: int | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    expected_base: int | None = None,
+    merge_schema: bool = False,
+    overwrite_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the table's next version and return its number.
 
@@ -747,6 +805,14 @@ def versioned_write(
     re-read and retry. Without it, concurrent appends serialize
     first-writer-wins on the manifest rename alone (safe for blind
     appends, lost-update-prone for read-modify-write).
+
+    Schema-on-write (Delta's enforcement contract): the incoming frame
+    must match the table schema — subset writes are fine (missing
+    columns read back as NULL), NEW columns need ``merge_schema=True``
+    (the union schema is recorded, old snapshots unchanged), and a
+    changed column TYPE is refused unless a full rewrite opts in via
+    ``mode="overwrite", overwrite_schema=True``. All checks fire BEFORE
+    any data lands — a refused write leaves nothing to vacuum.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -761,6 +827,15 @@ def versioned_write(
     # constraints — all present raw): the file inventory is never
     # materialized, so commit cost is O(new files), not O(table files)
     prev_m = _read_raw_manifest(path, prev) if prev is not None else {}
+    if prev is not None and not (mode == "overwrite" and overwrite_schema):
+        schema_json = _enforced_schema(
+            prev_m.get("schema"),
+            df.schema.jsonValue(),
+            merge_schema=merge_schema,
+            context=f"{mode} to {path} (v{version})",
+        )
+    else:
+        schema_json = df.schema.jsonValue()
     data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     files, new_stats, n_new = _collect_file_stats(
@@ -781,7 +856,7 @@ def versioned_write(
             "rows": prev_m.get("rows", 0) + n_new,
             **_txn_carry(prev_m),
             "constraints": prev_m.get("constraints", {}),
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
         }
     else:  # first commit or overwrite: the new file set IS the snapshot
         manifest = {
@@ -792,7 +867,7 @@ def versioned_write(
             "stats": new_stats,
             **_txn_carry(prev_m),
             "constraints": prev_m.get("constraints", {}),
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
         }
     _commit(path, version, manifest)
     _maybe_checkpoint(path, version)
@@ -974,6 +1049,7 @@ def merge_into(
     *,
     when_matched: str = "update",
     insert_unmatched: bool = True,
+    merge_schema: bool = False,
 ) -> int:
     """Row-level MERGE into a versioned table, committed as one new
     version: rows of ``source`` whose key (``on``) exists in the latest
@@ -1005,6 +1081,15 @@ def merge_into(
             raise FileNotFoundError(f"no committed version at {path}")
         return versioned_write(source, path, mode="append")
     manifest = _read_manifest(path, base)
+    # schema-on-write for the source (Delta MERGE enforcement): missing
+    # columns null-fill, new columns need merge_schema=True, type
+    # changes are refused — checked before any scan or data write
+    merged_schema = _enforced_schema(
+        manifest.get("schema"),
+        source.schema.jsonValue(),
+        merge_schema=merge_schema,
+        context=f"merge into {path} (v{base + 1})",
+    )
     files = manifest["files"]  # manifest-form (table-root-relative)
     abs_of = {f: _abs_file(path, f) for f in files}
     prev_stats = manifest.get("stats", {})
@@ -1089,7 +1174,7 @@ def merge_into(
             "rows": n_untouched + n_new,
             **_txn_carry(manifest),
             "constraints": manifest.get("constraints", {}),
-            "schema": (new_rows if new_rows is not None else snap).schema.jsonValue(),
+            "schema": merged_schema,
         },
     )
     _maybe_checkpoint(path, version)
@@ -1119,7 +1204,12 @@ def committed_source_batches(path: str, app_id: str | None = None) -> set[int]:
 
 
 def stream_versioned_sink(
-    stream: DataFrame, path: str, *, app_id: str, checkpoint: str | None = None
+    stream: DataFrame,
+    path: str,
+    *,
+    app_id: str,
+    checkpoint: str | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Exactly-once streaming append into a versioned table: each
     micro-batch commits as ONE table version, and idempotence is keyed
@@ -1162,6 +1252,15 @@ def stream_versioned_sink(
         if txn.get(app_id, -1) >= batch_id:
             return  # replay of a committed batch: exactly-once no-op
         version = 0 if prev is None else prev + 1
+        # schema-on-write, BEFORE any data lands (Delta's sink contract):
+        # a drifting upstream schema fails the batch rather than silently
+        # widening the table; evolution is the merge_schema opt-in
+        schema_json = _enforced_schema(
+            prev_m.get("schema") if prev is not None else None,
+            batch_df.schema.jsonValue(),
+            merge_schema=merge_schema,
+            context=f"stream batch {batch_id} ({app_id}) into {path}",
+        )
         data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
         batch_df.write.mode("error").parquet(data_dir)
         files, new_stats, n_new = _collect_file_stats(
@@ -1180,7 +1279,7 @@ def stream_versioned_sink(
                 "stats": new_stats,
                 "txn": {**txn, app_id: batch_id},
                 "constraints": {},
-                "schema": batch_df.schema.jsonValue(),
+                "schema": schema_json,
             }
         else:
             record = {
@@ -1196,7 +1295,7 @@ def stream_versioned_sink(
                 "rows": prev_m.get("rows", 0) + n_new,
                 "txn": {**txn, app_id: batch_id},
                 "constraints": prev_m.get("constraints", {}),
-                "schema": batch_df.schema.jsonValue(),
+                "schema": schema_json,
             }
         _commit(path, version, record)
         _maybe_checkpoint(path, version)

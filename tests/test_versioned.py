@@ -136,7 +136,9 @@ def test_schema_evolution_across_versions(spark, tmp_path):
     t = str(tmp_path / "t")
     versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
     versioned_write(
-        spark.createDataFrame([(2, "b", 0.5)], ["id", "v", "score"]), t
+        spark.createDataFrame([(2, "b", 0.5)], ["id", "v", "score"]),
+        t,
+        merge_schema=True,  # r7: evolution is the Delta-style opt-in
     )
     got = {r["id"]: r["score"] for r in read_version(spark, t).collect()}
     assert got == {1: None, 2: 0.5}
@@ -1096,3 +1098,106 @@ def test_merge_and_metadata_commits_are_delta_records(spark, tmp_path):
     raw = V._read_raw_manifest(t, v)
     assert raw["add_files"] == [] and raw["remove_files"] == []
     assert V._read_manifest(t, v)["constraints"] == {"id_nonneg": "id >= 0"}
+
+
+def test_schema_on_write_enforcement(spark, tmp_path):
+    """Delta's schema contract (r7): new columns need merge_schema=True
+    (and the union schema survives SUBSET writes afterwards), type
+    changes are always refused, subset appends null-fill, and
+    overwrite_schema rewrites the schema wholesale. Refused writes land
+    nothing (no orphan data directories)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        SchemaMismatch,
+        _read_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+
+    # new column without the opt-in: refused, nothing landed
+    with pytest.raises(SchemaMismatch, match="merge_schema"):
+        versioned_write(spark.createDataFrame([(2, "b", 0.5)], ["id", "v", "score"]), t)
+    assert latest_version(t) == 0
+    assert os.listdir(os.path.join(t, "data")) == [
+        d for d in os.listdir(os.path.join(t, "data"))
+    ]  # no second data dir beyond v0's
+    assert len(os.listdir(os.path.join(t, "data"))) == 1
+
+    # changed type: refused even with merge_schema
+    with pytest.raises(SchemaMismatch, match="type changed"):
+        versioned_write(
+            spark.createDataFrame([(3, 7)], "id long, v long"), t, merge_schema=True
+        )
+
+    # opt-in evolution, then a SUBSET append must keep the union schema
+    versioned_write(
+        spark.createDataFrame([(2, "b", 0.5)], ["id", "v", "score"]),
+        t,
+        merge_schema=True,
+    )
+    versioned_write(spark.createDataFrame([(3, "c")], ["id", "v"]), t)
+    names = [f["name"] for f in _read_manifest(t, 2)["schema"]["fields"]]
+    assert names == ["id", "v", "score"]  # subset write didn't shrink it
+    got = {r["id"]: r["score"] for r in read_version(spark, t).collect()}
+    assert got == {1: None, 2: 0.5, 3: None}
+
+    # overwrite keeps schema by default; overwrite_schema replaces it
+    with pytest.raises(SchemaMismatch):
+        versioned_write(
+            spark.createDataFrame([(9, 1.5)], "id long, ranking double"),
+            t,
+            mode="overwrite",
+        )
+    versioned_write(
+        spark.createDataFrame([(9, 1.5)], "id long, ranking double"),
+        t,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    assert [f["name"] for f in _read_manifest(t, 3)["schema"]["fields"]] == [
+        "id",
+        "ranking",
+    ]
+
+
+def test_schema_enforcement_in_merge_and_stream_sink(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        SchemaMismatch,
+        merge_into,
+        stream_versioned_sink,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+
+    # merge source with a new column: refused without the opt-in
+    with pytest.raises(SchemaMismatch, match="merge_schema"):
+        merge_into(
+            spark, t, spark.createDataFrame([(1, "A", 2.0)], ["id", "v", "w"]), on=["id"]
+        )
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "A", 2.0)], ["id", "v", "w"]),
+        on=["id"],
+        merge_schema=True,
+    )
+    assert {tuple(r) for r in read_version(spark, t).collect()} == {(1, "A", 2.0)}
+
+    # a drifting stream batch fails the query, table unchanged
+    import glob
+    import shutil
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    staged = os.path.join(src, "__stage")
+    spark.createDataFrame(
+        [(5, 1)], "id long, v long"  # v drifted string -> long upstream
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
+    part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+    shutil.copyfile(part, os.path.join(src, "f0.parquet"))
+    shutil.rmtree(staged)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    with pytest.raises(Exception, match="type changed"):
+        stream_versioned_sink(stream, t, app_id="drift", checkpoint=str(tmp_path / "cp"))
+    assert latest_version(t) == 1  # the failed batch committed nothing

@@ -94,7 +94,9 @@ def test_stream_source_schema_evolution_fills_nulls(spark, tmp_path):
     t = str(tmp_path / "t")
     versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
     versioned_write(
-        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"), t
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"),
+        t,
+        merge_schema=True,
     )
     got: list[tuple] = []
     _drain(spark, t, str(tmp_path / "cp"), got)
