@@ -319,7 +319,7 @@ def _read_raw_manifest(path: str, version: int) -> dict:
 #: log-plus-checkpoint cost model (VLDB 2020 §3.1).
 CHECKPOINT_EVERY = 10
 
-_DELTA_KEYS = ("base", "add_files", "add_stats", "remove_files", "n_files")
+_DELTA_KEYS = ("base", "add_files", "add_stats", "remove_files", "n_files", "dv_set")
 
 
 def _checkpoint_path(path: str, version: int) -> str:
@@ -335,12 +335,15 @@ def _read_checkpoint(path: str, version: int) -> dict | None:
         return None
 
 
-def _resolve_files_stats(path: str, version: int) -> tuple[list[str], dict]:
-    """(files, stats) of the snapshot at ``version``: walk delta records
-    back to the nearest full manifest OR checkpoint sidecar (post-state
-    of its version), then apply the deltas forward. Chain length is
-    bounded by :data:`CHECKPOINT_EVERY` once checkpoints exist; every
-    walk passes through each intermediate version (``base`` is always
+def _resolve_files_stats(path: str, version: int) -> tuple[list[str], dict, dict]:
+    """(files, stats, dv) of the snapshot at ``version``: walk delta
+    records back to the nearest full manifest OR checkpoint sidecar
+    (post-state of its version), then apply the deltas forward. ``dv``
+    maps data file → deletion-vector directory (merge-on-read row
+    masks); a removed file drops its dv entry, a ``dv_set`` key
+    replaces entries. Chain length is bounded by
+    :data:`CHECKPOINT_EVERY` once checkpoints exist; every walk passes
+    through each intermediate version (``base`` is always
     ``version-1``), so one checkpoint covers all higher resolutions."""
     chain: list[dict] = []
     v = version
@@ -348,22 +351,28 @@ def _resolve_files_stats(path: str, version: int) -> tuple[list[str], dict]:
     while "files" not in raw:
         cp = _read_checkpoint(path, v)
         if cp is not None:
-            files, stats = list(cp["files"]), dict(cp.get("stats", {}))
+            files = list(cp["files"])
+            stats = dict(cp.get("stats", {}))
+            dv = dict(cp.get("dv", {}))
             break
         chain.append(raw)
         v = raw["base"]
         raw = _read_raw_manifest(path, v)
     else:
-        files, stats = list(raw["files"]), dict(raw.get("stats", {}))
+        files = list(raw["files"])
+        stats = dict(raw.get("stats", {}))
+        dv = dict(raw.get("dv", {}))
     for d in reversed(chain):
         rm = set(d.get("remove_files", ()))
         if rm:
             files = [f for f in files if f not in rm]
             for f in rm:
                 stats.pop(f, None)
+                dv.pop(f, None)
         files = files + list(d.get("add_files", ()))
         stats.update(d.get("add_stats", {}))
-    return files, stats
+        dv.update(d.get("dv_set", {}))
+    return files, stats, dv
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -375,10 +384,12 @@ def _read_manifest(path: str, version: int) -> dict:
     raw = _read_raw_manifest(path, version)
     if "files" in raw:
         return raw
-    files, stats = _resolve_files_stats(path, version)
+    files, stats, dv = _resolve_files_stats(path, version)
     view = {k: v for k, v in raw.items() if k not in _DELTA_KEYS}
     view["files"] = files
     view["stats"] = stats
+    if dv:
+        view["dv"] = dv
     return view
 
 
@@ -406,11 +417,11 @@ def _maybe_checkpoint(path: str, version: int, *, force: bool = False) -> None:
         return  # full manifests ARE checkpoints
     if not force and _chain_len(path, version) < CHECKPOINT_EVERY:
         return
-    files, stats = _resolve_files_stats(path, version)
+    files, stats, dv = _resolve_files_stats(path, version)
     try:
         log_store_for(path).write_exclusive(
             _checkpoint_path(path, version),
-            json.dumps({"files": files, "stats": stats}, sort_keys=True),
+            json.dumps({"files": files, "stats": stats, "dv": dv}, sort_keys=True),
         )
     except FileExistsError:
         pass
@@ -757,6 +768,17 @@ def _abs_file(path: str, f: str) -> str:
     return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
 
 
+def _pruned_rel_files(manifest: dict, where: Where | None) -> list[str]:
+    """Stats-pruned file list in manifest (table-root-relative) form.
+    Deletion vectors only REMOVE rows, so the recorded per-file ranges
+    stay true supersets and pruning soundness is unaffected by DVs."""
+    files = manifest["files"]
+    if where:
+        stats = manifest.get("stats", {})
+        files = [f for f in files if _file_may_match(stats.get(f), where)]
+    return files
+
+
 def snapshot_files(
     path: str, version: int | None = None, where: Where | None = None
 ) -> list[str]:
@@ -764,17 +786,91 @@ def snapshot_files(
     scans — the planning half of :func:`read_version`, exposed so tests
     and external readers (e.g. a DuckDB ``read_parquet`` twin) can
     verify pruning and read the identical bytes. Returned paths are
-    resolved against the table root (manifests store them relative)."""
+    resolved against the table root (manifests store them relative).
+    NOTE: on a table with deletion vectors the file bytes alone
+    over-count — masked rows are subtracted at read time
+    (:func:`read_version`); :func:`snapshot_deletes` exposes the masks."""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
-    files = manifest["files"]
-    if where:
-        stats = manifest.get("stats", {})
-        files = [f for f in files if _file_may_match(stats.get(f), where)]
-    return [_abs_file(path, f) for f in files]
+    return [_abs_file(path, f) for f in _pruned_rel_files(manifest, where)]
+
+
+def snapshot_deletes(path: str, version: int | None = None) -> dict[str, str]:
+    """The snapshot's deletion-vector map: data file → DV directory
+    (both resolved to absolute paths). Empty for tables without
+    merge-on-read deletes. External readers subtract the (file_name,
+    row_index) pairs listed in the DV parquet from the corresponding
+    file's rows to reproduce :func:`read_version` exactly."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    manifest = _read_manifest(path, version)
+    return {
+        _abs_file(path, f): _abs_file(path, e["dir"])
+        for f, e in manifest.get("dv", {}).items()
+    }
+
+
+def _masked_snapshot_frame(
+    spark: SparkSession,
+    path: str,
+    rel_files: Sequence[str],
+    dv: dict[str, str],
+    *,
+    file_col: str | None = None,
+) -> DataFrame | None:
+    """The live rows of ``rel_files`` under deletion-vector map ``dv``:
+    clean files scan as one plain branch; DV'd files scan once with
+    ``_metadata`` (file_name, row_index) and drop masked rows via ONE
+    broadcast anti-join against the DV parquet (kilobytes per masked
+    file — a million-row mask broadcasts fine; past that, AQE picks a
+    shuffled anti-join with the same semantics). ``file_col`` optionally
+    surfaces each row's absolute source file (merge_into's touched-file
+    probe). Returns None when ``rel_files`` is empty."""
+    rel_files = list(rel_files)
+    if not rel_files:
+        return None
+    dvd = [f for f in rel_files if f in dv]
+    clean = [f for f in rel_files if f not in dv]
+    frames = []
+    if clean:
+        frame = spark.read.option("mergeSchema", "true").parquet(
+            *[_abs_file(path, f) for f in clean]
+        )
+        if file_col:
+            frame = frame.withColumn(file_col, F.input_file_name())
+        frames.append(frame)
+    if dvd:
+        base = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_abs_file(path, f) for f in dvd])
+            .withColumn("__dv_fn", F.col("_metadata.file_name"))
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        if file_col:
+            base = base.withColumn(file_col, F.input_file_name())
+        names = {os.path.basename(f) for f in dvd}
+        masks = (
+            spark.read.parquet(*sorted({_abs_file(path, dv[f]["dir"]) for f in dvd}))
+            .where(F.col("file_name").isin(*names))
+            .select(
+                F.col("file_name").alias("__dv_fn"),
+                F.col("row_index").alias("__dv_ri"),
+            )
+        )
+        frames.append(
+            base.join(F.broadcast(masks), ["__dv_fn", "__dv_ri"], "left_anti").drop(
+                "__dv_fn", "__dv_ri"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def versioned_write(
@@ -896,11 +992,10 @@ def read_version(
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     manifest = _read_manifest(path, version)
-    files = snapshot_files(path, version, where)
-    if not files:
+    rel = _pruned_rel_files(manifest, where)
+    out = _masked_snapshot_frame(spark, path, rel, manifest.get("dv", {}))
+    if out is None:
         out = spark.createDataFrame([], _schema_of(manifest))
-    else:
-        out = spark.read.option("mergeSchema", "true").parquet(*files)
     if where:
         out = out.where(_where_column(where))
     return out
@@ -950,27 +1045,90 @@ def read_changes(
             f"from_version {from_version} > to_version {to_version}"
         )
     frames: list[DataFrame] = []
-    prev_files = set(_read_manifest(path, from_version)["files"])
+
+    def _tag(df: DataFrame, tag: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(tag)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+
+    def _mask_rows(dvmap: dict, names: set[str]) -> DataFrame | None:
+        """(file_name, row_index) masked pairs of ``names`` under
+        ``dvmap``, as join keys (__fn, __ri); None when unmasked."""
+        dirs = sorted(
+            {
+                _abs_file(path, e["dir"])
+                for f, e in dvmap.items()
+                if os.path.basename(f) in names
+            }
+        )
+        if not dirs:
+            return None
+        return (
+            spark.read.parquet(*dirs)
+            .where(F.col("file_name").isin(*names))
+            .select(
+                F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+            )
+        )
+
+    m0 = _read_manifest(path, from_version)
+    prev_files = set(m0["files"])
+    prev_dv = dict(m0.get("dv", {}))
     for v in range(from_version + 1, to_version + 1):
         raw = _read_raw_manifest(path, v)
         if "files" in raw:
             cur_files = set(raw["files"])
-        else:  # delta record: roll the set forward — O(commit), not O(table)
-            cur_files = (
-                prev_files - set(raw.get("remove_files", ()))
-            ) | set(raw.get("add_files", ()))
-        for files, tag in (
-            (sorted(cur_files - prev_files), "insert"),
-            (sorted(prev_files - cur_files), "delete"),
+            cur_dv = dict(raw.get("dv", {}))
+        else:  # delta record: roll state forward — O(commit), not O(table)
+            rm = set(raw.get("remove_files", ()))
+            cur_files = (prev_files - rm) | set(raw.get("add_files", ()))
+            cur_dv = {f: e for f, e in prev_dv.items() if f not in rm}
+            cur_dv.update(raw.get("dv_set", {}))
+        # file-level churn: a version's LIVE rows, so masks apply
+        # (an added file contributes only its unmasked rows; a dropped
+        # file's already-deleted rows are not deleted twice)
+        for files, dvmap, tag in (
+            (sorted(cur_files - prev_files), cur_dv, "insert"),
+            (sorted(prev_files - cur_files), prev_dv, "delete"),
         ):
-            if files:
-                frames.append(
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*[_abs_file(path, f) for f in files])
-                    .withColumn("_change_type", F.lit(tag))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
+            frame = _masked_snapshot_frame(spark, path, files, dvmap)
+            if frame is not None:
+                frames.append(_tag(frame, tag, v))
+        # row-level churn on carried files: a grown mask is deletes, a
+        # shrunk one (rollback across a delete) is resurrections
+        carried = [
+            f
+            for f in cur_files & prev_files
+            if prev_dv.get(f) != cur_dv.get(f)
+        ]
+        if carried:
+            names = {os.path.basename(f) for f in carried}
+            oldm = _mask_rows(prev_dv, names)
+            newm = _mask_rows(cur_dv, names)
+            scan = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[_abs_file(path, f) for f in carried])
+                .withColumn("__fn", F.col("_metadata.file_name"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+            for grown, within, tag in ((newm, oldm, "delete"), (oldm, newm, "insert")):
+                if grown is None:
+                    continue
+                delta_mask = (
+                    grown
+                    if within is None
+                    else grown.join(within, ["__fn", "__ri"], "left_anti")
                 )
-        prev_files = cur_files
+                frames.append(
+                    _tag(
+                        scan.join(
+                            F.broadcast(delta_mask), ["__fn", "__ri"], "left_semi"
+                        ).drop("__fn", "__ri"),
+                        tag,
+                        v,
+                    )
+                )
+        prev_files, prev_dv = cur_files, cur_dv
     if not frames:
         from pyspark.sql.types import LongType, StringType
 
@@ -1026,6 +1184,7 @@ def rollback(path: str, version: int) -> int:
         "files": target["files"],
         "rows": target["rows"],
         "stats": target.get("stats", {}),
+        "dv": target.get("dv", {}),  # masks are part of the restored snapshot
         **_txn_carry(prev_m),  # ledger follows HISTORY, not the target
         # governance follows HISTORY too: restoring old data does not
         # silently drop a constraint added since (rollback data that now
@@ -1093,6 +1252,7 @@ def merge_into(
     files = manifest["files"]  # manifest-form (table-root-relative)
     abs_of = {f: _abs_file(path, f) for f in files}
     prev_stats = manifest.get("stats", {})
+    dv = manifest.get("dv", {})
 
     keys = source.select(*on).distinct()
     if when_matched == "update":
@@ -1102,11 +1262,13 @@ def merge_into(
                 f"update-mode source has {n_src} rows over {n_keys} distinct "
                 f"keys {on} — deduplicate (newest-wins) before merging"
             )
-    snap = spark.read.option("mergeSchema", "true").parquet(*abs_of.values())
+    # DV-masked snapshot: deleted rows neither match keys nor survive a
+    # rewrite — rewriting a touched file MATERIALIZES its deletions (the
+    # remove_files purge drops its dv entry)
+    snap = _masked_snapshot_frame(spark, path, files, dv, file_col="__file")
     touched_norm = {
         _norm_file(r["__file"])
-        for r in snap.withColumn("__file", F.input_file_name())
-        .join(keys, on, "left_semi")
+        for r in snap.join(keys, on, "left_semi")
         .select("__file")
         .distinct()
         .collect()
@@ -1115,9 +1277,7 @@ def merge_into(
     untouched = [f for f in files if abs_of[f] not in touched_norm]
 
     if touched:
-        old_rows = spark.read.option("mergeSchema", "true").parquet(
-            *[abs_of[f] for f in touched]
-        )
+        old_rows = _masked_snapshot_frame(spark, path, touched, dv)
         kept = old_rows.join(keys, on, "left_anti")
     else:
         old_rows = kept = None
@@ -1151,9 +1311,14 @@ def merge_into(
 
     untouched_with_stats = [f for f in untouched if f in prev_stats]
     n_untouched = sum(prev_stats[f]["rows"] for f in untouched_with_stats)
+    # stats record PHYSICAL rows; subtract the per-file deletion-vector
+    # tallies the dv map carries so the manifest row count stays LIVE rows
+    n_untouched -= sum(
+        dv[f]["rows"] for f in untouched_with_stats if f in dv
+    )
     legacy = [f for f in untouched if f not in prev_stats]
     if legacy:  # pre-stats manifests: count once rather than guess
-        n_untouched += spark.read.parquet(*[abs_of[f] for f in legacy]).count()
+        n_untouched += _masked_snapshot_frame(spark, path, legacy, dv).count()
 
     if latest_version(path) != base:
         raise CommitConflict(
@@ -1175,6 +1340,120 @@ def merge_into(
             **_txn_carry(manifest),
             "constraints": manifest.get("constraints", {}),
             "schema": merged_schema,
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    where: Where,
+    *,
+    expected_base: int | None = None,
+) -> int:
+    """Merge-on-read DELETE via deletion vectors (Delta DVs / Iceberg v2
+    position deletes): rows matching the ``where`` conjunction are
+    MASKED — the commit records, per touched data file, a tiny parquet
+    of (file_name, row_index) pairs — and no data file is rewritten. At
+    100 TB this is the point-delete / right-to-be-forgotten shape:
+    copy-on-write rewrites gigabyte files to drop single rows; a DV
+    logs bytes per row and the cost moves to an O(masked rows)
+    broadcast anti-join at read time, reclaimed when :func:`optimize_table`
+    next rewrites (materializing deletions) or vacuum retires the file.
+
+    Mechanics: stats-pruned candidate files scan ONCE with
+    ``_metadata`` (file_name, row_index); already-masked rows are
+    subtracted so re-running the same predicate is a no-op commit-free;
+    the new DV directory holds the UNION of old+new masks for every
+    touched file (one mask lookup per file at read — never a chain);
+    ``rows`` in the manifest stays LIVE rows via the per-file tallies
+    the dv map carries. Snapshot semantics are unchanged: time travel
+    below the delete still sees the rows, rollback across it restores
+    them, and stats pruning stays sound (DVs only remove rows, so the
+    recorded ranges remain supersets). Returns the new version, or
+    ``base`` unchanged when nothing matches."""
+    if not where:
+        raise ValueError("delete_where requires a non-empty predicate")
+    base = latest_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if expected_base is not None and base != expected_base:
+        raise CommitConflict(
+            f"stale base: expected v{expected_base}, table is at v{base}"
+        )
+    manifest = _read_manifest(path, base)
+    dv = dict(manifest.get("dv", {}))
+    cand = _pruned_rel_files(manifest, where)
+    if not cand:
+        return base
+    name_of = {os.path.basename(f): f for f in cand}
+    scan = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_abs_file(path, f) for f in cand])
+        .withColumn("__fn", F.col("_metadata.file_name"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    matched = scan.where(_where_column(where)).select("__fn", "__ri")
+    dvd_names = [os.path.basename(f) for f in cand if f in dv]
+    old = None
+    if dvd_names:
+        old = (
+            spark.read.parquet(
+                *sorted({_abs_file(path, dv[f]["dir"]) for f in cand if f in dv})
+            )
+            .where(F.col("file_name").isin(*dvd_names))
+            .select(
+                F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+            )
+        )
+        matched = matched.join(F.broadcast(old), ["__fn", "__ri"], "left_anti")
+    per_file = matched.groupBy("__fn").agg(F.count(F.lit(1)).alias("n")).collect()
+    if not per_file:
+        return base  # every matching row already masked (or none): no-op
+    n_new = sum(r["n"] for r in per_file)
+    touched = [name_of[r["__fn"]] for r in per_file]
+    version = base + 1
+    dv_dir = os.path.join(path, "dv", f"v{version}-{uuid.uuid4().hex[:8]}")
+    union = matched
+    if old is not None:
+        touched_names = {os.path.basename(f) for f in touched}
+        carried = old.where(F.col("__fn").isin(*touched_names))
+        union = union.unionByName(carried)
+    (
+        union.select(
+            F.col("__fn").alias("file_name"), F.col("__ri").alias("row_index")
+        )
+        .coalesce(1)  # masks are kilobytes; one file keeps the read-side cheap
+        .write.mode("error")
+        .parquet(dv_dir)
+    )
+    dv_rel = _rel_file(path, dv_dir)
+    totals = {f: dv.get(f, {}).get("rows", 0) for f in touched}
+    for r in per_file:
+        totals[name_of[r["__fn"]]] += r["n"]
+    if latest_version(path) != base:
+        raise CommitConflict(
+            f"concurrent commit during delete at {path}: derived from v{base}, "
+            f"table moved to v{latest_version(path)} — re-read and retry"
+        )
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "mode": "delete-where",
+            "base": base,
+            "add_files": [],
+            "add_stats": {},
+            "remove_files": [],
+            "dv_set": {f: {"dir": dv_rel, "rows": totals[f]} for f in touched},
+            "n_files": len(manifest["files"]),
+            "rows": manifest["rows"] - n_new,
+            **_txn_carry(manifest),
+            "constraints": manifest.get("constraints", {}),
+            "schema": manifest["schema"],
         },
     )
     _maybe_checkpoint(path, version)
@@ -1451,8 +1730,11 @@ def vacuum(
     retained = versions[-keep_versions:]
     referenced: set[str] = set()
     for v in retained:
-        for f in _read_manifest(path, v)["files"]:
+        m = _read_manifest(path, v)
+        for f in m["files"]:
             referenced.add(os.path.dirname(_abs_file(path, f)))
+        for e in m.get("dv", {}).values():
+            referenced.add(_abs_file(path, e["dir"]))
     # a retained delta chain must not dangle below the horizon: before
     # the lower manifests disappear, pin the EARLIEST retained version
     # with a checkpoint sidecar (every higher resolution walks through
@@ -1472,13 +1754,14 @@ def vacuum(
             store.delete(cp)
     removed = []
     now = time.time()
-    data_root = os.path.join(os.path.abspath(path), "data")
-    for d in store.list_subdirs(data_root):
-        full = os.path.join(data_root, d)
-        if full in referenced:
-            continue
-        if min_age_seconds > 0 and now - store.mtime(full) < min_age_seconds:
-            continue  # possibly an in-flight write: too young to reclaim
-        store.delete_tree(full)
-        removed.append(full)
+    for sub in ("data", "dv"):  # dv dirs follow the same lifecycle as data
+        root = os.path.join(os.path.abspath(path), sub)
+        for d in store.list_subdirs(root):
+            full = os.path.join(root, d)
+            if full in referenced:
+                continue
+            if min_age_seconds > 0 and now - store.mtime(full) < min_age_seconds:
+                continue  # possibly an in-flight write: too young to reclaim
+            store.delete_tree(full)
+            removed.append(full)
     return removed

@@ -1201,3 +1201,171 @@ def test_schema_enforcement_in_merge_and_stream_sink(spark, tmp_path):
     with pytest.raises(Exception, match="type changed"):
         stream_versioned_sink(stream, t, app_id="drift", checkpoint=str(tmp_path / "cp"))
     assert latest_version(t) == 1  # the failed batch committed nothing
+
+
+# ---------------------------------------------------------------------------
+# r7: deletion vectors (merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+
+def _data_files_bytes(t):
+    out = {}
+    data_root = os.path.join(t, "data")
+    for d in sorted(os.listdir(data_root)):
+        for f in sorted(os.listdir(os.path.join(data_root, d))):
+            if f.endswith(".parquet"):
+                p = os.path.join(data_root, d, f)
+                with open(p, "rb") as fh:
+                    out[p] = fh.read()
+    return out
+
+
+def test_delete_where_masks_rows_without_rewriting_files(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        snapshot_deletes,
+        _read_raw_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # one file per disjoint id range
+        versioned_write(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(10)], ["id", "v"]
+            ).coalesce(1),
+            t,
+        )
+    before = _data_files_bytes(t)
+    v = delete_where(spark, t, [("id", ">=", 103), ("id", "<=", 105)])
+    assert v == 3
+    # merge-on-read: every data file byte-identical, masks live in dv/
+    assert _data_files_bytes(t) == before
+    assert len(snapshot_deletes(t)) == 1  # only the 100-range file is masked
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == sorted(
+        i for i in list(range(10)) + list(range(100, 110)) + list(range(200, 210))
+        if not (103 <= i <= 105)
+    )
+    # live-rows accounting + audit view
+    assert _read_raw_manifest(t, 3)["rows"] == 27
+    assert table_versions(t)[-1]["mode"] == "delete-where"
+    # time travel below the delete still sees the rows
+    assert read_version(spark, t, 2).count() == 30
+    # idempotence: same predicate again -> no matching live rows, no commit
+    assert delete_where(spark, t, [("id", ">=", 103), ("id", "<=", 105)]) == 3
+    # second delete on the SAME file unions into one mask lookup
+    v = delete_where(spark, t, [("id", "==", 107)])
+    assert v == 4
+    assert read_version(spark, t).count() == 26
+    assert len(snapshot_deletes(t)) == 1
+    # stats pruning composes with masks: prune to the 100-file, masked read
+    got = sorted(
+        r["id"] for r in read_version(spark, t, where=[("id", ">=", 100), ("id", "<", 200)]).collect()
+    )
+    assert got == [100, 101, 102, 106, 108, 109]
+
+
+def test_delete_then_merge_materializes_deletions(spark, tmp_path):
+    """Rewriting a DV'd file via MERGE drops its mask: deleted rows do
+    not resurrect, and the dv entry disappears with the file."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        merge_into,
+        snapshot_deletes,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], ["id", "v"]).coalesce(1),
+        t,
+    )
+    delete_where(spark, t, [("id", "==", 2)])
+    merge_into(spark, t, spark.createDataFrame([(4, "UP")], ["id", "v"]), on=["id"])
+    assert snapshot_deletes(t) == {}  # rewrite materialized the deletion
+    got = {r["id"]: r["v"] for r in read_version(spark, t).collect()}
+    assert got == {0: "r0", 1: "r1", 3: "r3", 4: "UP", 5: "r5"}
+    # and the row count stayed LIVE rows through both commits
+    assert read_version(spark, t).count() == 5
+
+
+def test_optimize_materializes_and_vacuum_reclaims_dv(spark, tmp_path):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        optimize_table,
+        snapshot_deletes,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(i, f"r{i}") for i in range(8)], ["id", "v"]).coalesce(2),
+        t,
+    )
+    delete_where(spark, t, [("id", "<", 2)])
+    want = sorted(tuple(r) for r in read_version(spark, t).collect())
+    optimize_table(spark, t, target_files=1)
+    assert snapshot_deletes(t) == {}
+    assert sorted(tuple(r) for r in read_version(spark, t).collect()) == want
+    vacuum(t, keep_versions=1)
+    assert os.listdir(os.path.join(t, "dv")) == []  # superseded masks reclaimed
+    assert sorted(tuple(r) for r in read_version(spark, t).collect()) == want
+
+
+def test_change_feed_and_rollback_across_deletion_vectors(spark, tmp_path):
+    """CDF sees DV commits as row-level deletes, and rolling back across
+    a delete emits the resurrected rows as inserts — the multiset
+    invariant holds over every version pair of a DV-bearing history."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], ["id", "v"]).coalesce(1),
+        t,
+    )
+    versioned_write(
+        spark.createDataFrame([(10, "r10")], ["id", "v"]).coalesce(1), t
+    )
+    delete_where(spark, t, [("id", "<=", 1)])          # v2: masks 0,1
+    delete_where(spark, t, [("id", "==", 4)])          # v3: same file, mask grows
+    rollback(t, 1)                                     # v4: resurrects 0,1,4
+    # the delete commits surface as row-level deletes
+    feed = read_changes(spark, t, 1, 3).collect()
+    assert sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in feed) == [
+        (0, "delete", 2), (1, "delete", 2), (4, "delete", 3),
+    ]
+    # rollback across the deletes emits resurrection inserts
+    res = read_changes(spark, t, 3, 4).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in res) == [
+        (0, "insert"), (1, "insert"), (4, "insert"),
+    ]
+    # full multiset invariant over every pair
+    latest = latest_version(t)
+    for lo in range(latest + 1):
+        for hi in range(lo, latest + 1):
+            base = [tuple(r) for r in read_version(spark, t, lo).collect()]
+            want = sorted(tuple(r) for r in read_version(spark, t, hi).collect())
+            changes = read_changes(spark, t, lo, hi).collect()
+            assert _apply_changes(base, changes) == want, (lo, hi)
+
+
+def test_dv_survives_checkpoint_and_append_chain(spark, tmp_path):
+    """Masks resolve correctly through delta chains and checkpoint
+    sidecars: appends after a delete keep the mask, and the checkpoint
+    carries the dv map."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(i, "x") for i in range(5)], ["id", "v"]).coalesce(1), t
+    )
+    V.delete_where(spark, t, [("id", "==", 3)])
+    for i in range(V.CHECKPOINT_EVERY + 1):  # push a checkpoint past the delete
+        versioned_write(
+            spark.createDataFrame([(100 + i, "y")], ["id", "v"]).coalesce(1), t
+        )
+    cps = [v for v in range(latest_version(t) + 1) if V._read_checkpoint(t, v)]
+    assert cps and V._read_checkpoint(t, cps[0]).get("dv")
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert 3 not in got and len(got) == 4 + V.CHECKPOINT_EVERY + 1
