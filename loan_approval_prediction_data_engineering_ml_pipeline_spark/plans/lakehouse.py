@@ -185,3 +185,73 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_version", "o_orderstatus")
     )
+
+
+# deletion-vector fixture: the F-status slice committed once, then a
+# merge-on-read DELETE of its URGENT orders — data files untouched,
+# masks in dv/ (build-if-missing like the vtab fixture above)
+_ORACLE_VTAB_DV_DIR = _index_dir("sf0.01", "vtab_dv")
+
+
+def _ensure_vtab_dv(spark: SparkSession, sf_dir: str) -> str:
+    path = _index_dir(sf_dir, "vtab_dv")
+    if path in _FRESH_VTABS:
+        return path
+    orders = load_table(spark, sf_dir, "orders")
+    f_slice = orders.where(F.col("o_orderstatus") == "F")
+    want_rows = f_slice.where(F.col("o_orderpriority") != "1-URGENT").count()
+    ok = V.latest_version(path) == 1
+    if ok and V._read_raw_manifest(path, 1)["rows"] != want_rows:
+        ok = False
+    if not ok:
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        V.versioned_write(f_slice.repartitionByRange(4, "o_orderdate"), path)
+        V.delete_where(spark, path, [("o_orderpriority", "==", "1-URGENT")])
+    _FRESH_VTABS.add(path)
+    return path
+
+
+@query(
+    "versioned_delete_vectors",
+    # The oracle reproduces the merge-on-read scan from the SAME bytes:
+    # data files via the v0 glob with DuckDB's file_row_number/filename,
+    # minus the (file_name, row_index) pairs in the committed DV parquet
+    # — an independent re-derivation of the mask anti-join, so a hash
+    # match proves deleted rows are invisible and nothing else moved.
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM (
+      SELECT d.o_orderpriority, d.o_totalprice
+      FROM read_parquet('{_ORACLE_VTAB_DV_DIR}/data/v0-*/*.parquet',
+                        filename=1, file_row_number=1) d
+      ANTI JOIN read_parquet('{_ORACLE_VTAB_DV_DIR}/dv/v1-*/*.parquet') m
+        ON regexp_extract(d.filename, '[^/]+$') = m.file_name
+       AND d.file_row_number = m.row_index
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="Merge-on-read DELETE via deletion vectors: the latest "
+    "snapshot scans untouched data files and drops masked rows through one "
+    "broadcast anti-join on _metadata.row_index; the oracle independently "
+    "re-derives the mask subtraction in DuckDB (file_row_number + filename "
+    "against the committed DV parquet) — a hash match proves the deleted "
+    "rows are invisible and every surviving row is byte-identical",
+    tier="local",
+)
+def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_vtab_dv(spark, sf_dir)
+    return (
+        V.read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
