@@ -339,6 +339,44 @@ def versioned_bench(spark, sf_dir: str) -> dict:
         rollback(t, 0)
         out["rollback_sec"] = round(time.perf_counter() - t0, 4)
         out["rollback_rows"] = read_version(spark, t).count()
+        # deletion vectors vs copy-on-write (r7): mask ~1% of one day's
+        # rows merge-on-read, then pay the same delete as a CoW merge on
+        # a fresh twin — the DV commit writes kilobytes of mask where the
+        # merge rewrites the touched files
+        from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+            delete_where,
+            merge_into,
+            snapshot_deletes,
+        )
+
+        base = read_version(spark, t)
+        sample_ids = [
+            r["event_id"]
+            for r in base.select("event_id").orderBy("event_id").limit(200).collect()
+        ]
+        lo, hi = sample_ids[0], sample_ids[-1]
+        t0 = time.perf_counter()
+        delete_where(spark, t, [("event_id", ">=", lo), ("event_id", "<=", hi)])
+        out["dv_delete_sec"] = round(time.perf_counter() - t0, 4)
+        dv_dir = next(iter(snapshot_deletes(t).values()))
+        out["dv_bytes"] = sum(
+            os.path.getsize(os.path.join(dv_dir, f))
+            for f in os.listdir(dv_dir)
+            if f.endswith(".parquet")
+        )
+        t0 = time.perf_counter()
+        out["dv_masked_read_rows"] = read_version(spark, t).count()
+        out["dv_masked_read_sec"] = round(time.perf_counter() - t0, 4)
+        t2 = f"{tmp}/t2"
+        versioned_write(read_version(spark, t, 0), t2)
+        keys = (
+            read_version(spark, t2)
+            .where((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+            .select("event_id")
+        )
+        t0 = time.perf_counter()
+        merge_into(spark, t2, keys, ["event_id"], when_matched="delete")
+        out["cow_delete_sec"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -881,6 +881,7 @@ def versioned_write(
     expected_base: int | None = None,
     merge_schema: bool = False,
     overwrite_schema: bool = False,
+    _commit_extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version and return its number.
 
@@ -953,6 +954,7 @@ def versioned_write(
             **_txn_carry(prev_m),
             "constraints": prev_m.get("constraints", {}),
             "schema": schema_json,
+            **(_commit_extra or {}),
         }
     else:  # first commit or overwrite: the new file set IS the snapshot
         manifest = {
@@ -964,6 +966,7 @@ def versioned_write(
             **_txn_carry(prev_m),
             "constraints": prev_m.get("constraints", {}),
             "schema": schema_json,
+            **(_commit_extra or {}),
         }
     _commit(path, version, manifest)
     _maybe_checkpoint(path, version)
@@ -1209,6 +1212,7 @@ def merge_into(
     when_matched: str = "update",
     insert_unmatched: bool = True,
     merge_schema: bool = False,
+    _commit_extra: dict | None = None,
 ) -> int:
     """Row-level MERGE into a versioned table, committed as one new
     version: rows of ``source`` whose key (``on``) exists in the latest
@@ -1238,7 +1242,9 @@ def merge_into(
     if base is None:
         if when_matched == "delete" or not insert_unmatched:
             raise FileNotFoundError(f"no committed version at {path}")
-        return versioned_write(source, path, mode="append")
+        return versioned_write(
+            source, path, mode="append", _commit_extra=_commit_extra
+        )
     manifest = _read_manifest(path, base)
     # schema-on-write for the source (Delta MERGE enforcement): missing
     # columns null-fill, new columns need merge_schema=True, type
@@ -1340,6 +1346,8 @@ def merge_into(
             **_txn_carry(manifest),
             "constraints": manifest.get("constraints", {}),
             "schema": merged_schema,
+            # streaming merge sink stamps txn/source_batch_id through here
+            **(_commit_extra or {}),
         },
     )
     _maybe_checkpoint(path, version)
@@ -1578,6 +1586,64 @@ def stream_versioned_sink(
             }
         _commit(path, version, record)
         _maybe_checkpoint(path, version)
+
+    writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def stream_versioned_merge_sink(
+    stream: DataFrame,
+    path: str,
+    on: Sequence[str],
+    *,
+    app_id: str,
+    checkpoint: str | None = None,
+    merge_schema: bool = False,
+) -> None:
+    """Exactly-once streaming UPSERT into a versioned table: each
+    micro-batch :func:`merge_into`'s the latest snapshot as ONE commit
+    (copy-on-write of only the files containing a batch key), stamped
+    into the same ``txn`` ledger as :func:`stream_versioned_sink`, so a
+    replayed batch — crash between commit and checkpoint advance,
+    at-least-once redelivery — is skipped by reading one manifest. This
+    is the CDC-apply shape (a keyed change stream maintaining a current
+    table) the plain append sink can't express: late updates REPLACE
+    rows instead of duplicating them, and readers still get snapshot
+    isolation per batch commit.
+
+    Batches must be key-unique (the merge's ambiguity check applies);
+    pre-aggregate newest-wins upstream when the source can repeat a key
+    within one trigger. A batch whose merge conflicts with a concurrent
+    writer fails the trigger and is retried by the stream on restart —
+    the ledger keeps the retry exactly-once."""
+    on = list(on)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        prev = latest_version(path)
+        prev_m = _read_raw_manifest(path, prev) if prev is not None else {}
+        txn = dict(prev_m.get("txn", {}))
+        if prev is not None and "txn" not in prev_m:
+            txn[app_id] = max(committed_source_batches(path), default=-1)
+        if txn.get(app_id, -1) >= batch_id:
+            return  # replay of a committed batch: exactly-once no-op
+        merge_into(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            on,
+            when_matched="update",
+            insert_unmatched=True,
+            merge_schema=merge_schema,
+            _commit_extra={
+                "mode": "stream-merge",
+                "source_batch_id": batch_id,
+                "app_id": app_id,
+                "txn": {**txn, app_id: batch_id},
+            },
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:

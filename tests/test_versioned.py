@@ -1369,3 +1369,65 @@ def test_dv_survives_checkpoint_and_append_chain(spark, tmp_path):
     assert cps and V._read_checkpoint(t, cps[0]).get("dv")
     got = sorted(r["id"] for r in read_version(spark, t).collect())
     assert 3 not in got and len(got) == 4 + V.CHECKPOINT_EVERY + 1
+
+
+def test_stream_versioned_merge_sink_exactly_once_upsert(spark, tmp_path):
+    """Streaming CDC-apply: each micro-batch merges as one commit —
+    updates REPLACE rows, inserts append — and a full redelivery is a
+    no-op via the same txn ledger the append sink uses."""
+    import glob
+    import shutil
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _read_raw_manifest,
+        stream_versioned_merge_sink,
+    )
+
+    # three change batches: b0 inserts k1/k2, b1 updates k1 + inserts k3,
+    # b2 updates k3
+    batches = [
+        [(1, "a0"), (2, "b0")],
+        [(1, "a1"), (3, "c0")],
+        [(3, "c1")],
+    ]
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    now = _t.time()
+    for i, rows in enumerate(batches):
+        staged = os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    t = str(tmp_path / "table")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_versioned_merge_sink(
+            stream, t, ["id"], app_id="cdc", checkpoint=str(tmp_path / cp)
+        )
+
+    run("cp1")
+    assert latest_version(t) == 2  # one commit per batch
+    got = {r["id"]: r["v"] for r in read_version(spark, t).collect()}
+    assert got == {1: "a1", 2: "b0", 3: "c1"}  # newest wins, no duplicates
+    m = _read_raw_manifest(t, 2)
+    assert m["txn"] == {"cdc": 2} and m["mode"] == "stream-merge"
+    # time travel: the mid-stream snapshot is the state after batch 1
+    assert {r["id"]: r["v"] for r in read_version(spark, t, 1).collect()} == {
+        1: "a1", 2: "b0", 3: "c0",
+    }
+
+    run("cp2")  # full redelivery: ledger skips every batch
+    assert latest_version(t) == 2
+    assert {r["id"]: r["v"] for r in read_version(spark, t).collect()} == got
