@@ -2276,3 +2276,53 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     _FRESH_INDEXES.add(idx)
     w, b = Q.load_weights(spark, wpath)
     return Q.score_documents(docs, w, b, n_buckets=_QLR_BUCKETS).orderBy("doc_id")
+
+
+@query(
+    "semantic_decontaminate",
+    tier="local",
+    # Exact by construction (no index): the eval side is small by
+    # definition (a benchmark), so it broadcasts and the corpus pass is
+    # map-only + one partial-aggregated max per corpus vector — the
+    # embedding-space twin of the n-gram `decontaminate` query. DuckDB
+    # re-derives every max cosine over the same vectors.
+    oracle="""
+    WITH eval AS (
+      SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    sims AS (
+      SELECT c.vec_id, max(list_cosine_similarity(cv, ev)) AS mc
+      FROM corpus c CROSS JOIN eval GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(mc, 6) AS max_eval_cosine
+    FROM sims WHERE mc >= 0.35 ORDER BY vec_id
+    """,
+    description="Semantic benchmark decontamination (embedding-space twin of "
+    "the n-gram decontaminate): corpus vectors whose max cosine to ANY "
+    "held-out eval vector crosses the leakage threshold (0.35 — ~p97 of the ambient cosine distribution on this corpus) — eval side "
+    "broadcasts (benchmarks are small by definition), corpus side is one "
+    "map-only pass with a partial-aggregated per-vector max, so at 100 TB "
+    "the cost is the corpus scan; paraphrase-level contamination that "
+    "n-gram overlap misses is exactly what the embedding check catches",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("ev")
+    )
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(F.max(V.cosine(F.col("v"), F.col("ev"))).alias("mc"))
+        .where(F.col("mc") >= 0.35)
+        .select("vec_id", F.round("mc", 6).alias("max_eval_cosine"))
+        .orderBy("vec_id")
+    )
