@@ -1431,3 +1431,23 @@ def test_stream_versioned_merge_sink_exactly_once_upsert(spark, tmp_path):
     run("cp2")  # full redelivery: ledger skips every batch
     assert latest_version(t) == 2
     assert {r["id"]: r["v"] for r in read_version(spark, t).collect()} == got
+
+
+def test_dv_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """The masked read's physical plan: ONE broadcast (or at worst
+    shuffled-hash) LeftAnti against the kilobyte mask — never a
+    cartesian product, never a sort-merge over the corpus."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], ["id", "v"]).coalesce(1),
+        t,
+    )
+    delete_where(spark, t, [("id", "<", 10)])
+    plan = read_version(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
