@@ -100,20 +100,25 @@ def fit_linear_classifier(
     in {0.0, 1.0}. Returns ``(weights[n_buckets], bias)``.
 
     Per iteration: broadcast-join the B-row weight table onto the
-    cached feature relation, aggregate margins per id, join labels,
-    aggregate the per-bucket gradient — two shuffles, both keyed on
-    columns the data is already clustered by after the first pass.
-    Driver state is B+1 weights plus B+1 Adagrad accumulators;
-    everything O(data) stays distributed. Gradient sums are rounded to
-    9 dp before the driver update so the fitted model is reproducible
-    run-to-run (partition-order summation noise cannot drift the
-    trajectory)."""
+    cached feature relation, aggregate margins per id, shuffle-join
+    labels and residuals on id (both are O(corpus docs), so they are
+    never broadcast-hinted — the planner may still pick broadcast at
+    small scale), aggregate the per-bucket gradient. Every exchange is
+    keyed on id or bucket and carries O(corpus features) rows at fixed
+    width; driver state is B+1 weights plus B+1 Adagrad accumulators.
+    Gradient sums are rounded to 9 dp before the driver update so the
+    fitted model is reproducible run-to-run (partition-order summation
+    noise cannot drift the trajectory)."""
     import numpy as np
 
     spark = feats.sparkSession
     n = labels.count()
     feats = feats.cache()
-    labels = F.broadcast(labels.select(F.col("id"), F.col("label").cast("double")))
+    # labels and residuals are O(corpus docs): NO broadcast hint — they
+    # shuffle-join on id (the key feats is already clustered by after
+    # the margin aggregation), which is the shape that survives 100 TB;
+    # only the B-row weight table is ever hinted broadcast
+    labels = labels.select(F.col("id"), F.col("label").cast("double"))
     w = np.zeros(n_buckets)
     b = 0.0
     G = np.full(n_buckets, 1e-8)  # Adagrad accumulated squared gradients
@@ -137,7 +142,7 @@ def fit_linear_classifier(
                 )
             )
             agg = (
-                feats.join(F.broadcast(resid), "id")
+                feats.join(resid, "id")
                 .groupBy("bucket")
                 .agg(F.round(F.sum(F.col("tf") * F.col("r")), 9).alias("g"))
             ).collect()

@@ -815,6 +815,16 @@ def snapshot_deletes(path: str, version: int | None = None) -> dict[str, str]:
     }
 
 
+#: masks at or below this many rows get an explicit broadcast hint
+#: (~100 MB at mask-row width); larger masks leave the join strategy to
+#: the planner/AQE — a shuffled hash anti-join with identical semantics.
+_DV_BROADCAST_ROWS = 5_000_000
+
+
+def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _DV_BROADCAST_ROWS else df
+
+
 def _masked_snapshot_frame(
     spark: SparkSession,
     path: str,
@@ -826,9 +836,9 @@ def _masked_snapshot_frame(
     """The live rows of ``rel_files`` under deletion-vector map ``dv``:
     clean files scan as one plain branch; DV'd files scan once with
     ``_metadata`` (file_name, row_index) and drop masked rows via ONE
-    broadcast anti-join against the DV parquet (kilobytes per masked
-    file — a million-row mask broadcasts fine; past that, AQE picks a
-    shuffled anti-join with the same semantics). ``file_col`` optionally
+    anti-join against the DV parquet — broadcast-hinted while the
+    per-file tallies say the mask fits (kilobytes per masked file),
+    planner-chosen above :data:`_DV_BROADCAST_ROWS`. ``file_col`` optionally
     surfaces each row's absolute source file (merge_into's touched-file
     probe). Returns None when ``rel_files`` is empty."""
     rel_files = list(rel_files)
@@ -862,10 +872,11 @@ def _masked_snapshot_frame(
                 F.col("row_index").alias("__dv_ri"),
             )
         )
+        n_masked = sum(dv[f].get("rows", 0) for f in dvd)
         frames.append(
-            base.join(F.broadcast(masks), ["__dv_fn", "__dv_ri"], "left_anti").drop(
-                "__dv_fn", "__dv_ri"
-            )
+            base.join(
+                _hint_small(masks, n_masked), ["__dv_fn", "__dv_ri"], "left_anti"
+            ).drop("__dv_fn", "__dv_ri")
         )
     out = frames[0]
     for f in frames[1:]:
@@ -1114,6 +1125,11 @@ def read_changes(
                 .withColumn("__fn", F.col("_metadata.file_name"))
                 .withColumn("__ri", F.col("_metadata.row_index"))
             )
+            n_mask = sum(
+                m.get(f, {}).get("rows", 0)
+                for f in carried
+                for m in (prev_dv, cur_dv)
+            )
             for grown, within, tag in ((newm, oldm, "delete"), (oldm, newm, "insert")):
                 if grown is None:
                     continue
@@ -1125,7 +1141,7 @@ def read_changes(
                 frames.append(
                     _tag(
                         scan.join(
-                            F.broadcast(delta_mask), ["__fn", "__ri"], "left_semi"
+                            _hint_small(delta_mask, n_mask), ["__fn", "__ri"], "left_semi"
                         ).drop("__fn", "__ri"),
                         tag,
                         v,
@@ -1416,7 +1432,10 @@ def delete_where(
                 F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
             )
         )
-        matched = matched.join(F.broadcast(old), ["__fn", "__ri"], "left_anti")
+        n_old = sum(dv[f].get("rows", 0) for f in cand if f in dv)
+        matched = matched.join(
+            _hint_small(old, n_old), ["__fn", "__ri"], "left_anti"
+        )
     per_file = matched.groupBy("__fn").agg(F.count(F.lit(1)).alias("n")).collect()
     if not per_file:
         return base  # every matching row already masked (or none): no-op
