@@ -4,6 +4,7 @@ from .versioned import (  # noqa: F401
     CommitConflict,
     SchemaMismatch,
     VersionVacuumedError,
+    clone_table,
     committed_source_batches,
     delete_where,
     latest_version,

@@ -864,13 +864,23 @@ def _masked_snapshot_frame(
         if file_col:
             base = base.withColumn(file_col, F.input_file_name())
         names = {os.path.basename(f) for f in dvd}
-        masks = (
-            spark.read.parquet(*sorted({_abs_file(path, dv[f]["dir"]) for f in dvd}))
-            .where(F.col("file_name").isin(*names))
-            .select(
-                F.col("file_name").alias("__dv_fn"),
-                F.col("row_index").alias("__dv_ri"),
+        masks = spark.read.parquet(
+            *sorted({_abs_file(path, dv[f]["dir"]) for f in dvd})
+        )
+        if len(names) <= 512:
+            masks = masks.where(F.col("file_name").isin(*names))
+        else:  # huge masked subsets: a literal isin bloats the plan —
+            # restrict via a broadcast semi-join on the (tiny) name list
+            masks = masks.join(
+                F.broadcast(
+                    spark.createDataFrame([(n,) for n in sorted(names)], "file_name string")
+                ),
+                "file_name",
+                "left_semi",
             )
+        masks = masks.select(
+            F.col("file_name").alias("__dv_fn"),
+            F.col("row_index").alias("__dv_ri"),
         )
         n_masked = sum(dv[f].get("rows", 0) for f in dvd)
         frames.append(
@@ -1750,6 +1760,7 @@ def optimize_table(
     *,
     target_files: int = 1,
     zorder_by: Sequence[str] | None = None,
+    where: Where | None = None,
 ) -> int:
     """Delta's OPTIMIZE: rewrite the LATEST snapshot into
     ``target_files`` files and commit the compacted layout as a new
@@ -1769,18 +1780,114 @@ def optimize_table(
     every clustered dimension at once — compaction and data-skipping
     effectiveness land in the same single rewrite, which is the whole
     point of pairing OPTIMIZE with stats-pruned ``read_version(where=)``
-    at 100 TB (one maintenance pass buys every later selective read)."""
+    at 100 TB (one maintenance pass buys every later selective read).
+
+    ``where`` = Delta's ``OPTIMIZE ... WHERE``: compact ONLY the files
+    whose stats ranges can satisfy the predicate (file-granular, like
+    Delta — whole files are rewritten, rows are never split out), as a
+    delta-record commit removing the subset and adding the compacted
+    layout. At 100 TB this is the maintenance shape: pay down the
+    small-file debt of yesterday's streaming partition without touching
+    the other 10 PB, content-identical and snapshot-isolated. Masked
+    (deletion-vector) rows of rewritten files are materialized away."""
     base = latest_version(path)
     if base is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    df = read_version(spark, path, base)
+    if where is None:
+        df = read_version(spark, path, base)
+        if zorder_by:
+            from ..operators.maintenance import zorder_layout
+
+            df = zorder_layout(df, list(zorder_by), n_files=target_files)
+        else:
+            df = df.coalesce(target_files)
+        return versioned_write(df, path, mode="overwrite", expected_base=base)
+    manifest = _read_manifest(path, base)
+    subset = _pruned_rel_files(manifest, where)
+    if not subset:
+        return base  # nothing in range: no-op, no commit
+    dv = manifest.get("dv", {})
+    df = _masked_snapshot_frame(spark, path, subset, dv)
     if zorder_by:
         from ..operators.maintenance import zorder_layout
 
         df = zorder_layout(df, list(zorder_by), n_files=target_files)
     else:
         df = df.coalesce(target_files)
-    return versioned_write(df, path, mode="overwrite", expected_base=base)
+    version = base + 1
+    data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(data_dir)
+    new_files, new_stats, _ = _collect_file_stats(
+        spark, data_dir, manifest.get("constraints")
+    )
+    new_files = [_rel_file(path, f) for f in new_files]
+    new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
+    if latest_version(path) != base:
+        raise CommitConflict(
+            f"concurrent commit during optimize at {path}: derived from "
+            f"v{base}, table moved to v{latest_version(path)} — retry"
+        )
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "mode": "optimize-where",
+            "base": base,
+            "add_files": new_files,
+            "add_stats": new_stats,
+            "remove_files": subset,
+            "n_files": len(manifest["files"]) - len(subset) + len(new_files),
+            "rows": manifest["rows"],  # content-identical rewrite
+            **_txn_carry(manifest),
+            "constraints": manifest.get("constraints", {}),
+            "schema": manifest["schema"],
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def clone_table(src: str, dst: str) -> int:
+    """Shallow clone (Delta's ``CLONE``): commit a v0 manifest at
+    ``dst`` that references the SOURCE's current data files (and
+    deletion-vector masks) by absolute path — zero rows copied, O(files)
+    metadata, and the clone then evolves independently: its writes land
+    under its own root, its vacuum walks only its own ``data/``/``dv/``
+    directories so it can never reclaim source bytes, and its merges
+    copy-on-write external files into local ones as they are touched.
+    Delta's documented caveat applies verbatim: vacuum on the SOURCE can
+    reclaim files a shallow clone still references — clones are for
+    short-lived experiments/dev forks; ``optimize_table`` on the clone
+    materializes it (the rewrite copies the rows it keeps)."""
+    src_latest = latest_version(src)
+    if src_latest is None:
+        raise FileNotFoundError(f"no committed version at {src}")
+    m = _read_manifest(src, src_latest)
+    _commit(
+        dst,
+        0,
+        {
+            "version": 0,
+            "mode": f"clone:{os.path.abspath(src)}@v{src_latest}",
+            "files": [_abs_file(src, f) for f in m["files"]],
+            "rows": m["rows"],
+            "stats": {_abs_file(src, f): s for f, s in m.get("stats", {}).items()},
+            **(
+                {
+                    "dv": {
+                        _abs_file(src, f): {**e, "dir": _abs_file(src, e["dir"])}
+                        for f, e in m["dv"].items()
+                    }
+                }
+                if m.get("dv")
+                else {}
+            ),
+            "constraints": m.get("constraints", {}),
+            "schema": m["schema"],
+        },
+    )
+    return 0
 
 
 def vacuum(

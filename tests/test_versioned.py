@@ -1451,3 +1451,73 @@ def test_dv_read_plan_is_broadcast_anti_join(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_optimize_where_compacts_only_in_range_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE: the stats-pruned subset is rewritten as one
+    delta commit; out-of-range files stay byte-identical, content is
+    unchanged, and masked rows of rewritten files materialize away."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _read_raw_manifest,
+        delete_where,
+        optimize_table,
+        snapshot_deletes,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    # cold range: one file; hot range: 4 small files + a DV mask
+    versioned_write(
+        spark.createDataFrame([(i, f"c{i}") for i in range(10)], ["id", "v"]).coalesce(1),
+        t,
+    )
+    for i in range(4):
+        versioned_write(
+            spark.createDataFrame(
+                [(100 + i * 10 + j, f"h{i}{j}") for j in range(3)], ["id", "v"]
+            ).coalesce(1),
+            t,
+        )
+    delete_where(spark, t, [("id", "==", 111)])
+    want = sorted(tuple(r) for r in read_version(spark, t).collect())
+    cold = set(snapshot_files(t, where=[("id", "<", 100)]))
+    v = optimize_table(spark, t, target_files=1, where=[("id", ">=", 100)])
+    raw = _read_raw_manifest(t, v)
+    assert raw["mode"] == "optimize-where"
+    assert len(raw["remove_files"]) == 4 and len(raw["add_files"]) == 1
+    # cold file carried untouched; content identical; mask materialized
+    assert cold <= set(snapshot_files(t))
+    assert sorted(tuple(r) for r in read_version(spark, t).collect()) == want
+    assert snapshot_deletes(t) == {}
+    # out-of-range predicate: no-op without a commit
+    assert optimize_table(spark, t, where=[("id", ">", 10**6)]) == v
+
+
+def test_clone_table_shallow_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone references source bytes absolutely; the clone
+    evolves independently and its vacuum never reclaims source data."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        clone_table,
+        delete_where,
+        merge_into,
+    )
+
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], ["id", "v"]).coalesce(1),
+        src,
+    )
+    delete_where(spark, src, [("id", "==", 5)])  # masks ride the clone too
+    dst = str(tmp_path / "dst")
+    assert clone_table(src, dst) == 0
+    assert not os.path.exists(os.path.join(dst, "data"))  # zero rows copied
+    want = sorted(tuple(r) for r in read_version(spark, src).collect())
+    assert sorted(tuple(r) for r in read_version(spark, dst).collect()) == want
+    # independent evolution: merge on the clone, source untouched
+    merge_into(spark, dst, spark.createDataFrame([(0, "CLONE")], ["id", "v"]), on=["id"])
+    assert sorted(tuple(r) for r in read_version(spark, src).collect()) == want
+    assert (0, "CLONE") in {tuple(r) for r in read_version(spark, dst).collect()}
+    # clone vacuum walks only its own roots: source files survive
+    vacuum(dst, keep_versions=1)
+    assert sorted(tuple(r) for r in read_version(spark, src).collect()) == want
+    assert read_version(spark, dst).count() == 5
