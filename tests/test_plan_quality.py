@@ -321,3 +321,23 @@ def test_ivf_batch_topk_plan_broadcasts_centroids(spark, tmp_path):
     assert "CartesianProduct" not in plan
     m = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*\bcell", plan)
     assert m, plan[:2000]
+
+
+def test_quality_classifier_scoring_is_broadcast_join(spark):
+    """The scoring pass (r7): the kilobyte weight table broadcasts onto
+    the hashed features — never a shuffled join keyed on the corpus,
+    and no Python UDFs anywhere in the plan."""
+    plan = _formatted_plan(spark, "quality_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark):
+    """The embedding leak check (r7): the eval side broadcasts (a
+    benchmark is small by definition) so the corpus pass is map-only
+    into a broadcast nested-loop — never a shuffled cartesian — and the
+    per-vector max aggregates with a map-side partial."""
+    plan = _formatted_plan(spark, "semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
