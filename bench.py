@@ -81,6 +81,7 @@ HEADLINE = [
     "line_dedup_corpus",  # span-level boilerplate line dedup (r6)
     "substring_dedup",  # Lee et al. exact substring dedup, windowed (r6)
     "quality_classifier_score",  # hashed-LR corpus scoring (build amortized, r7)
+    "semantic_decontaminate",  # eval-broadcast max-cosine leak check (r7)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
