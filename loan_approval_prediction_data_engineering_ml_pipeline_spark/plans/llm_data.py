@@ -2300,7 +2300,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus c CROSS JOIN eval GROUP BY c.vec_id
     )
     SELECT vec_id, round(mc, 6) AS max_eval_cosine
-    FROM sims WHERE mc >= 0.35 ORDER BY vec_id
+    FROM sims WHERE round(mc, 6) >= 0.35 ORDER BY vec_id
     """,
     description="Semantic benchmark decontamination (embedding-space twin of "
     "the n-gram decontaminate): corpus vectors whose max cosine to ANY "
@@ -2322,7 +2322,10 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(ev))
         .groupBy("vec_id")
         .agg(F.max(V.cosine(F.col("v"), F.col("ev"))).alias("mc"))
-        .where(F.col("mc") >= 0.35)
+        # threshold on the 6-dp ROUNDED max so the keep/drop decision is
+        # made in the stabilized domain: a boundary-sitting cosine can
+        # flip by a last ulp with summation order (Spark vs oracle)
+        .where(F.round("mc", 6) >= 0.35)
         .select("vec_id", F.round("mc", 6).alias("max_eval_cosine"))
         .orderBy("vec_id")
     )

@@ -680,11 +680,22 @@ def _coerced(stored, v):
     if isinstance(stored, bool):
         return v if isinstance(v, bool) else _KEEP
     if isinstance(stored, (int, float)):
-        if isinstance(v, (bool, int, float, decimal.Decimal)):
+        if isinstance(v, decimal.Decimal):
+            # Spark coerces decimal-vs-double comparisons to double (the
+            # literal is rounded, not compared as an exact rational);
+            # long-vs-decimal widens to decimal and stays exact. Mirror
+            # each so the pruning order IS the residual filter's order.
+            return float(v) if isinstance(stored, float) else v
+        if isinstance(v, (bool, int, float)):
             return v  # Python's numeric tower compares these exactly
         return _KEEP
     if isinstance(stored, str):
         if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                # a tz-aware literal's ordering vs naive stored stats
+                # depends on the session timezone; isoformat would embed
+                # the offset text and break lexicographic alignment
+                return _KEEP
             if _DATE_RE.match(stored):
                 if v.tzinfo is None and v.time() == datetime.time():
                     return v.date().isoformat()
@@ -825,6 +836,53 @@ def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _DV_BROADCAST_ROWS else df
 
 
+#: above this many names a literal ``isin(...)`` bloats the plan tree;
+#: restrict via a broadcast semi-join on the (tiny) name table instead.
+_ISIN_NAME_LIMIT = 512
+
+
+def _basenames(files: Sequence[str]) -> set[str]:
+    """Unique basenames of ``files``. Every row-mask join in this module
+    keys on ``_metadata.file_name`` — a BASENAME — so a collision among
+    the candidate files (plausible for shallow clones referencing
+    external absolute paths) would silently cross-apply masks between
+    same-named files. Spark's uuid'd part names make collisions rare but
+    nothing enforces them: fail loudly instead of mis-masking."""
+    files = list(files)
+    names = {os.path.basename(f) for f in files}
+    if len(names) != len(files):
+        dupes = sorted(
+            n
+            for n in names
+            if sum(1 for f in files if os.path.basename(f) == n) > 1
+        )
+        raise ValueError(
+            "deletion-vector bookkeeping requires unique data-file "
+            f"basenames; colliding name(s): {dupes[:5]} — rewrite the "
+            "clashing files (optimize_table) before row-level operations"
+        )
+    return names
+
+
+def _where_name_in(
+    spark: SparkSession, df: DataFrame, col: str, names: set[str]
+) -> DataFrame:
+    """``df`` restricted to rows whose ``col`` is in ``names`` — a
+    literal ``isin`` while the list is small, a broadcast semi-join on a
+    one-column name table above :data:`_ISIN_NAME_LIMIT` (same
+    semantics, bounded plan size)."""
+    ordered = sorted(names)
+    if len(ordered) <= _ISIN_NAME_LIMIT:
+        return df.where(F.col(col).isin(*ordered))
+    return df.join(
+        F.broadcast(
+            spark.createDataFrame([(n,) for n in ordered], f"{col} string")
+        ),
+        col,
+        "left_semi",
+    )
+
+
 def _masked_snapshot_frame(
     spark: SparkSession,
     path: str,
@@ -863,21 +921,11 @@ def _masked_snapshot_frame(
         )
         if file_col:
             base = base.withColumn(file_col, F.input_file_name())
-        names = {os.path.basename(f) for f in dvd}
+        names = _basenames(dvd)
         masks = spark.read.parquet(
             *sorted({_abs_file(path, dv[f]["dir"]) for f in dvd})
         )
-        if len(names) <= 512:
-            masks = masks.where(F.col("file_name").isin(*names))
-        else:  # huge masked subsets: a literal isin bloats the plan —
-            # restrict via a broadcast semi-join on the (tiny) name list
-            masks = masks.join(
-                F.broadcast(
-                    spark.createDataFrame([(n,) for n in sorted(names)], "file_name string")
-                ),
-                "file_name",
-                "left_semi",
-            )
+        masks = _where_name_in(spark, masks, "file_name", names)
         masks = masks.select(
             F.col("file_name").alias("__dv_fn"),
             F.col("row_index").alias("__dv_ri"),
@@ -1087,12 +1135,10 @@ def read_changes(
         )
         if not dirs:
             return None
-        return (
-            spark.read.parquet(*dirs)
-            .where(F.col("file_name").isin(*names))
-            .select(
-                F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
-            )
+        return _where_name_in(
+            spark, spark.read.parquet(*dirs), "file_name", names
+        ).select(
+            F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
         )
 
     m0 = _read_manifest(path, from_version)
@@ -1126,7 +1172,7 @@ def read_changes(
             if prev_dv.get(f) != cur_dv.get(f)
         ]
         if carried:
-            names = {os.path.basename(f) for f in carried}
+            names = _basenames(carried)
             oldm = _mask_rows(prev_dv, names)
             newm = _mask_rows(cur_dv, names)
             scan = (
@@ -1422,6 +1468,7 @@ def delete_where(
     cand = _pruned_rel_files(manifest, where)
     if not cand:
         return base
+    _basenames(cand)  # fail loudly on a basename collision (mask keying)
     name_of = {os.path.basename(f): f for f in cand}
     scan = (
         spark.read.option("mergeSchema", "true")
@@ -1433,14 +1480,15 @@ def delete_where(
     dvd_names = [os.path.basename(f) for f in cand if f in dv]
     old = None
     if dvd_names:
-        old = (
+        old = _where_name_in(
+            spark,
             spark.read.parquet(
                 *sorted({_abs_file(path, dv[f]["dir"]) for f in cand if f in dv})
-            )
-            .where(F.col("file_name").isin(*dvd_names))
-            .select(
-                F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
-            )
+            ),
+            "file_name",
+            set(dvd_names),
+        ).select(
+            F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
         )
         n_old = sum(dv[f].get("rows", 0) for f in cand if f in dv)
         matched = matched.join(
@@ -1456,7 +1504,7 @@ def delete_where(
     union = matched
     if old is not None:
         touched_names = {os.path.basename(f) for f in touched}
-        carried = old.where(F.col("__fn").isin(*touched_names))
+        carried = _where_name_in(spark, old, "__fn", touched_names)
         union = union.unionByName(carried)
     (
         union.select(

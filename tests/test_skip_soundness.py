@@ -53,8 +53,10 @@ _COMPARABLE = [
 def _spark_semantics_match(value, op: str, lit) -> bool:
     """Spark's comparison outcome for the generated pairings: dates
     promote to midnight timestamps when compared against timestamps;
-    numerics compare exactly (Python's tower is exact for int/float/
-    Decimal); strings compare lexicographically."""
+    decimal-vs-double coerces BOTH sides to double (the ADVICE r7
+    boundary class — Decimal('0.1') vs float 0.1 is EQUAL under Spark);
+    int/float and Decimal/int compare exactly; strings compare
+    lexicographically."""
     if isinstance(value, datetime.datetime) or isinstance(lit, datetime.datetime):
         if isinstance(value, datetime.date) and not isinstance(
             value, datetime.datetime
@@ -62,6 +64,10 @@ def _spark_semantics_match(value, op: str, lit) -> bool:
             value = datetime.datetime.combine(value, datetime.time())
         if isinstance(lit, datetime.date) and not isinstance(lit, datetime.datetime):
             lit = datetime.datetime.combine(lit, datetime.time())
+    if isinstance(value, float) and isinstance(lit, Decimal):
+        lit = float(lit)
+    elif isinstance(lit, float) and isinstance(value, Decimal):
+        value = float(value)
     return {
         "==": value == lit,
         "!=": value != lit,
@@ -98,6 +104,32 @@ def test_pruning_never_drops_a_matching_row(data):
             f"file with matching row pruned: values={values!r} {op} {lit!r} "
             f"stats={fstats['min']}/{fstats['max']}"
         )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    values=st.lists(_DATETIMES, min_size=1, max_size=6),
+    op=st.sampled_from(_SKIP_OPS),
+    lit=_DATETIMES,
+    offset_h=st.integers(-14, 14),
+)
+def test_tz_aware_literal_always_keeps(values, op, lit, offset_h):
+    """ADVICE r7 class: a tz-aware timestamp literal's ordering against
+    naive stored stats depends on the session timezone, and isoformat
+    would embed the offset suffix into the lexicographic comparison —
+    _coerced must map it to _KEEP so the file is always retained."""
+    lit = lit.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=offset_h)))
+    fstats = json.loads(
+        json.dumps(
+            {
+                "rows": len(values),
+                "min": {"c": _json_safe(min(values), toward="down")},
+                "max": {"c": _json_safe(max(values), toward="up")},
+                "nulls": {"c": 0},
+            }
+        )
+    )
+    assert _file_may_match(fstats, [("c", op, lit)])
 
 
 @settings(max_examples=150, deadline=None)
