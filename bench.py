@@ -567,7 +567,26 @@ def main() -> None:
     if len(line) > 1900:  # never outgrow the driver's capture window again
         compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    # The line must be the LAST bytes this process writes: the driver keeps
+    # only the final ~2000 chars of output, and the official r7 record was
+    # eaten by RocksDB state-store teardown stderr (MANIFEST-verification
+    # spew when the multibatch replay's temp checkpoints were reclaimed)
+    # landing AFTER the JSON. Stop every stream and the whole session first
+    # so that teardown noise happens NOW, let the JVM's stderr drain, then
+    # print flushed.
+    for active in spark.streams.active:
+        try:
+            active.stop()
+        except Exception:
+            pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(3.0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
