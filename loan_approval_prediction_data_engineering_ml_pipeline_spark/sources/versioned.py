@@ -68,18 +68,22 @@ have no atomic rename OR link; deploying there means registering a
 store whose :meth:`LogStore.write_exclusive` is a conditional put
 (``If-None-Match: *``) or an external mutex — the commit protocol
 above the store is unchanged, which is exactly Delta's LogStore
-contract. NOTE the current boundary honestly: the path arithmetic
-around the table root (``_rel_file``/``_abs_file``, merge_into's
-``input_file_name()`` matching) is ``os.path``-based, so URI-style
-table paths (``s3a://…``) are REJECTED at entry today — object-store
-deployment needs a scheme-aware path layer in addition to a LogStore;
-the protocol itself is already store-agnostic.
+contract. The path arithmetic around the table root
+(``_rel_file``/``_abs_file``, merge_into's ``input_file_name()``
+matching, DV directories, vacuum's reference walk) is SCHEME-AWARE:
+plain paths and ``file:`` URIs work out of the box (a ``file:`` root
+keeps URI form through the whole data plane — the exact code path an
+object-store root takes — with :class:`LocalLogStore` mapping to the
+filesystem at its own boundary), and ``s3a://``/``hdfs://`` roots are
+accepted once a LogStore is registered for the prefix, with Spark's
+configured Hadoop filesystem serving the data plane.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import re
 import shutil
 import time
@@ -157,13 +161,27 @@ class LocalLogStore(LogStore):
     when the destination exists, closing the precheck-then-rename race
     where two writers both pass the check and the second rename silently
     clobbers the first commit. Requires hardlink support (true of local
-    disk; mount options that strip it need a different store)."""
+    disk; mount options that strip it need a different store).
+
+    Accepts both plain paths and ``file:`` URIs (the scheme-aware path
+    layer keeps a ``file:``-rooted table's paths in URI form end to end
+    — the exact arithmetic an object-store root exercises — and this
+    store maps them to the local filesystem at its own boundary)."""
+
+    @staticmethod
+    def _fs(p: str) -> str:
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        return p
 
     def read_text(self, path: str) -> str:
-        with open(path) as fh:
+        with open(self._fs(path)) as fh:
             return fh.read()
 
     def write_exclusive(self, path: str, text: str) -> None:
+        path = self._fs(path)
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp")
@@ -175,31 +193,34 @@ class LocalLogStore(LogStore):
             os.unlink(tmp)
 
     def list_dir(self, dirpath: str) -> list[str]:
+        dirpath = self._fs(dirpath)
         return os.listdir(dirpath) if os.path.isdir(dirpath) else []
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(self._fs(path))
 
     def delete(self, path: str) -> None:
-        os.unlink(path)
+        os.unlink(self._fs(path))
 
     def list_subdirs(self, dirpath: str) -> list[str]:
+        dirpath = self._fs(dirpath)
         return sorted(
             d for d in self.list_dir(dirpath)
             if os.path.isdir(os.path.join(dirpath, d))
         )
 
     def list_files(self, dirpath: str) -> list[str]:
+        dirpath = self._fs(dirpath)
         return sorted(
             f for f in self.list_dir(dirpath)
             if os.path.isfile(os.path.join(dirpath, f))
         )
 
     def delete_tree(self, path: str) -> None:
-        shutil.rmtree(path)
+        shutil.rmtree(self._fs(path))
 
     def mtime(self, path: str) -> float:
-        return os.path.getmtime(path)
+        return os.path.getmtime(self._fs(path))
 
 
 _DEFAULT_STORE = LocalLogStore()
@@ -245,31 +266,76 @@ class VersionVacuumedError(FileNotFoundError):
 _URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:")
 
 
-def _require_local_path(path: str) -> str:
-    """The table-path arithmetic around the log (``_rel_file`` /
-    ``_abs_file``, merge_into's ``input_file_name()`` matching) is
-    ``os.path``-based — correct only for local-filesystem paths. A
-    URI-style table path (``s3a://…``, ``hdfs://…``, ``file:…``) would
-    silently mangle into ``/cwd/s3a:/…`` and never match
-    ``input_file_name()`` output, so it is refused loudly here. An
-    object-store deployment needs a scheme-aware path layer in addition
-    to a registered :class:`LogStore` (see module docstring)."""
-    if _URI_SCHEME_RE.match(path):
-        raise ValueError(
-            f"versioned table path must be a local filesystem path, got URI "
-            f"{path!r}: the data-plane path arithmetic is os.path-based; "
-            f"object stores need a scheme-aware path layer (not just a LogStore)"
-        )
+def _is_uri(p: str) -> bool:
+    return bool(_URI_SCHEME_RE.match(p))
+
+
+def _canon_uri(p: str) -> str:
+    """Canonical URI form used by ALL root/file arithmetic in this
+    module: percent-decoded, path-normalized, trailing-slash-free.
+    ``file:`` URIs canonicalize to the no-authority single-slash form
+    (``file:/x/y`` — ``file:/x``, ``file:///x`` and the percent-encoded
+    variants Spark's ``input_file_name()`` emits all collapse to it);
+    remote schemes keep ``scheme://authority/path``. String prefix
+    equality on canonical forms is then exactly path containment, which
+    is what :func:`_rel_file` / vacuum's reference walk rely on."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    pth = posixpath.normpath(unquote(u.path)) if u.path else ""
+    if pth in (".", "/"):
+        pth = "" if u.scheme != "file" else "/"
+    if u.scheme == "file":
+        return "file:" + pth
+    return f"{u.scheme}://{u.netloc}{pth}".rstrip("/")
+
+
+def _canon(p: str) -> str:
+    """Canonical absolute form: URIs via :func:`_canon_uri`, plain local
+    paths via ``os.path.abspath``."""
+    return _canon_uri(p) if _is_uri(p) else os.path.abspath(p)
+
+
+def _join(root: str, *parts: str) -> str:
+    """Scheme-aware join of POSIX-relative ``parts`` under ``root``
+    (plain local roots keep ``os.path.join`` semantics — including
+    staying relative when ``root`` is relative, matching the historical
+    on-disk layout of committed test fixtures)."""
+    if _is_uri(root):
+        return "/".join([_canon_uri(root).rstrip("/"), *parts])
+    return os.path.join(root, *parts)
+
+
+def _check_scheme(path: str) -> str:
+    """Scheme dispatch (replaces the r7 local-only rejection): plain
+    paths and ``file:`` URIs are served by the bundled POSIX store out
+    of the box; any other scheme (``s3a://…``, ``hdfs://…``) is accepted
+    iff a :class:`LogStore` with atomic put-if-absent is registered for
+    a matching prefix (:func:`register_log_store`) — the data plane then
+    delegates to whatever Hadoop filesystem the SparkSession is
+    configured with, and every path computation goes through the
+    URI-aware helpers (``_canon``/``_join``/``_rel_file``/``_abs_file``/
+    ``_norm_file``). An unmatched remote scheme is refused loudly: an
+    ``os.path`` fallback would silently mangle it."""
+    if _is_uri(path) and not path.startswith("file:"):
+        if log_store_for(path) is _DEFAULT_STORE:
+            raise ValueError(
+                f"versioned table at {path!r}: no LogStore is registered for "
+                f"this scheme — object stores need register_log_store() with "
+                f"an atomic put-if-absent implementation (conditional put / "
+                f"If-None-Match); 'file:' URIs and plain local paths work "
+                f"out of the box"
+            )
     return path
 
 
 def _manifest_dir(path: str) -> str:
-    _require_local_path(path)
-    return os.path.join(path, "_manifests")
+    _check_scheme(path)
+    return _join(path, "_manifests")
 
 
 def _manifest_path(path: str, version: int) -> str:
-    return os.path.join(_manifest_dir(path), f"v{version}.json")
+    return _join(_manifest_dir(path), f"v{version}.json")
 
 
 _MANIFEST_NAME_RE = re.compile(r"^v(\d+)\.json$")
@@ -323,7 +389,7 @@ _DELTA_KEYS = ("base", "add_files", "add_stats", "remove_files", "n_files", "dv_
 
 
 def _checkpoint_path(path: str, version: int) -> str:
-    return os.path.join(_manifest_dir(path), f"v{version}.checkpoint.json")
+    return _join(_manifest_dir(path), f"v{version}.checkpoint.json")
 
 
 def _read_checkpoint(path: str, version: int) -> dict | None:
@@ -516,13 +582,22 @@ def _txn_carry(base: dict) -> dict:
 # per-file statistics (the VLDB 2020 §3.3 data-skipping substrate)
 # ---------------------------------------------------------------------------
 
-def _norm_file(p: str) -> str:
-    """input_file_name() URIs → the plain paths manifests store."""
-    from urllib.parse import unquote, urlparse
-
+def _norm_file(p: str, root: str | None = None) -> str:
+    """``input_file_name()`` URIs → the canonical path space of the
+    table root, so they compare equal to :func:`_abs_file` output:
+    ``file:`` URIs decode to plain local paths — or keep the canonical
+    ``file:`` prefix when the ROOT itself is a ``file:`` URI — and
+    remote schemes canonicalize as URIs."""
+    if not _is_uri(p):
+        return p
     if p.startswith("file:"):
-        return unquote(urlparse(p).path)
-    return p
+        from urllib.parse import unquote, urlparse
+
+        plain = posixpath.normpath(unquote(urlparse(p).path))
+        if root is not None and root.startswith("file:"):
+            return "file:" + plain
+        return plain
+    return _canon_uri(p)
 
 
 def _json_safe(v, toward: str | None = None):
@@ -589,7 +664,7 @@ def _collect_file_stats(
     extra scan): any violating row raises :class:`ConstraintViolation`
     before a manifest can reference the data."""
     files = sorted(
-        os.path.join(data_dir, f)
+        _join(data_dir, f)
         for f in log_store_for(data_dir).list_files(data_dir)
         if f.endswith(".parquet")
     )
@@ -634,7 +709,7 @@ def _collect_file_stats(
             "max": {c: _json_safe(r[f"__mx__{c}"], toward="up") for c in cols},
             "nulls": {c: int(r[f"__nl__{c}"]) for c in cols},
         }
-        stats[_norm_file(r["__file"])] = entry
+        stats[_norm_file(r["__file"], data_dir)] = entry
         total += entry["rows"]
     return files, stats, total
 
@@ -763,20 +838,22 @@ def _where_column(where: Where) -> Column:
 def _rel_file(path: str, f: str) -> str:
     """Manifests store file paths RELATIVE to the table root (Delta does
     the same in its log) so a table — committed test fixtures included —
-    survives relocation of the directory tree. Files outside the root
-    stay absolute (never produced by this writer, tolerated on read)."""
-    root = os.path.abspath(path)
-    af = os.path.abspath(f)
-    if af.startswith(root + os.sep):
-        return os.path.relpath(af, root)
+    survives relocation of the directory tree. Scheme-aware: a
+    ``file:``/``s3a://`` root relativizes its own URIs identically.
+    Files outside the root stay absolute (shallow-clone references,
+    never produced by this writer's appends, tolerated on read)."""
+    root = _canon(path).rstrip("/")
+    af = _canon_uri(f) if _is_uri(f) else os.path.abspath(f)
+    if af.startswith(root + "/"):
+        return af[len(root) + 1 :]
     return f
 
 
 def _abs_file(path: str, f: str) -> str:
     """Resolve a manifest entry against the table root. Absolute entries
-    (legacy manifests written before relative-path support) pass
-    through untouched."""
-    return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
+    — plain or URI (shallow clones store the source's canonical form) —
+    pass through untouched."""
+    return f if _is_uri(f) or os.path.isabs(f) else _join(_canon(path), f)
 
 
 def _pruned_rel_files(manifest: dict, where: Where | None) -> list[str]:
@@ -1002,7 +1079,7 @@ def versioned_write(
         )
     else:
         schema_json = df.schema.jsonValue()
-    data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    data_dir = _join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     files, new_stats, n_new = _collect_file_stats(
         df.sparkSession, data_dir, prev_m.get("constraints")
@@ -1345,14 +1422,16 @@ def merge_into(
     # remove_files purge drops its dv entry)
     snap = _masked_snapshot_frame(spark, path, files, dv, file_col="__file")
     touched_norm = {
-        _norm_file(r["__file"])
+        _norm_file(r["__file"], path)
         for r in snap.join(keys, on, "left_semi")
         .select("__file")
         .distinct()
         .collect()
     }
-    touched = [f for f in files if abs_of[f] in touched_norm]
-    untouched = [f for f in files if abs_of[f] not in touched_norm]
+    # normalize BOTH sides (mixed-scheme shallow clones: a file:-rooted
+    # source referenced from a plain-rooted clone still matches)
+    touched = [f for f in files if _norm_file(abs_of[f], path) in touched_norm]
+    untouched = [f for f in files if _norm_file(abs_of[f], path) not in touched_norm]
 
     if touched:
         old_rows = _masked_snapshot_frame(spark, path, touched, dv)
@@ -1379,7 +1458,7 @@ def merge_into(
         new_rows = kept.unionByName(matched_src, allowMissingColumns=True)
 
     version = base + 1
-    data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    data_dir = _join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     new_rows.write.mode("error").parquet(data_dir)
     new_files, new_stats, n_new = _collect_file_stats(
         spark, data_dir, manifest.get("constraints")
@@ -1500,7 +1579,7 @@ def delete_where(
     n_new = sum(r["n"] for r in per_file)
     touched = [name_of[r["__fn"]] for r in per_file]
     version = base + 1
-    dv_dir = os.path.join(path, "dv", f"v{version}-{uuid.uuid4().hex[:8]}")
+    dv_dir = _join(path, "dv", f"v{version}-{uuid.uuid4().hex[:8]}")
     union = matched
     if old is not None:
         touched_names = {os.path.basename(f) for f in touched}
@@ -1625,7 +1704,7 @@ def stream_versioned_sink(
             merge_schema=merge_schema,
             context=f"stream batch {batch_id} ({app_id}) into {path}",
         )
-        data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        data_dir = _join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
         batch_df.write.mode("error").parquet(data_dir)
         files, new_stats, n_new = _collect_file_stats(
             batch_df.sparkSession, data_dir, prev_m.get("constraints")
@@ -1863,7 +1942,7 @@ def optimize_table(
     else:
         df = df.coalesce(target_files)
     version = base + 1
-    data_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    data_dir = _join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files, new_stats, _ = _collect_file_stats(
         spark, data_dir, manifest.get("constraints")
@@ -1917,7 +1996,7 @@ def clone_table(src: str, dst: str) -> int:
         0,
         {
             "version": 0,
-            "mode": f"clone:{os.path.abspath(src)}@v{src_latest}",
+            "mode": f"clone:{_canon(src)}@v{src_latest}",
             "files": [_abs_file(src, f) for f in m["files"]],
             "rows": m["rows"],
             "stats": {_abs_file(src, f): s for f, s in m.get("stats", {}).items()},
@@ -1995,9 +2074,9 @@ def vacuum(
     removed = []
     now = time.time()
     for sub in ("data", "dv"):  # dv dirs follow the same lifecycle as data
-        root = os.path.join(os.path.abspath(path), sub)
+        root = _join(_canon(path), sub)
         for d in store.list_subdirs(root):
-            full = os.path.join(root, d)
+            full = _join(root, d)
             if full in referenced:
                 continue
             if min_age_seconds > 0 and now - store.mtime(full) < min_age_seconds:

@@ -895,14 +895,16 @@ def test_cross_type_pruning_agrees_with_residual_filter(spark, tmp_path):
     assert _rows(read_version(spark, t3, where=[("v", "==", 9)])) == [(1, "09")]
 
 
-def test_uri_table_paths_rejected(spark):
-    """os.path-based path arithmetic silently mangles URI table paths
-    ('/cwd/s3a:/...'), so they are refused loudly at entry (ADVICE r6)."""
+def test_remote_schemes_need_a_registered_log_store(spark):
+    """Scheme dispatch (r8, replacing the r6 blanket rejection): remote
+    URI roots are refused loudly UNLESS a LogStore is registered for the
+    prefix — an os.path fallback would silently mangle them. file: URIs
+    work out of the box (see test_versioned_uri.py for the lifecycle)."""
     df = None  # never reaches the write: validation precedes data I/O
-    for bad in ("s3a://bucket/table", "hdfs://nn/table", "file:/tmp/t"):
-        with pytest.raises(ValueError, match="local filesystem path"):
+    for bad in ("s3a://bucket/table", "hdfs://nn/table"):
+        with pytest.raises(ValueError, match="no LogStore is registered"):
             latest_version(bad)
-        with pytest.raises(ValueError, match="local filesystem path"):
+        with pytest.raises(ValueError, match="no LogStore is registered"):
             versioned_write(df, bad)
 
 
