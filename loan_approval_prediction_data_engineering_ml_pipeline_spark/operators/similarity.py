@@ -210,6 +210,93 @@ def cosine_pairs_gemm(
     )
 
 
+def max_cosine_vs_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    ref_vec_col: str = "ev",
+    method: str = "auto",
+    gemm_above: int = 256,
+) -> DataFrame:
+    """Per corpus vector, the MAX cosine against ANY reference vector —
+    the semantic-decontamination primitive (reference = a benchmark's
+    eval embeddings). Returns ``(id_col, mc double)``, unrounded; the
+    caller rounds/thresholds.
+
+    Two physics for one semantics (chosen by ``method``):
+
+    - ``"expr"`` — broadcast cross join + JVM expression cosines, one
+      partial-aggregated max per corpus vector. Map-only over the
+      corpus, zero Python; right up to a few thousand reference vectors
+      (O(|corpus|·|ref|·d) scalar expression ops).
+    - ``"gemm"`` — the reference matrix is row-normalized ONCE, shipped
+      to executors as a Spark broadcast, and each Arrow batch of corpus
+      vectors computes ``M @ E.T`` + a rowwise max as one BLAS product
+      (``mapInPandas``): same O(|corpus|·|ref|·d) FLOPs, executed at
+      matrix-multiply throughput instead of per-pair expression
+      evaluation — the :func:`cosine_pairs_gemm` trick pointed at a
+      fixed reference set. Arrow transfer is O(|corpus|·d); per-task
+      memory is the reference matrix (|ref|·d doubles) plus one batch.
+    - ``"auto"`` — one count of the reference picks: expr at or below
+      ``gemm_above`` rows, gemm above. Measured at sf1 (400 eval ×
+      19.6k corpus × d=64, 7.8M cosines): expr 14–16s, gemm 1.1–2.1s
+      — BLAS wins well before the default crossover, and the two
+      paths agree to all 6 rounded decimals on every corpus vector
+      (SCALE.md §Decontamination).
+
+    Beyond executor memory for the reference matrix (|ref|·d·8 bytes,
+    ~0.6 GB at 1e6×768) neither variant applies: prune candidates
+    through the persisted IVF index (:func:`ivf_assign` cells on the
+    reference, probe per corpus row) and exact-verify only the matches.
+
+    Semantics notes, shared by both paths: a zero-norm corpus vector has
+    no defined cosine — expr yields a NULL max, gemm a NaN — and either
+    falls out of any downstream ``>= threshold`` filter; zero-norm
+    REFERENCE rows are contribution-less in expr (NULL skipped by max)
+    and are dropped from the gemm matrix to match."""
+    if method not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown method {method!r}")
+    ref = reference.select(F.col(ref_vec_col).alias("__rv"))
+    if method == "auto":
+        method = "gemm" if ref.count() > gemm_above else "expr"
+    if method == "expr":
+        return (
+            corpus.select(id_col, vec_col)
+            .join(F.broadcast(ref))
+            .groupBy(id_col)
+            .agg(F.max(V.cosine(F.col(vec_col), F.col("__rv"))).alias("mc"))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    E = np.stack(
+        [np.asarray(r["__rv"], dtype=np.float64) for r in ref.collect()]
+    )
+    norms = np.linalg.norm(E, axis=1)
+    E = E[norms > 0] / norms[norms > 0, None]
+    if E.shape[0] == 0:
+        raise ValueError("reference set has no nonzero vectors")
+    bc = corpus.sparkSession.sparkContext.broadcast(E)
+
+    def mc_batches(batches):
+        En = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(M, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mc = np.max((M @ En.T) / n[:, None], axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "mc": mc})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        mc_batches, schema=f"{id_col} long, mc double"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -2311,17 +2311,22 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n-gram overlap misses is exactly what the embedding check catches",
 )
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import max_cosine_vs_reference
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double("embedding").alias("v")
     )
-    ev = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("eid"), F.col("v").alias("ev")
-    )
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(F.col("v").alias("ev"))
     corpus = emb.where(F.col("vec_id") % 50 != 0)
+    # auto routing (SCALE.md §Decontamination): benchmark-sized eval sets
+    # take the map-only broadcast-expression path; above ~2k eval vectors
+    # the same FLOPs run as per-batch BLAS products against the
+    # broadcast-normalized eval matrix (identical results, tested)
+    mc = max_cosine_vs_reference(
+        corpus, ev, id_col="vec_id", vec_col="v", ref_vec_col="ev"
+    )
     return (
-        corpus.join(F.broadcast(ev))
-        .groupBy("vec_id")
-        .agg(F.max(V.cosine(F.col("v"), F.col("ev"))).alias("mc"))
+        mc
         # threshold on the 6-dp ROUNDED max so the keep/drop decision is
         # made in the stabilized domain: a boundary-sitting cosine can
         # flip by a last ulp with summation order (Spark vs oracle)

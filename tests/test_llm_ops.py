@@ -204,6 +204,66 @@ def test_cosine_pairs_gemm_agrees_with_expression_path(spark):
         assert abs(expr[k] - gemm[k]) < 1e-9
 
 
+def test_max_cosine_vs_reference_gemm_equals_expr(spark):
+    """The large-eval GEMM path must flag EXACTLY the corpus vectors the
+    broadcast-expression path flags, with 6-dp-identical max cosines
+    (the semantic_decontaminate routing guarantee, VERDICT r7 #4)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions import (
+        vectors as V,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(F.col("v").alias("ev"))
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    out = {}
+    for method in ("expr", "gemm"):
+        mc = S.max_cosine_vs_reference(corpus, ev, method=method)
+        out[method] = {
+            r["vec_id"]: r["mc6"]
+            for r in mc.where(F.round("mc", 6) >= 0.35)
+            .select("vec_id", F.round("mc", 6).alias("mc6"))
+            .collect()
+        }
+    assert out["expr"] and out["expr"].keys() == out["gemm"].keys()
+    for k in out["expr"]:
+        assert abs(out["expr"][k] - out["gemm"][k]) < 1e-9, k
+
+
+def test_max_cosine_vs_reference_auto_picks_by_reference_size(spark):
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", V_as_double("embedding").alias("v")
+    )
+    small_ref = emb.limit(3).select(F.col("v").alias("ev"))
+    corpus = emb.limit(10)
+    # auto with a tiny reference = expr: plan has a BroadcastNestedLoopJoin
+    plan = S.max_cosine_vs_reference(
+        corpus, small_ref, method="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    # forced gemm on the same inputs = mapInPandas, same values
+    expr_rows = dict(
+        S.max_cosine_vs_reference(corpus, small_ref, method="expr")
+        .select("vec_id", F.round("mc", 6).alias("m"))
+        .collect()
+    )
+    gemm_rows = dict(
+        S.max_cosine_vs_reference(corpus, small_ref, method="gemm")
+        .select("vec_id", F.round("mc", 6).alias("m"))
+        .collect()
+    )
+    assert expr_rows == gemm_rows
+
+
+def V_as_double(c):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions import (
+        vectors as V,
+    )
+
+    return V.as_double(c)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     # chain of diameter 5 cannot settle in 1 round; partial labels must
     # never be returned silently (they'd mis-cluster a dedup)
