@@ -19,12 +19,22 @@ version ranges are deterministic and the checkpoint stores the version
 cursor, so replaying a batch re-reads the identical files; pair with
 ``stream_versioned_sink`` downstream for idempotent commits.
 
-Change commits (ones that REMOVE files: merge, overwrite, rollback,
-OPTIMIZE) cannot be expressed as an append stream. As in Delta's
-streaming source the default is to fail fast with a clear error;
-``.option("skip_change_commits", "true")`` skips them wholesale
-(Delta's ``skipChangeCommits``) — consumers needing the row-level
-delta use ``sources.versioned.read_changes`` in batch instead.
+Change commits (ones that REMOVE files or grow a deletion-vector mask:
+merge, overwrite, rollback, OPTIMIZE, DELETE) cannot be expressed as an
+append stream. Three modes, matching Delta's streaming source:
+
+- default — fail fast at planning with a clear error;
+- ``.option("skip_change_commits", "true")`` — skip them wholesale
+  (Delta's ``skipChangeCommits``);
+- ``.option("read_change_feed", "true")`` — stream EVERY commit as
+  row-level changes (Delta's ``readChangeFeed``): the batch output of
+  ``sources.versioned.read_changes``, incrementally. Each micro-batch
+  carries the table columns plus ``_change_type``
+  (``'insert'``|``'delete'``) and ``_commit_version``; an appended file
+  surfaces as inserts, a removed file as deletes, and a deletion-vector
+  delta on a carried file as exactly its newly-masked (or, across a
+  rollback, resurrected) rows. Workers resolve DV masks from the tiny
+  mask parquets directly — planning stays metadata-only.
 
 Scale: planning cost is O(manifests in range) on the driver —
 metadata-only; data parallelism is one task per added file, which is
@@ -37,6 +47,7 @@ silent gap.
 from __future__ import annotations
 
 import os
+import posixpath
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -44,9 +55,19 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructType
 
 from ..sources import versioned as V
+
+
+def _local(p: str) -> str:
+    """``file:`` URIs → plain local paths for pyarrow (other schemes
+    pass through for pyarrow's own filesystem inference)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
 
 
 class _FilePartition(InputPartition):
@@ -58,6 +79,37 @@ class _FilePartition(InputPartition):
         self.commit_version = commit_version
 
 
+class _ChangePartition(InputPartition):
+    """One file's row-level contribution to one commit of the change
+    feed. Two selection shapes, resolved worker-side from the DV mask
+    parquets (kilobytes):
+
+    - ``subtract_dir`` — emit the file's rows MINUS the masked ones
+      (added/removed files under a possibly-masked snapshot);
+    - ``select_dir``/``within_dir`` — emit ONLY rows masked in
+      ``select_dir`` but not in ``within_dir`` (a DV delta on a carried
+      file: grown mask = deletes, shrunk mask across a rollback =
+      resurrected inserts).
+    """
+
+    def __init__(
+        self,
+        file: str,
+        commit_version: int,
+        change_type: str,
+        *,
+        subtract_dir: str | None = None,
+        select_dir: str | None = None,
+        within_dir: str | None = None,
+    ):
+        self.file = file
+        self.commit_version = commit_version
+        self.change_type = change_type
+        self.subtract_dir = subtract_dir
+        self.select_dir = select_dir
+        self.within_dir = within_dir
+
+
 class VersionedTableDataSource(DataSource):
     """``format("versioned_table")`` — options:
 
@@ -66,6 +118,9 @@ class VersionedTableDataSource(DataSource):
       stream (0 = replay the table from its first commit)
     - ``skip_change_commits`` (default false): skip non-append commits
       instead of failing
+    - ``read_change_feed`` (default false): stream every commit as
+      row-level changes with ``_change_type``/``_commit_version``
+      columns (mutually exclusive with ``skip_change_commits``)
     """
 
     @classmethod
@@ -80,22 +135,40 @@ class VersionedTableDataSource(DataSource):
             )
         return path
 
+    def _flag(self, key: str) -> bool:
+        return str(self.options.get(key, "false")).lower() in ("true", "1", "yes")
+
+    def _check_options(self) -> None:
+        if self._flag("read_change_feed") and self._flag("skip_change_commits"):
+            raise ValueError(
+                "read_change_feed and skip_change_commits are mutually "
+                "exclusive: the change feed streams change commits, "
+                "skipping discards them"
+            )
+
     def schema(self) -> StructType:
+        self._check_options()
         path = self._path()
         latest = V.latest_version(path)
         if latest is None:
             raise FileNotFoundError(f"no committed version at {path}")
-        return StructType.fromJson(V._read_manifest(path, latest)["schema"])
+        schema = StructType.fromJson(V._read_manifest(path, latest)["schema"])
+        if self._flag("read_change_feed"):
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> "VersionedStreamReader":
+        self._check_options()
+        cdf = self._flag("read_change_feed")
+        skip = self._flag("skip_change_commits")
         return VersionedStreamReader(
             self._path(),
             schema,
             starting_version=int(self.options.get("starting_version", "0")),
-            skip_change_commits=str(
-                self.options.get("skip_change_commits", "false")
-            ).lower()
-            in ("true", "1", "yes"),
+            skip_change_commits=skip,
+            read_change_feed=cdf,
         )
 
 
@@ -107,11 +180,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         *,
         starting_version: int,
         skip_change_commits: bool,
+        read_change_feed: bool = False,
     ):
         self._table = path
         self._schema = schema
         self._start = starting_version
         self._skip_change = skip_change_commits
+        self._cdf = read_change_feed
 
     # -- offsets: the commit log IS the WAL ---------------------------------
     def initialOffset(self) -> dict:
@@ -128,6 +203,10 @@ class VersionedStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        if self._cdf:
+            return self._change_partitions(
+                int(start["version"]), int(end["version"])
+            )
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
         prev_files = (
@@ -143,8 +222,9 @@ class VersionedStreamReader(DataSourceStreamReader):
                         f"(removes {len(removed)} file(s): merge/overwrite/"
                         f"rollback/OPTIMIZE) and cannot stream as appends — "
                         f"set .option('skip_change_commits','true') to skip "
-                        f"it, or consume row-level changes in batch via "
-                        f"read_changes()"
+                        f"it, stream row-level changes with "
+                        f".option('read_change_feed','true'), or consume "
+                        f"them in batch via read_changes()"
                     )
             else:
                 for f in sorted(cur - prev_files):
@@ -154,17 +234,101 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev_files = cur
         return parts
 
+    def _change_partitions(self, lo: int, hi: int) -> Sequence[InputPartition]:
+        """Per-version row-level change planning — the partition-shaped
+        twin of ``sources.versioned.read_changes``'s file-list diff
+        (same inserts/deletes/DV-delta derivation, same invariant:
+        snapshot(lo) ⊎ inserts ∖ deletes == snapshot(hi))."""
+        t = self._table
+
+        def dv_dir(entry: dict | None) -> str | None:
+            return V._abs_file(t, entry["dir"]) if entry else None
+
+        if lo >= 0:
+            m0 = V._read_manifest(t, lo)
+            prev_files, prev_dv = set(m0["files"]), dict(m0.get("dv", {}))
+        else:
+            prev_files, prev_dv = set(), {}
+        parts: list[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = V._read_manifest(t, v)
+            cur_files, cur_dv = set(m["files"]), dict(m.get("dv", {}))
+            # file-level churn: a version's LIVE rows, so masks apply
+            for files, dvmap, tag in (
+                (sorted(cur_files - prev_files), cur_dv, "insert"),
+                (sorted(prev_files - cur_files), prev_dv, "delete"),
+            ):
+                for f in files:
+                    parts.append(
+                        _ChangePartition(
+                            V._abs_file(t, f),
+                            v,
+                            tag,
+                            subtract_dir=dv_dir(dvmap.get(f)),
+                        )
+                    )
+            # row-level churn on carried files: a grown mask is deletes,
+            # a shrunk one (rollback across a delete) is resurrections
+            for f in cur_files & prev_files:
+                old, new = prev_dv.get(f), cur_dv.get(f)
+                if old == new:
+                    continue
+                if new:
+                    parts.append(
+                        _ChangePartition(
+                            V._abs_file(t, f),
+                            v,
+                            "delete",
+                            select_dir=dv_dir(new),
+                            within_dir=dv_dir(old),
+                        )
+                    )
+                if old:
+                    parts.append(
+                        _ChangePartition(
+                            V._abs_file(t, f),
+                            v,
+                            "insert",
+                            select_dir=dv_dir(old),
+                            within_dir=dv_dir(new),
+                        )
+                    )
+            prev_files, prev_dv = cur_files, cur_dv
+        return parts
+
     # -- execution: Arrow pass-through on the workers ------------------------
-    def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
+    @staticmethod
+    def _mask_indices(dirpath: str | None, file_name: str) -> set[int]:
+        """Row indices of ``file_name`` masked by the DV parquet(s) in
+        ``dirpath`` — kilobytes per mask, read worker-side with pyarrow."""
+        if dirpath is None:
+            return set()
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        d = _local(dirpath)
+        out: set[int] = set()
+        for part in sorted(os.listdir(d)):
+            if not part.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(d, part))
+            m = tbl.filter(pc.equal(tbl.column("file_name"), file_name))
+            out.update(m.column("row_index").to_pylist())
+        return out
+
+    def _aligned(self, tbl, n_extra_fields: int = 0):
+        """Project a file's arrow table onto the declared schema (minus
+        ``n_extra_fields`` trailing source-added columns), null-filling
+        columns the (older) file lacks — schema evolution."""
+        import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        tbl = pq.read_table(partition.file)
-        target = to_arrow_schema(self._schema)
+        fields = list(to_arrow_schema(self._schema))
+        if n_extra_fields:
+            fields = fields[:-n_extra_fields]
         arrays = []
-        for field in target:
+        for field in fields:
             if field.name in tbl.column_names:
                 col = tbl.column(field.name)
                 if col.type != field.type:
@@ -172,7 +336,43 @@ class VersionedStreamReader(DataSourceStreamReader):
             else:  # schema evolution: older file lacks the column
                 col = pa.nulls(tbl.num_rows, type=field.type)
             arrays.append(col)
-        out = pa.table(arrays, schema=target)
+        return arrays, fields
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(_local(partition.file))
+        if isinstance(partition, _ChangePartition):
+            name = posixpath.basename(partition.file)
+            if partition.select_dir is not None:
+                keep = sorted(
+                    self._mask_indices(partition.select_dir, name)
+                    - self._mask_indices(partition.within_dir, name)
+                )
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            elif partition.subtract_dir is not None:
+                masked = self._mask_indices(partition.subtract_dir, name)
+                if masked:
+                    keep = [i for i in range(tbl.num_rows) if i not in masked]
+                    tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            arrays, fields = self._aligned(tbl, n_extra_fields=2)
+            n = tbl.num_rows
+            arrays.append(pa.array([partition.change_type] * n, type=pa.string()))
+            arrays.append(pa.array([partition.commit_version] * n, type=pa.int64()))
+            out = pa.table(
+                arrays,
+                schema=pa.schema(
+                    fields
+                    + [
+                        pa.field("_change_type", pa.string()),
+                        pa.field("_commit_version", pa.int64()),
+                    ]
+                ),
+            )
+        else:
+            arrays, fields = self._aligned(tbl)
+            out = pa.table(arrays, schema=pa.schema(fields))
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:

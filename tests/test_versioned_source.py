@@ -101,3 +101,67 @@ def test_stream_source_schema_evolution_fills_nulls(spark, tmp_path):
     got: list[tuple] = []
     _drain(spark, t, str(tmp_path / "cp"), got)
     assert sorted(got, key=lambda r: r[0]) == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_stream_source_change_feed_replays_then_tails(spark, tmp_path):
+    """readChangeFeed mode (r8): merge/DV-delete commits stream as
+    row-level _change_type rows — the incremental twin of
+    read_changes(), checkpoint-cursored like the append mode."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]).coalesce(1),
+        t,
+    )
+    merge_into(spark, t, spark.createDataFrame([(2, "B")], ["id", "v"]), ["id"])
+    cp = str(tmp_path / "cp")
+    got: list[tuple] = []
+    _drain(spark, t, cp, got, read_change_feed="true")
+    # exactly the batch CDF output over the full range
+    batch = [
+        tuple(r)
+        for r in read_changes(spark, t, 0, 1)
+        .select("id", "v", "_change_type", "_commit_version")
+        .collect()
+    ]
+    assert sorted(g for g in got if g[3] == 0) == sorted(
+        [(1, "a", "insert", 0), (2, "b", "insert", 0), (3, "c", "insert", 0)]
+    )
+    assert sorted(g for g in got if g[3] == 1) == sorted(batch)
+    # a merge surfaces the rewrite as delete+insert of the touched file
+    assert {g[2] for g in got if g[3] == 1} == {"insert", "delete"}
+
+    # tail with the SAME checkpoint: a DV delete commit surfaces exactly
+    # its newly-masked rows as deletes — nothing replays
+    delete_where(spark, t, [("id", "==", 1)])
+    tail: list[tuple] = []
+    _drain(spark, t, cp, tail, read_change_feed="true")
+    assert tail == [(1, "a", "delete", 2)]
+
+    # and a rollback across the delete resurrects the row as an insert
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        rollback,
+    )
+
+    rollback(t, 1)
+    tail2: list[tuple] = []
+    _drain(spark, t, cp, tail2, read_change_feed="true")
+    assert tail2 == [(1, "a", "insert", 3)]
+
+
+def test_stream_source_change_feed_excludes_skip_option(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    register_versioned_source(spark)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", t)
+            .option("read_change_feed", "true")
+            .option("skip_change_commits", "true")
+            .load()
+        )
