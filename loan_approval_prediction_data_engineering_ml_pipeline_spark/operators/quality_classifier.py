@@ -90,14 +90,17 @@ def fit_linear_classifier(
     iters: int = 80,
     lr: float = 20.0,
     l2: float = 1e-4,
+    tol: float | None = None,
+    grad_norms: list | None = None,
+    batch_count: int | None = None,
 ) -> tuple[list[float], float]:
-    """Full-batch Adagrad (Duchi et al., JMLR 2011) for L2-logistic
-    regression over ``hashed_bow`` features — the per-coordinate
-    adaptive step is what makes a few dozen full-batch rounds converge
-    on hashed text features, where constant-step GD crawls (the feature
-    columns share mass with the bias and are mutually correlated
-    through document length). ``labels`` is ``(id, label)`` with label
-    in {0.0, 1.0}. Returns ``(weights[n_buckets], bias)``.
+    """Adagrad (Duchi et al., JMLR 2011) for L2-logistic regression
+    over ``hashed_bow`` features — the per-coordinate adaptive step is
+    what makes a few dozen rounds converge on hashed text features,
+    where constant-step GD crawls (the feature columns share mass with
+    the bias and are mutually correlated through document length).
+    ``labels`` is ``(id, label)`` with label in {0.0, 1.0}. Returns
+    ``(weights[n_buckets], bias)``.
 
     Per iteration: broadcast-join the B-row weight table onto the
     cached feature relation, aggregate margins per id, shuffle-join
@@ -108,31 +111,68 @@ def fit_linear_classifier(
     width; driver state is B+1 weights plus B+1 Adagrad accumulators.
     Gradient sums are rounded to 9 dp before the driver update so the
     fitted model is reproducible run-to-run (partition-order summation
-    noise cannot drift the trajectory)."""
+    noise cannot drift the trajectory).
+
+    Two knobs stop training cost from scaling as iters × corpus — the
+    100 TB failure mode of full-batch loops:
+
+    - ``tol`` — early stopping: quit once the steepest coordinate of
+      the (per-batch) gradient drops below ``tol``. Deterministic: the
+      norm is computed from the 9-dp-rounded distributed sums, so a
+      rebuild stops at the SAME iteration. ``grad_norms`` (a caller
+      list) collects the per-iteration norms for diagnostics.
+    - ``batch_count = K`` — deterministic mini-batching: iteration
+      ``t`` computes its gradient over the hash slice
+      ``pmod(xxhash64(id), K) == t % K`` only, cutting per-iteration
+      join/agg volume to O(corpus / K) while round-robin coverage
+      still shows Adagrad every document. The slice is a pure function
+      of the id (never ``rand()``), so membership is identical under
+      task retry, AQE re-planning, and any partitioning — the fit
+      stays bit-reproducible. Gradients normalize by the slice's doc
+      count (collected once, K driver rows)."""
     import numpy as np
 
     spark = feats.sparkSession
     n = labels.count()
-    feats = feats.cache()
     # labels and residuals are O(corpus docs): NO broadcast hint — they
     # shuffle-join on id (the key feats is already clustered by after
     # the margin aggregation), which is the shape that survives 100 TB;
     # only the B-row weight table is ever hinted broadcast
     labels = labels.select(F.col("id"), F.col("label").cast("double"))
+    if batch_count is not None and batch_count > 1:
+        sl = F.pmod(F.xxhash64(F.col("id")), F.lit(batch_count)).cast("int")
+        feats = feats.withColumn("_slice", sl)
+        labels = labels.withColumn("_slice", sl)
+        slice_n = {
+            int(r["_slice"]): int(r["c"])
+            for r in labels.groupBy("_slice").agg(F.count("*").alias("c")).collect()
+        }
+    else:
+        batch_count = None
+    feats = feats.cache()
     w = np.zeros(n_buckets)
     b = 0.0
     G = np.full(n_buckets, 1e-8)  # Adagrad accumulated squared gradients
     Gb = 1e-8
     try:
-        for _ in range(iters):
+        for t in range(iters):
+            if batch_count:
+                k = t % batch_count
+                n_t = slice_n.get(k, 0)
+                if n_t == 0:  # empty hash slice: nothing to learn from
+                    continue
+                fb = feats.where(F.col("_slice") == k).drop("_slice")
+                lb = labels.where(F.col("_slice") == k).drop("_slice")
+            else:
+                n_t, fb, lb = n, feats, labels
             wdf = F.broadcast(_weights_df(spark, w.tolist(), b).where("bucket >= 0"))
             margins = (
-                feats.join(wdf, "bucket")
+                fb.join(wdf, "bucket")
                 .groupBy("id")
                 .agg(F.sum(F.col("tf") * F.col("w")).alias("margin"))
             )
             resid = (
-                labels.join(margins, "id", "left")
+                lb.join(margins, "id", "left")
                 .select(
                     "id",
                     (
@@ -142,7 +182,7 @@ def fit_linear_classifier(
                 )
             )
             agg = (
-                feats.join(resid, "id")
+                fb.join(resid, "id")
                 .groupBy("bucket")
                 .agg(F.round(F.sum(F.col("tf") * F.col("r")), 9).alias("g"))
             ).collect()
@@ -152,12 +192,23 @@ def fit_linear_classifier(
             g = np.zeros(n_buckets)
             for r in agg:
                 g[r["bucket"]] = r["g"]
-            g = g / n - l2 * w
-            gb = b_sum / n
+            g = g / n_t - l2 * w
+            gb = b_sum / n_t
             G += g * g
             Gb += gb * gb
             w = w + lr * g / np.sqrt(G)
             b = b + lr * gb / math.sqrt(Gb)
+            gnorm = max(float(np.max(np.abs(g))), abs(gb))
+            if grad_norms is not None:
+                grad_norms.append(gnorm)
+            # early stopping (deterministic: the norm is computed from
+            # the 9-dp-rounded distributed sums, so a rebuild stops at
+            # the SAME iteration): once the steepest coordinate of the
+            # batch gradient is below tol the remaining iterations are
+            # corpus scans buying ulp-scale movement — at 100 TB that
+            # is exactly the cost to cut
+            if tol is not None and gnorm < tol:
+                break
     finally:
         feats.unpersist()
     return [float(x) for x in w], float(b)

@@ -58,6 +58,72 @@ def test_fit_separates_synthetic_classes_and_scores_everywhere(spark):
         assert w2 == list(w) and b2 == b
 
 
+def _toy_corpus(spark):
+    good = [(i, "insight rigor clarity depth nuance") for i in range(40)]
+    bad = [(100 + i, "spam spam spam click click buy") for i in range(40)]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string")
+    labels = df.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") < 100).cast("double").alias("label"),
+    )
+    return df, labels
+
+
+def test_early_stopping_is_deterministic_and_cuts_iterations(spark):
+    """tol stops the loop once the steepest gradient coordinate goes
+    quiet; the stop iteration and the weights are bit-reproducible
+    because the norm is computed from the 9-dp-rounded sums."""
+    df, labels = _toy_corpus(spark)
+    runs = []
+    for _ in range(2):
+        norms: list = []
+        w, b = Q.fit_linear_classifier(
+            Q.hashed_bow(df), labels, iters=60, lr=20.0, tol=0.02, grad_norms=norms
+        )
+        runs.append((w, b, len(norms)))
+    (w1, b1, k1), (w2, b2, k2) = runs
+    assert k1 == k2 < 60  # stopped early, at the SAME iteration
+    assert w1 == w2 and b1 == b2  # bit-identical rebuild
+    scored = {r["doc_id"]: r["quality"] for r in Q.score_documents(df, w1, b1).collect()}
+    assert all(v > 0.5 for i, v in scored.items() if i < 100)
+    assert all(v < 0.5 for i, v in scored.items() if i >= 100)
+
+
+def test_minibatch_mode_converges_and_is_deterministic(spark):
+    """Hash-sliced mini-batches (pure function of id — retry/AQE/
+    partitioning-immune) still separate the toy classes, and two fits
+    produce bit-identical weights."""
+    df, labels = _toy_corpus(spark)
+    fits = [
+        Q.fit_linear_classifier(
+            Q.hashed_bow(df), labels, iters=32, lr=20.0, batch_count=4
+        )
+        for _ in range(2)
+    ]
+    assert fits[0] == fits[1]
+    w, b = fits[0]
+    scored = {r["doc_id"]: r["quality"] for r in Q.score_documents(df, w, b).collect()}
+    assert all(v > 0.5 for i, v in scored.items() if i < 100)
+    assert all(v < 0.5 for i, v in scored.items() if i >= 100)
+
+
+def test_minibatch_slices_cover_all_documents(spark):
+    """Round-robin slice coverage: with batch_count=K and iters=K every
+    document's slice is visited exactly once — the per-slice counts the
+    normalizer uses must partition the corpus."""
+    from pyspark.sql import functions as SF
+
+    _, labels = _toy_corpus(spark)
+    k = 4
+    sl = SF.pmod(SF.xxhash64(SF.col("id")), SF.lit(k)).cast("int")
+    counts = {
+        r["s"]: r["c"]
+        for r in labels.withColumn("s", sl).groupBy("s").agg(SF.count("*").alias("c")).collect()
+    }
+    assert sum(counts.values()) == 80
+    assert set(counts) <= set(range(k))
+
+
 def test_load_weights_ignores_metadata_rows(spark, tmp_path):
     rows = [(0, 0.5), (1, -0.25), (-1, 0.125), (-2, 500.0), (-3, 12345.0)]
     p = str(tmp_path / "w.parquet")
