@@ -2334,3 +2334,49 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("mc", 6).alias("max_eval_cosine"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "image_feature_stats",
+    tier="local",
+    # The deterministic stand-in codec makes the multimodal family
+    # oracle-checkable end to end: `attach_fake_media` synthesizes each
+    # document's pixel payload as the UTF-8 bytes of
+    # md5(doc_id)-as-hex repeated to 8*8*4 = 256 bytes — exactly 8 full
+    # copies of the 32-char digest — so per-frame luminance mean/std
+    # over the 256 "pixels" equal the stats over the digest's 32
+    # character codes. DuckDB re-derives them from md5() directly; what
+    # the parity row then certifies is the REAL Spark surface: the
+    # binary+struct column contract and the Arrow-batched mapInPandas
+    # decode→feature pass (swap the stub decode for PIL/ffmpeg in
+    # production, the plan shape is identical).
+    oracle="""
+    WITH b AS (
+      SELECT d.doc_id,
+             ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), g.i, 1)) AS v
+      FROM documents d CROSS JOIN generate_series(1, 32) AS g(i)
+    )
+    SELECT doc_id,
+           round(avg(v), 6) AS mean_lum,
+           round(stddev_pop(v), 6) AS std_lum,
+           CAST(4 AS INTEGER) AS n_frames
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="Multimodal image feature extraction: binary media column "
+    "+ typed metadata struct -> per-document luminance mean/std via the "
+    "Arrow-batched mapInPandas decode->feature pass (the payload is shed "
+    "at decode, never carried further); the deterministic stand-in codec "
+    "lets a SQL oracle verify every value, and the identical operator "
+    "serves real PNG bytes through decode_real",
+)
+def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = MM.extract_image_features(MM.attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round("std_lum", 6).alias("std_lum"),
+        "n_frames",
+    ).orderBy("doc_id")
