@@ -13,7 +13,7 @@ from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry 
 
 COVERAGE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
 
-HEADER = """## Appendix: full query registry (auto-generated r5)
+HEADER = """## Appendix: full query registry (auto-generated — rerun scripts/gen_coverage_appendix.py after registry changes)
 
 Tier `driver` = in `__spark_entry__.queries()`, verified per-round by the
 harness (oracle hash-compare, or rows-only where marked). Tier `local` =
