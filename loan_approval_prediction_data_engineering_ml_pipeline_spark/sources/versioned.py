@@ -385,6 +385,12 @@ def _read_raw_manifest(path: str, version: int) -> dict:
 #: log-plus-checkpoint cost model (VLDB 2020 §3.1).
 CHECKPOINT_EVERY = 10
 
+#: blind-append OCC rebase budget: each retry means another writer won
+#: the manifest race, so this bounds sustained same-instant contention,
+#: not throughput (every iteration is O(metadata) unless constraints
+#: changed under us).
+_APPEND_REBASE_RETRIES = 64
+
 _DELTA_KEYS = ("base", "add_files", "add_stats", "remove_files", "n_files", "dv_set")
 
 
@@ -1045,9 +1051,16 @@ def versioned_write(
     ``expected_base`` pins the version this write was DERIVED from
     (read-modify-write transactions): if another writer committed since,
     the write fails with :class:`CommitConflict` before any data lands —
-    re-read and retry. Without it, concurrent appends serialize
-    first-writer-wins on the manifest rename alone (safe for blind
-    appends, lost-update-prone for read-modify-write).
+    re-read and retry. Without it, a blind append that loses the
+    manifest race REBASES automatically (Delta's OCC logical-conflict
+    rule: appends commute with any interleaved commit, because a delta
+    record referencing only its own new files is valid against any
+    head): the already-written data directory is reused, the schema is
+    re-enforced against the new head, constraints that changed under us
+    re-validate our files (a rescan of only the new data), and the
+    delta record re-commits onto the new base — so N concurrent
+    appenders all succeed with N contiguous versions. Overwrites never
+    rebase (last-writer-wins semantics must stay explicit).
 
     Schema-on-write (Delta's enforcement contract): the incoming frame
     must match the table schema — subset writes are fine (missing
@@ -1086,22 +1099,25 @@ def versioned_write(
     )
     files = [_rel_file(path, f) for f in files]
     new_stats = {_rel_file(path, f): s for f, s in new_stats.items()}
-    if mode == "append" and prev is not None:
+    def _append_manifest(v: int, base: int, bm: dict) -> dict:
         # delta record: the log-of-actions form (Delta VLDB 2020 §3.1)
-        manifest = {
-            "version": version,
+        return {
+            "version": v,
             "mode": mode,
-            "base": prev,
+            "base": base,
             "add_files": files,
             "add_stats": new_stats,
             "remove_files": [],
-            "n_files": prev_m.get("n_files", len(prev_m.get("files", ()))) + len(files),
-            "rows": prev_m.get("rows", 0) + n_new,
-            **_txn_carry(prev_m),
-            "constraints": prev_m.get("constraints", {}),
+            "n_files": bm.get("n_files", len(bm.get("files", ()))) + len(files),
+            "rows": bm.get("rows", 0) + n_new,
+            **_txn_carry(bm),
+            "constraints": bm.get("constraints", {}),
             "schema": schema_json,
             **(_commit_extra or {}),
         }
+
+    if mode == "append" and prev is not None:
+        manifest = _append_manifest(version, prev, prev_m)
     else:  # first commit or overwrite: the new file set IS the snapshot
         manifest = {
             "version": version,
@@ -1114,7 +1130,39 @@ def versioned_write(
             "schema": schema_json,
             **(_commit_extra or {}),
         }
-    _commit(path, version, manifest)
+    blind_append = mode == "append" and expected_base is None
+    validated_constraints = prev_m.get("constraints") or {}
+    for _ in range(_APPEND_REBASE_RETRIES):
+        try:
+            _commit(path, version, manifest)
+            break
+        except CommitConflict:
+            if not blind_append:
+                raise
+            prev = latest_version(path)
+            if prev is None:  # raced a table delete: nothing to rebase on
+                raise
+            prev_m = _read_raw_manifest(path, prev)
+            # the head moved under us: re-enforce schema against it, and
+            # re-validate OUR files if its constraints changed (a rescan
+            # of only the just-written data, never the table)
+            schema_json = _enforced_schema(
+                prev_m.get("schema"),
+                df.schema.jsonValue(),
+                merge_schema=merge_schema,
+                context=f"append rebase to {path} (onto v{prev})",
+            )
+            head_constraints = prev_m.get("constraints") or {}
+            if head_constraints != validated_constraints:
+                _collect_file_stats(df.sparkSession, data_dir, head_constraints)
+                validated_constraints = head_constraints
+            version = prev + 1
+            manifest = _append_manifest(version, prev, prev_m)
+    else:
+        raise CommitConflict(
+            f"append to {path} lost {_APPEND_REBASE_RETRIES} consecutive "
+            "commit races — contention this hot needs batching upstream"
+        )
     _maybe_checkpoint(path, version)
     return version
 

@@ -1523,3 +1523,145 @@ def test_clone_table_shallow_zero_copy_and_independent(spark, tmp_path):
     vacuum(dst, keep_versions=1)
     assert sorted(tuple(r) for r in read_version(spark, src).collect()) == want
     assert read_version(spark, dst).count() == 5
+
+
+def test_blind_append_rebases_over_interleaved_commit(spark, tmp_path, monkeypatch):
+    """Delta's OCC logical-conflict rule: blind appends commute. A
+    writer landing between our stats pass and our commit must NOT fail
+    the append — it rebases onto the new head and both commits land."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    real = V._commit
+    state = {"raced": False}
+
+    def race(path, version, manifest):
+        if not state["raced"] and manifest.get("mode") == "append" and version == 1:
+            state["raced"] = True
+            versioned_write(
+                spark.createDataFrame([(9, "intruder")], ["id", "v"]), t
+            )
+        return real(path, version, manifest)
+
+    monkeypatch.setattr(V, "_commit", race)
+    v = versioned_write(spark.createDataFrame([(2, "b")], ["id", "v"]), t)
+    monkeypatch.undo()
+    assert v == 2  # rebased past the intruder's v1
+    assert _rows(read_version(spark, t)) == [(1, "a"), (2, "b"), (9, "intruder")]
+    assert _rows(read_version(spark, t, 1)) == [(1, "a"), (9, "intruder")]
+    # the rebase is a normal delta commit: history and rows are coherent
+    assert [h["rows"] for h in table_versions(t)] == [1, 2, 3]
+
+
+def test_blind_append_rebase_reenforces_schema_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """If the interleaved commit CHANGED the schema contract (overwrite
+    with a new column type), the rebase must re-run enforcement against
+    the new head and refuse — never commit a frame the head forbids."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        SchemaMismatch,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    real = V._commit
+    state = {"raced": False}
+
+    def race(path, version, manifest):
+        if not state["raced"] and manifest.get("mode") == "append" and version == 1:
+            state["raced"] = True
+            versioned_write(
+                spark.createDataFrame([(7, 0.5)], "id long, v double"),
+                t, mode="overwrite", overwrite_schema=True,
+            )
+        return real(path, version, manifest)
+
+    monkeypatch.setattr(V, "_commit", race)
+    with pytest.raises(SchemaMismatch):
+        versioned_write(spark.createDataFrame([(2, "b")], ["id", "v"]), t)
+    monkeypatch.undo()
+    # the refused rebase left no version behind the intruder's
+    assert latest_version(t) == 1
+    assert _rows(read_version(spark, t)) == [(7, 0.5)]
+
+
+def test_blind_append_rebase_revalidates_new_constraints(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint added under us must re-validate OUR files during the
+    rebase: data that violates the new head's contract never lands."""
+    import loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned as V
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    real = V._commit
+    state = {"raced": False}
+
+    def race(path, version, manifest):
+        if (
+            not state["raced"]
+            and manifest.get("mode") == "append"
+            and "add_files" in manifest
+            and version == 1
+        ):
+            state["raced"] = True
+            add_constraint(spark, t, "pos_id", "id > 0")
+        return real(path, version, manifest)
+
+    monkeypatch.setattr(V, "_commit", race)
+    with pytest.raises(ConstraintViolation):
+        versioned_write(spark.createDataFrame([(-2, "bad")], ["id", "v"]), t)
+    monkeypatch.undo()
+    versions = table_versions(t)
+    assert versions[-1]["mode"].startswith("add-constraint")
+    assert latest_version(t) == 1  # the refused rebase committed nothing
+    got = _rows(read_version(spark, t))
+    assert (-2, "bad") not in got
+
+
+def test_expected_base_still_refuses_after_rebase_feature(spark, tmp_path):
+    """Read-modify-write pins must keep failing fast: rebase applies
+    ONLY to blind appends."""
+    t = str(tmp_path / "t")
+    base = versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    versioned_write(spark.createDataFrame([(5, "e")], ["id", "v"]), t)
+    with pytest.raises(CommitConflict):
+        versioned_write(
+            spark.createDataFrame([(2, "b")], ["id", "v"]), t, expected_base=base
+        )
+
+
+def test_concurrent_blind_appends_all_land(spark, tmp_path):
+    """4 threads blind-appending the same table: every append commits,
+    versions are contiguous, and the union of rows is exact."""
+    import threading
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(0, "seed")], ["id", "v"]), t)
+    errors: list = []
+
+    def append(i: int):
+        try:
+            versioned_write(
+                spark.createDataFrame([(100 + i, f"w{i}")], ["id", "v"]), t
+            )
+        except Exception as exc:  # noqa: BLE001 - recorded for the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert latest_version(t) == 4
+    assert _rows(read_version(spark, t)) == [(0, "seed")] + [
+        (100 + i, f"w{i}") for i in range(4)
+    ]
