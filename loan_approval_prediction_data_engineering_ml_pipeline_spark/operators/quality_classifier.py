@@ -103,10 +103,13 @@ def fit_linear_classifier(
     ``(weights[n_buckets], bias)``.
 
     Per iteration: broadcast-join the B-row weight table onto the
-    cached feature relation, aggregate margins per id, shuffle-join
-    labels and residuals on id (both are O(corpus docs), so they are
-    never broadcast-hinted — the planner may still pick broadcast at
-    small scale), aggregate the per-bucket gradient. Every exchange is
+    cached feature relation (augmented with one intercept row per
+    labeled doc — bucket -1, tf 1 — so the bias gradient shares the
+    weight gradients' aggregation), aggregate margins per id,
+    shuffle-join labels and residuals on id (both are O(corpus docs),
+    so they are never broadcast-hinted — the planner may still pick
+    broadcast at small scale), and aggregate the per-bucket gradient:
+    ONE join + ONE groupBy + ONE B+1-row collect. Every exchange is
     keyed on id or bucket and carries O(corpus features) rows at fixed
     width; driver state is B+1 weights plus B+1 Adagrad accumulators.
     Gradient sums are rounded to 9 dp before the driver update so the
@@ -139,6 +142,16 @@ def fit_linear_classifier(
     # the margin aggregation), which is the shape that survives 100 TB;
     # only the B-row weight table is ever hinted broadcast
     labels = labels.select(F.col("id"), F.col("label").cast("double"))
+    # bias-as-intercept-feature: every document contributes a synthetic
+    # (bucket=-1, tf=1) row, so the bias gradient (sum of residuals)
+    # falls out of the SAME per-bucket aggregation as the weights — one
+    # join, one groupBy, one collect per iteration, and the residual
+    # pipeline runs once instead of twice (it halved measured sf1
+    # iteration cost). The -1 rows never reach margins: the weight
+    # join keeps bucket >= 0.
+    feats = feats.select("id", "bucket", "tf").unionByName(
+        labels.select("id", F.lit(-1).alias("bucket"), F.lit(1.0).alias("tf"))
+    )
     if batch_count is not None and batch_count > 1:
         sl = F.pmod(F.xxhash64(F.col("id")), F.lit(batch_count)).cast("int")
         feats = feats.withColumn("_slice", sl)
@@ -181,17 +194,22 @@ def fit_linear_classifier(
                     ).alias("r"),
                 )
             )
+            # ONE aggregation yields weight AND bias gradients: the
+            # intercept rows (bucket -1, tf 1) make sum(tf*r) at -1
+            # exactly sum(r) — identical 9-dp-rounded values to the
+            # former separate bias job, in half the work
             agg = (
                 fb.join(resid, "id")
                 .groupBy("bucket")
                 .agg(F.round(F.sum(F.col("tf") * F.col("r")), 9).alias("g"))
             ).collect()
-            b_sum = round(
-                resid.agg(F.round(F.sum("r"), 9).alias("g")).first()["g"] or 0.0, 9
-            )
+            b_sum = 0.0
             g = np.zeros(n_buckets)
             for r in agg:
-                g[r["bucket"]] = r["g"]
+                if r["bucket"] == -1:
+                    b_sum = r["g"]
+                else:
+                    g[r["bucket"]] = r["g"]
             g = g / n_t - l2 * w
             gb = b_sum / n_t
             G += g * g
