@@ -2380,3 +2380,249 @@ def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std_lum", 6).alias("std_lum"),
         "n_frames",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (privacy scrub — Dolma §2.3 / CCNet / C4 class)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    """Oracle SQL built from the SAME PII_RULES the Spark operator
+    applies (single source of truth: a pattern edit changes both sides
+    or the parity hash breaks). The synthetic corpus has no real PII,
+    so the query plants a deterministic, doc_id-derived payload on both
+    sides first — non-trivial counts (zero-row oracles are weak
+    evidence), and the cross-engine regex semantics (Java vs RE2) are
+    what the hash then certifies."""
+    from ..operators.pii import PII_RULES
+
+    aug = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.org via 192.168.'"
+        " || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0"
+        " THEN ' id 123-45-6789 pay 4111-1111-1111-1111' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    red = "t"
+    for _, pat, repl in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+    SELECT doc_id, {counts}, md5({red}) AS fp
+    FROM aug ORDER BY doc_id
+    """
+
+
+@query(
+    "pii_redact",
+    tier="local",
+    oracle=_pii_oracle(),
+    description="PII detection + redaction (Dolma/CCNet/C4 privacy scrub): "
+    "emails, credit cards, SSNs, phones, IPv4s counted on the raw text and "
+    "replaced by typed placeholders in one chained regexp pass — map-only, "
+    "whole-stage-codegen'd, zero Python and zero shuffles, so at 100 TB the "
+    "cost is the text scan itself; patterns live in the Java-regex/RE2 "
+    "common subset and the oracle re-derives every count and every "
+    "redacted byte (md5 fingerprint) from the same rule table",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import pii_counts, redact_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org via 192.168."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" id 123-45-6789 pay 4111-1111-1111-1111"),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", aug.alias("t"))
+        .select("doc_id", *pii_counts("t"), F.md5(redact_text("t")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (lexical retrieval for curation / RAG / triage)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q1", "hash"), ("q1", "join"), ("q1", "scan"),
+    ("q2", "merge"), ("q2", "batch"),
+    ("q3", "vector"), ("q3", "stream"), ("q3", "window"),
+]
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "bm25_topk",
+    tier="local",
+    # Exact: BM25 with Lucene's non-negative idf is pure arithmetic
+    # over (tf, df, dl, N, avgdl) — DuckDB re-derives every quantity
+    # and the final ranking from the same token stream; scores are
+    # rounded to 6 dp BEFORE ranking on both sides so summation order
+    # cannot flip a boundary rank (ties break on doc_id).
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    t2 AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    dl AS (
+      SELECT d.doc_id, count(t2.tok) AS dl
+      FROM documents d LEFT JOIN t2 USING (doc_id) GROUP BY 1
+    ),
+    st AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM t2
+      WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tok, ln(1 + (st.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN st
+    ),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS s
+      FROM q
+      JOIN tf ON tf.tok = q.term
+      JOIN idf ON idf.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT query_id, doc_id, round(s, 6) AS score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY round(s, 6) DESC, doc_id
+             ) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, rank FROM rk
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    description="BM25 top-k retrieval (Robertson-Zaragoza; Lucene idf): "
+    "query terms broadcast as the token filter so the only corpus-sized "
+    "shuffle carries matched (doc, term, tf) rows; document lengths are a "
+    "map-only size(tokens) with no explode; N/avgdl reduce to one "
+    "broadcast row; one window ranks per query on the rounded score — "
+    "the lexical-retrieval primitive for targeted curation sampling, "
+    "contamination triage, and RAG lookup, zero Python in the plan",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk as _bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return _bm25(docs, queries, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (targeted data selection, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src1", "src2")
+_DSIR_T = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "dsir_select",
+    tier="local",
+    # Exact: both bucketed n-gram distributions, every log-ratio, every
+    # per-doc weight, and the deterministic Gumbel perturbation are
+    # re-derived in DuckDB from the same md5 folds; ranking happens on
+    # the 6-dp-rounded key on both sides (ties on doc_id).
+    oracle=f"""
+    WITH lt AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, source, unnest(ts) AS g, generate_subscripts(ts, 1) AS i
+      FROM lt
+    ),
+    grams AS (
+      SELECT doc_id, source, g FROM tk
+      UNION ALL
+      SELECT a.doc_id, a.source, a.g || '_' || b.g
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             CAST((CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                   % 2147483647) % 1024 AS INT) AS bucket,
+             count(*) AS n
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    rawc AS (SELECT bucket, sum(n) AS cr FROM feat
+             WHERE source NOT IN ({_DSIR_T}) GROUP BY 1),
+    tgtc AS (SELECT bucket, sum(n) AS ct FROM feat
+             WHERE source IN ({_DSIR_T}) GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM rawc) AS rt,
+                   (SELECT sum(ct) FROM tgtc) AS tt),
+    lam AS (
+      SELECT r.bucket,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 1024.0))
+           - ln((r.cr + 1.0) / (tot.rt + 1024.0)) AS lam
+      FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT f.doc_id, sum(f.n * lam.lam) AS logw
+      FROM feat f JOIN lam USING (bucket)
+      WHERE f.source NOT IN ({_DSIR_T})
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id, round(logw, 6) AS logw,
+             round(logw + (-ln(-ln(
+               ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 2147483647) + 1.0) / 2147483648.0
+             ))), 6) AS key
+      FROM w
+    ),
+    rk AS (
+      SELECT doc_id, logw, key,
+             row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, logw, key, rank FROM rk WHERE rank <= 50 ORDER BY rank
+    """,
+    description="DSIR importance resampling (Xie et al., NeurIPS 2023): "
+    "hashed unigram+bigram distributions (md5 fold mod 1024) for a target "
+    "domain sample and the raw pool — both B-row tables at ANY corpus "
+    "size; per-candidate log importance ratio via one broadcast join + "
+    "one per-doc sum (the classifier-scoring shape); Gumbel-top-k sample "
+    "proportional to weights with the perturbation a pure md5 row "
+    "function (retry/AQE/partitioning-immune), selected via "
+    "TakeOrderedAndProject — zero Python, no global sort",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_select as _dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin(*_DSIR_TARGET))
+    raw = docs.where(~F.col("source").isin(*_DSIR_TARGET))
+    return _dsir(raw, target, k=50).orderBy("rank")

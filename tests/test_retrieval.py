@@ -1,0 +1,100 @@
+"""BM25 retrieval: exact scores vs a hand-rolled reference, tie
+determinism, top-k truncation, and plan shape (broadcast, no Python)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+    bm25_topk,
+)
+
+
+def _bm25_ref(corpus: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Driver-side reference implementation (plain Python)."""
+    toks = {d: [t for t in txt.split() if t] for d, txt in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+    return {d: round(s, 6) for d, s in scores.items()}
+
+
+def test_bm25_matches_reference_formula(spark):
+    corpus = {
+        1: "spark shuffle join join join",
+        2: "spark join",
+        3: "filter scan filter scan filter scan filter scan",
+        4: "join shuffle spark scan spark spark",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    q = spark.createDataFrame(
+        [("a", "join"), ("a", "scan")], "query_id string, term string"
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, k=10).collect()}
+    assert got == _bm25_ref(corpus, ["join", "scan"])
+
+
+def test_bm25_rank_order_and_tf_length_tradeoff(spark):
+    # hand-computed (k1=1.2, b=0.75, avgdl=4): doc2 tf=2 dl=2 -> 1.600,
+    # doc3 tf=1 dl=2 -> 1.257, doc1 tf=2 dl=8 -> 1.073 — the short tf=1
+    # doc outranks the 4x-longer tf=2 doc (length normalization working)
+    docs = spark.createDataFrame(
+        [
+            (1, "java java pad pad pad pad pad pad"),
+            (2, "java java"),
+            (3, "java pad"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([("q", "java")], "query_id string, term string")
+    ranked = [r["doc_id"] for r in bm25_topk(docs, q).orderBy("rank").collect()]
+    assert ranked == [2, 3, 1]
+
+
+def test_bm25_ties_break_on_doc_id_and_k_truncates(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in (5, 3, 9, 1)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([("q", "same")], "query_id string, term string")
+    out = bm25_topk(docs, q, k=3).orderBy("rank").collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 5]  # identical scores -> id order
+    assert len({r["score"] for r in out}) == 1
+
+
+def test_bm25_unmatched_query_returns_nothing_and_multi_query_isolated(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [("hit", "beta"), ("miss", "zzz")], "query_id string, term string"
+    )
+    out = bm25_topk(docs, q).collect()
+    assert {r["query_id"] for r in out} == {"hit"}
+    assert len(out) == 2
+
+
+def test_bm25_plan_broadcasts_terms_and_has_no_python(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"), F.lit(" filler")).alias(
+            "text"
+        ),
+    )
+    q = spark.createDataFrame([("q", "tok3")], "query_id string, term string")
+    plan = bm25_topk(docs, q)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # built-ins only
+    # the corpus-side token filter must be a broadcast join, never a
+    # shuffled join on the full token stream
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,69 @@
+"""DSIR importance resampling: feature semantics, target-shift
+behavior, determinism, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+    selection as S,
+)
+
+
+def test_hashed_ngram_counts_are_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    feats = S.hashed_ngram_counts(df).collect()
+    # grams: a, b, a, a_b, b_a  -> 5 occurrences total; "a" twice
+    assert sum(r["n"] for r in feats) == 5
+    assert max(r["n"] for r in feats) == 2  # the repeated unigram
+    single = S.hashed_ngram_counts(
+        spark.createDataFrame([(2, "solo")], "doc_id long, text string")
+    ).collect()
+    # one token -> exactly one gram, no spurious trailing bigram
+    assert len(single) == 1 and single[0]["n"] == 1
+
+
+def test_dsir_prefers_target_like_candidates(spark):
+    """Candidates written in the target's dialect must dominate the
+    selection over candidates from a disjoint vocabulary."""
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    like = [(i, "alpha beta gamma epsilon") for i in range(20)]
+    unlike = [(100 + i, "zeta eta theta iota") for i in range(20)]
+    raw = spark.createDataFrame(like + unlike, "doc_id long, text string")
+    picked = {r["doc_id"] for r in S.dsir_select(raw, target, k=20).collect()}
+    assert len(picked) == 20
+    # all 20 target-dialect candidates outrank every disjoint one: the
+    # log-ratio gap dwarfs the Gumbel noise at this separation
+    assert picked == {i for i in range(20)}
+
+
+def test_dsir_is_deterministic_under_repartitioning(spark):
+    target = spark.createDataFrame(
+        [(900 + i, "red green blue") for i in range(5)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, ("red green blue" if i % 2 else "cyan magenta yellow")) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = S.dsir_select(raw, target, k=10).collect()
+    b = S.dsir_select(raw.repartition(13), target, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
+    target = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    raw = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y tok"), (F.col("id") % 9).cast("string")).alias("text"),
+    )
+    plan = (
+        S.dsir_select(raw, target, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan  # never a global sort
