@@ -82,6 +82,9 @@ HEADLINE = [
     "substring_dedup",  # Lee et al. exact substring dedup, windowed (r6)
     "quality_classifier_score",  # hashed-LR corpus scoring (build amortized, r7)
     "semantic_decontaminate",  # eval-broadcast max-cosine leak check (r7)
+    "pii_redact",  # full-rule-table privacy scrub, map-only codegen (r8)
+    "bm25_topk",  # lexical retrieval: broadcast terms + one window (r8)
+    "dsir_select",  # DSIR importance resampling, Gumbel top-k (r8)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
