@@ -2626,3 +2626,52 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.where(F.col("source").isin(*_DSIR_TARGET))
     raw = docs.where(~F.col("source").isin(*_DSIR_TARGET))
     return _dsir(raw, target, k=50).orderBy("rank")
+
+
+@query(
+    "audio_feature_stats",
+    tier="local",
+    # Audio twin of image_feature_stats: the stand-in payload (md5-hex
+    # UTF-8 bytes, 256 = 8 exact digest copies) parses as int16-LE PCM
+    # — 128 samples repeating every 16, so RMS/peak over the digest's
+    # 16 samples equal the full-clip stats, and every byte's high half
+    # is < 0x80 so the signal never crosses zero (zcr identically 0 on
+    # both sides). All arithmetic is dyadic-exact (val/2^15, squares
+    # within 53 bits), so the hash certifies the Arrow mapInPandas
+    # waveform pass bit-for-bit; swap the PCM stub for libsndfile in
+    # production, the plan shape is identical.
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             (ascii(substr(md5(CAST(d.doc_id AS VARCHAR)),
+                           ((2 * g.i - 2) % 32) + 1, 1))
+              + 256 * ascii(substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                   ((2 * g.i - 1) % 32) + 1, 1))) / 32768.0 AS x
+      FROM documents d CROSS JOIN generate_series(1, 16) AS g(i)
+    )
+    SELECT doc_id,
+           round(128.0 / 16000.0, 6) AS duration_sec,
+           round(sqrt(avg(x * x)), 6) AS rms,
+           CAST(0.0 AS DOUBLE) AS zero_crossing_rate,
+           round(max(abs(x)), 6) AS peak
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="Multimodal audio feature extraction: binary PCM payload -> "
+    "duration / RMS / zero-crossing rate / peak via the Arrow-batched "
+    "mapInPandas waveform pass (silence/clipping/junk filters key on "
+    "these); the deterministic stand-in payload lets SQL re-derive every "
+    "sample, so the audio path gets the same oracle tier as the image "
+    "path",
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = MM.extract_audio_features(MM.attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+        F.round("peak", 6).alias("peak"),
+    ).orderBy("doc_id")
