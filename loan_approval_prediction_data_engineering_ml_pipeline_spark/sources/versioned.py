@@ -2066,7 +2066,11 @@ def clone_table(src: str, dst: str) -> int:
 
 
 def vacuum(
-    path: str, *, keep_versions: int = 1, min_age_seconds: float = 0.0
+    path: str,
+    *,
+    keep_versions: int = 1,
+    min_age_seconds: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim data directories referenced by NO retained manifest:
     drops manifests older than the newest ``keep_versions`` snapshots,
@@ -2087,7 +2091,13 @@ def vacuum(
     comfortably above their longest write. Readers are safe regardless:
     a reader that resolved a retained manifest reads files vacuum never
     touches — only if its snapshot ages OUT of retention mid-query can
-    its files vanish, Delta's documented reader-retention contract."""
+    its files vanish, Delta's documented reader-retention contract.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): return exactly
+    the directories a real run would reclaim under the same retention
+    arguments and touch NOTHING — no manifests dropped, no checkpoint
+    pinned, no data deleted — so operators can audit the blast radius
+    before scheduling the real pass."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     store = log_store_for(path)
@@ -2107,18 +2117,19 @@ def vacuum(
     # with a checkpoint sidecar (every higher resolution walks through
     # it, so one checkpoint covers the whole retained range)
     earliest = retained[0]
-    if (
-        "files" not in _read_raw_manifest(path, earliest)
-        and _read_checkpoint(path, earliest) is None
-    ):
-        _maybe_checkpoint(path, earliest, force=True)
-    for v in versions[:-keep_versions]:
-        mp = _manifest_path(path, v)
-        if store.exists(mp):
-            store.delete(mp)
-        cp = _checkpoint_path(path, v)
-        if store.exists(cp):  # sidecars of dropped versions go with them
-            store.delete(cp)
+    if not dry_run:
+        if (
+            "files" not in _read_raw_manifest(path, earliest)
+            and _read_checkpoint(path, earliest) is None
+        ):
+            _maybe_checkpoint(path, earliest, force=True)
+        for v in versions[:-keep_versions]:
+            mp = _manifest_path(path, v)
+            if store.exists(mp):
+                store.delete(mp)
+            cp = _checkpoint_path(path, v)
+            if store.exists(cp):  # sidecars of dropped versions go with them
+                store.delete(cp)
     removed = []
     now = time.time()
     for sub in ("data", "dv"):  # dv dirs follow the same lifecycle as data
@@ -2129,6 +2140,7 @@ def vacuum(
                 continue
             if min_age_seconds > 0 and now - store.mtime(full) < min_age_seconds:
                 continue  # possibly an in-flight write: too young to reclaim
-            store.delete_tree(full)
+            if not dry_run:
+                store.delete_tree(full)
             removed.append(full)
     return removed

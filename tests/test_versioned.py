@@ -1665,3 +1665,30 @@ def test_concurrent_blind_appends_all_land(spark, tmp_path):
     assert _rows(read_version(spark, t)) == [(0, "seed")] + [
         (100 + i, f"w{i}") for i in range(4)
     ]
+
+
+def test_vacuum_dry_run_reports_without_touching_anything(spark, tmp_path):
+    """DRY RUN must return exactly what the real pass would reclaim and
+    leave manifests, checkpoints, and data untouched."""
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    versioned_write(
+        spark.createDataFrame([(2, "b")], ["id", "v"]), t, mode="overwrite"
+    )
+    versioned_write(
+        spark.createDataFrame([(3, "c")], ["id", "v"]), t, mode="overwrite"
+    )
+    planned = vacuum(t, keep_versions=1, dry_run=True)
+    assert len(planned) == 2  # v0's and v1's superseded data dirs
+    # nothing moved: full history still resolves and reads
+    assert [h["version"] for h in table_versions(t)] == [0, 1, 2]
+    assert _rows(read_version(spark, t, 0)) == [(1, "a")]
+    assert _rows(read_version(spark, t, 1)) == [(2, "b")]
+    for d in planned:
+        assert os.path.isdir(d)
+    # the real pass reclaims exactly the audited set
+    removed = vacuum(t, keep_versions=1)
+    assert sorted(removed) == sorted(planned)
+    for d in planned:
+        assert not os.path.exists(d)
+    assert _rows(read_version(spark, t)) == [(3, "c")]
