@@ -121,3 +121,107 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> None:
+    """Persist the BM25 posting lists — the build-once/query-forever
+    lifecycle the ANN indexes use, for standing query workloads where
+    re-tokenizing 100 TB per query batch is the wrong cost model.
+
+    Layout: ``postings/`` holds (tok, id, tf) range-partitioned AND
+    sorted by ``tok``, so every file and every parquet row group spans
+    a narrow token range — a probe for K terms pushes ``tok IN (...)``
+    into the scan and reads only the row groups whose min/max admit
+    those terms (the text corpus is never touched again). ``lengths/``
+    holds (id, dl); ``meta/`` holds the 1-row (n, avgdl). Rebuild to
+    refresh; incremental maintenance follows the ivf_upsert pattern
+    (REPLACE the touched token ranges)."""
+    ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
+    dlen = docs.select(F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl"))
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok"))
+    tf = toks.groupBy("tok", "id").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartitionByRange(n_files, "tok")
+        .sortWithinPartitions("tok", "id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    dlen.coalesce(1).write.mode("overwrite").parquet(f"{path}/lengths")
+    dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`bm25_topk` semantics over a persisted index: identical
+    scores and ranking, but the corpus-sized work drops to a
+    predicate-pushed scan of the term-sorted posting files — df, idf,
+    and per-doc sums all derive from the posting sliver the probe
+    terms select."""
+    queries = queries.select(F.col("query_id"), F.col("term"))
+    terms = [r["term"] for r in queries.select("term").distinct().collect()]
+    tf = spark.read.parquet(f"{path}/postings").where(F.col("tok").isin(terms))
+    dlen = spark.read.parquet(f"{path}/lengths")
+    stats = spark.read.parquet(f"{path}/meta")
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(queries), F.col("tok") == F.col("term"))
+        .join(dlen, "id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "id").agg(
+        F.round(F.sum("s"), decimals).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )

@@ -98,3 +98,31 @@ def test_bm25_plan_broadcasts_terms_and_has_no_python(spark):
     # the corpus-side token filter must be a broadcast join, never a
     # shuffled join on the full token stream
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_indexed_equals_direct_and_pushes_term_filter(spark, tmp_path):
+    """The persisted posting-list path must return the direct path's
+    exact rows, and its probe must push the term filter into the
+    parquet scan (PushedFilters) — the corpus text is never re-read."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        build_bm25_index,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 11} beta gamma tok{i % 7}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "tok3"), ("q1", "beta"), ("q2", "tok5")],
+        "query_id string, term string",
+    )
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx)
+    direct = bm25_topk(docs, q, k=7).collect()
+    probe = bm25_topk_indexed(spark, idx, q, k=7)
+    indexed = probe.collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, direct))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tok" in plan or "tok IN" in plan
+    assert "Python" not in plan
