@@ -178,7 +178,21 @@ def bm25_topk_indexed(
     terms select."""
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = [r["term"] for r in queries.select("term").distinct().collect()]
-    tf = spark.read.parquet(f"{path}/postings").where(F.col("tok").isin(terms))
+    postings = spark.read.parquet(f"{path}/postings")
+    if len(terms) <= 512:
+        # literal IN pushes into the parquet scan: only row groups
+        # whose tok min/max admit a probe term are read
+        tf = postings.where(F.col("tok").isin(terms))
+    else:
+        # degenerate mega-query workloads: a literal IN this wide
+        # bloats the plan (the versioned DV-mask lesson) — fall back to
+        # a broadcast semi-join; row-group pruning is lost but the scan
+        # still prunes to the postings relation, never the corpus text
+        tf = postings.join(
+            F.broadcast(spark.createDataFrame([(t,) for t in terms], "tok string")),
+            "tok",
+            "left_semi",
+        )
     dlen = spark.read.parquet(f"{path}/lengths")
     stats = spark.read.parquet(f"{path}/meta")
     idf = (
