@@ -505,7 +505,14 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     before serializing; the publish itself is the authority — two
     racing writers that both pass the precheck still get exactly one
     winner (LocalLogStore: os.link EEXIST; object stores: conditional
-    put), the loser a :class:`CommitConflict`."""
+    put), the loser a :class:`CommitConflict`.
+
+    Every commit is stamped ``committed_at`` (epoch seconds) here — the
+    single choke point all write paths go through — which is what
+    timestamp time travel (:func:`version_at_timestamp`, Delta's
+    ``TIMESTAMP AS OF``) resolves against; pre-stamp (legacy) manifests
+    fall back to the log file's mtime."""
+    manifest.setdefault("committed_at", time.time())
     store = log_store_for(path)
     final = _manifest_path(path, version)
     if store.exists(final):
@@ -1033,6 +1040,7 @@ def versioned_write(
     expected_base: int | None = None,
     merge_schema: bool = False,
     overwrite_schema: bool = False,
+    txn: tuple[str, int] | None = None,
     _commit_extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version and return its number.
@@ -1062,6 +1070,18 @@ def versioned_write(
     appenders all succeed with N contiguous versions. Overwrites never
     rebase (last-writer-wins semantics must stay explicit).
 
+    ``txn=(app_id, txn_version)`` is Delta's idempotent-writes contract
+    (``txnAppId``/``txnVersion``) for BATCH writers — the same ledger
+    the streaming sinks stamp: if the table's txn map already records
+    ``app_id`` at or beyond ``txn_version``, the write is a no-op
+    returning the current version (a retried orchestration step —
+    Airflow task retry, speculative job re-run — cannot double-append);
+    otherwise the commit advances the app's ledger entry atomically
+    with the data. A pre-ledger (legacy) table gets the ledger seeded
+    from its manifest history first, so materializing the txn map never
+    erases the missing-key marker the streaming sink's one-time seed
+    relies on (the ADVICE r6 contract).
+
     Schema-on-write (Delta's enforcement contract): the incoming frame
     must match the table schema — subset writes are fine (missing
     columns read back as NULL), NEW columns need ``merge_schema=True``
@@ -1083,6 +1103,19 @@ def versioned_write(
     # constraints — all present raw): the file inventory is never
     # materialized, so commit cost is O(new files), not O(table files)
     prev_m = _read_raw_manifest(path, prev) if prev is not None else {}
+    if txn is not None:
+        txn_app, txn_version = txn
+        ledger = dict(prev_m.get("txn", {}))
+        if prev is not None and "txn" not in prev_m:
+            # materializing the ledger onto a pre-txn table: seed every
+            # stream app's high-water mark from history first, or the
+            # streaming sink's one-time seed (keyed on the MISSING txn
+            # key) would never fire and legacy stream replays would
+            # double-append
+            ledger.update(_seed_ledger_from_history(path))
+        if ledger.get(txn_app, -1) >= txn_version:
+            return prev  # already applied: idempotent no-op
+        _commit_extra = {**(_commit_extra or {}), "txn": {**ledger, txn_app: txn_version}}
     if prev is not None and not (mode == "overwrite" and overwrite_schema):
         schema_json = _enforced_schema(
             prev_m.get("schema"),
@@ -1143,6 +1176,18 @@ def versioned_write(
             if prev is None:  # raced a table delete: nothing to rebase on
                 raise
             prev_m = _read_raw_manifest(path, prev)
+            if txn is not None:
+                ledger = dict(prev_m.get("txn", {}))
+                if "txn" not in prev_m:
+                    ledger.update(_seed_ledger_from_history(path))
+                if ledger.get(txn_app, -1) >= txn_version:
+                    return prev  # a concurrent retry of OUR txn won
+                # merge the moved head's ledger so other apps' entries
+                # committed under us are never clobbered by the rebase
+                _commit_extra = {
+                    **(_commit_extra or {}),
+                    "txn": {**ledger, txn_app: txn_version},
+                }
             # the head moved under us: re-enforce schema against it, and
             # re-validate OUR files if its constraints changed (a rescan
             # of only the just-written data, never the table)
@@ -1172,11 +1217,16 @@ def read_version(
     path: str,
     version: int | None = None,
     *,
+    timestamp: float | None = None,
     where: Where | None = None,
 ) -> DataFrame:
     """A pinned snapshot (default: latest committed). The manifest is
     resolved here, once — the returned frame reads a FIXED file list,
     so concurrent commits cannot change what this query sees.
+
+    ``timestamp`` (epoch seconds, mutually exclusive with ``version``)
+    is Delta's ``TIMESTAMP AS OF``: the snapshot current at that
+    instant, via :func:`version_at_timestamp`.
 
     ``where=[(col, op, value), ...]`` (conjunction; ops ``== != < <= >
     >=``) prunes the file list against the manifest's per-file min/max
@@ -1184,6 +1234,10 @@ def read_version(
     files whose range can satisfy the predicate — and is then applied
     as an ordinary filter on the surviving files, so the result equals
     ``read_version(...).filter(...)`` exactly, stats or no stats."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     if version is None:
         version = latest_version(path)
         if version is None:
@@ -1343,6 +1397,52 @@ def read_changes(
     return out
 
 
+def _seed_ledger_from_history(path: str) -> dict[str, int]:
+    """Per-app high-water marks from the retained manifest history —
+    the one-time ledger seed a writer runs before materializing a
+    ``txn`` map onto a pre-ledger table (metadata-only scan)."""
+    per: dict[str, int] = {}
+    store = log_store_for(path)
+    for v in _manifest_versions(path):
+        if not store.exists(_manifest_path(path, v)):
+            continue  # vacuumed below retention
+        m = _read_raw_manifest(path, v)
+        b = m.get("source_batch_id")
+        a = m.get("app_id")
+        if b is not None and a is not None:
+            per[a] = max(per.get(a, -1), b)
+    return per
+
+
+def commit_timestamp(path: str, version: int) -> float:
+    """Epoch seconds a version was committed: the manifest's
+    ``committed_at`` stamp, or (legacy pre-stamp manifests) the log
+    file's mtime."""
+    m = _read_raw_manifest(path, version)
+    if "committed_at" in m:
+        return float(m["committed_at"])
+    return log_store_for(path).mtime(_manifest_path(path, version))
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Delta's ``TIMESTAMP AS OF``: the latest RETAINED version whose
+    commit time is <= ``ts``. O(retained manifests) metadata reads, no
+    data touched. Raises if ``ts`` predates the earliest retained
+    commit (vacuum bounds timestamp travel exactly as it bounds
+    version travel)."""
+    best = None
+    for v in _manifest_versions(path):
+        if commit_timestamp(path, v) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version at or before timestamp {ts} at {path} "
+            "(earliest retained commit is younger — vacuumed history is "
+            "not reachable)"
+        )
+    return best
+
+
 def table_versions(path: str) -> list[dict]:
     """Audit view of the table's RETAINED history from manifests alone —
     no data files are touched: (version, mode, n_files, rows). Versions
@@ -1361,6 +1461,7 @@ def table_versions(path: str) -> list[dict]:
                 "mode": m["mode"],
                 "n_files": len(m["files"]) if "files" in m else m["n_files"],
                 "rows": m["rows"],
+                "committed_at": m.get("committed_at"),
             }
         )
     return out

@@ -1692,3 +1692,119 @@ def test_vacuum_dry_run_reports_without_touching_anything(spark, tmp_path):
     for d in planned:
         assert not os.path.exists(d)
     assert _rows(read_version(spark, t)) == [(3, "c")]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Delta's TIMESTAMP AS OF: resolve the snapshot current at an
+    instant; vacuumed history stays unreachable; version and timestamp
+    are mutually exclusive."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        commit_timestamp,
+        read_version,
+        version_at_timestamp,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    versioned_write(spark.createDataFrame([(2, "b")], ["id", "v"]), t)
+    time.sleep(0.05)
+    versioned_write(spark.createDataFrame([(3, "c")], ["id", "v"]), t)
+
+    ts = [commit_timestamp(t, v) for v in (0, 1, 2)]
+    assert ts == sorted(ts)
+    assert version_at_timestamp(t, mid) == 0
+    assert version_at_timestamp(t, time.time()) == 2
+    assert _rows(read_version(spark, t, timestamp=mid)) == [(1, "a")]
+    assert _rows(read_version(spark, t, timestamp=ts[1])) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="no retained version"):
+        version_at_timestamp(t, ts[0] - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, t, 1, timestamp=mid)
+    # audit view carries the stamps
+    hist = table_versions(t)
+    assert [h["committed_at"] for h in hist] == ts
+
+
+def test_commit_timestamp_legacy_manifest_falls_back_to_mtime(spark, tmp_path):
+    import json as _json
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        commit_timestamp,
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    mp = _manifest_path(t, 0)
+    m = _json.loads(open(mp).read())
+    del m["committed_at"]  # simulate a pre-stamp (legacy) manifest
+    open(mp, "w").write(_json.dumps(m))
+    got = commit_timestamp(t, 0)
+    assert got == os.path.getmtime(mp)
+    assert version_at_timestamp(t, time.time()) == 0
+
+
+def test_batch_txn_idempotent_writes(spark, tmp_path):
+    """Delta's txnAppId/txnVersion for batch writers: a replayed step
+    is a no-op; advancing the txn version appends; the ledger rides
+    the manifest alongside streaming entries."""
+    import json as _json
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        latest_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "t")
+    v0 = versioned_write(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), t, txn=("etl", 1)
+    )
+    # replay of the same orchestration step: no new version, no new rows
+    assert versioned_write(
+        spark.createDataFrame([(1, "dup")], ["id", "v"]), t, txn=("etl", 1)
+    ) == v0
+    assert _rows(read_version(spark, t)) == [(1, "a")]
+    # the next step commits and advances the ledger
+    v1 = versioned_write(
+        spark.createDataFrame([(2, "b")], ["id", "v"]), t, txn=("etl", 2)
+    )
+    assert v1 == v0 + 1
+    m = _json.loads(open(_manifest_path(t, v1)).read())
+    assert m["txn"] == {"etl": 2}
+    # an older-or-equal txn version replays as a no-op even after others
+    assert versioned_write(
+        spark.createDataFrame([(9, "z")], ["id", "v"]), t, txn=("etl", 1)
+    ) == v1
+    assert latest_version(t) == v1
+
+
+def test_batch_txn_seeds_legacy_stream_ledger(spark, tmp_path):
+    """Materializing the txn map onto a pre-ledger table must seed the
+    stream apps' high-water marks from history — otherwise the stream
+    sink's one-time seed (keyed on the MISSING txn key) never fires and
+    legacy replays double-append."""
+    import json as _json
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "t")
+    # a legacy stream commit: batch/app stamps, NO txn map
+    versioned_write(
+        spark.createDataFrame([(1, "s")], ["id", "v"]), t,
+        _commit_extra={"source_batch_id": 5, "app_id": "s1"},
+    )
+    assert "txn" not in _json.loads(open(_manifest_path(t, 0)).read())
+    v = versioned_write(
+        spark.createDataFrame([(2, "b")], ["id", "v"]), t, txn=("job", 0)
+    )
+    m = _json.loads(open(_manifest_path(t, v)).read())
+    assert m["txn"] == {"s1": 5, "job": 0}
