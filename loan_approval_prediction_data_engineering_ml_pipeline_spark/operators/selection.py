@@ -158,3 +158,89 @@ def dsir_select(
         topk.withColumn("rank", F.row_number().over(rk))
         .select(F.col("id").alias(id_col), "logw", "key", "rank")
     )
+
+
+def dsir_select_flagged(
+    docs: DataFrame,
+    target_pred,
+    *,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`dsir_select` for the common case where target and pool
+    are SPLITS OF THE SAME CORPUS (``target_pred`` is a boolean Column
+    over ``docs``): identical results, one fewer corpus pass. The
+    membership flag is attached BEFORE the explode (map-only — no join,
+    no extra shuffle), so ONE feature aggregation carries both
+    distributions as conditional sums, and only the candidate-weight
+    pass re-reads the corpus: 2 tokenize passes instead of 3. At 100 TB
+    tokenize+hash is the dominant FLOPs term, which makes this the
+    preferred entry point for in-corpus targets."""
+    toks = F.filter(X.tokens(text_col), lambda t: t != "")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("_t"),
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    ).where(F.col("g") != "")
+    feats = (
+        base.withColumn(
+            "bucket", (X.token_base_hash(F.col("g")) % n_buckets).cast("int")
+        )
+        .groupBy("id", "_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # ONE bucket aggregation yields BOTH smoothed distributions; it is
+    # <= B rows, so it caches eagerly — every downstream consumer
+    # (totals, lambda) reads the kilobyte cache instead of re-scanning
+    # the corpus, which pins the whole plan at exactly TWO corpus
+    # passes (this one + the candidate-weight pass below)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+        F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+    ).cache()
+    counts.count()  # materialize the B-row cache in one job
+    # totals over ALL buckets (target-only buckets carry target mass);
+    # lambda only over the raw pool's buckets (cr > 0), matching
+    # importance_weights' rc-left-join-tc construction exactly
+    totals = counts.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
+    lam = (
+        counts.where(F.col("cr") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + F.lit(1.0))
+                      / (F.col("tt") + F.lit(float(n_buckets))))
+                - F.log((F.col("cr") + F.lit(1.0))
+                        / (F.col("rt") + F.lit(float(n_buckets))))
+            ).alias("lam"),
+        )
+    )
+    w = (
+        feats.where(~F.col("_t"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("n") * F.col("lam")).alias("logw"))
+    )
+    keyed = w.select(
+        "id",
+        F.round("logw", decimals).alias("logw"),
+        F.round(F.col("logw") + gumbel_key(F.col("id")), decimals).alias("key"),
+    )
+    topk = keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)
+    rk = Window.orderBy(F.col("key").desc(), F.col("id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(rk))
+        .select(F.col("id").alias(id_col), "logw", "key", "rank")
+    )

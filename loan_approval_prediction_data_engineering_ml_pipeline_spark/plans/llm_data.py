@@ -2620,12 +2620,14 @@ _DSIR_T = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
     "TakeOrderedAndProject — zero Python, no global sort",
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.selection import dsir_select as _dsir
+    from ..operators.selection import dsir_select_flagged
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source").isin(*_DSIR_TARGET))
-    raw = docs.where(~F.col("source").isin(*_DSIR_TARGET))
-    return _dsir(raw, target, k=50).orderBy("rank")
+    # in-corpus target split -> the fused two-pass variant (equality
+    # with the general two-frame path is tested in test_selection.py)
+    return dsir_select_flagged(
+        docs, F.col("source").isin(*_DSIR_TARGET), k=50
+    ).orderBy("rank")
 
 
 @query(

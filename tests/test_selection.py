@@ -67,3 +67,19 @@ def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
     )
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_dsir_flagged_equals_two_frame_path(spark):
+    """The fused single-corpus variant must return exactly the general
+    path's rows: same distributions, same weights, same Gumbel keys."""
+    rows = [
+        (i, ("alpha beta gamma" if i % 3 == 0 else "delta epsilon zeta eta"))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") % 5 == 0  # arbitrary in-corpus target split
+    target = docs.where(pred)
+    raw = docs.where(~pred)
+    a = S.dsir_select(raw, target, k=15).collect()
+    b = S.dsir_select_flagged(docs, pred, k=15).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
