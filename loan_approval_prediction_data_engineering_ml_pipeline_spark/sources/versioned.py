@@ -1261,8 +1261,11 @@ def _schema_of(manifest: dict):
 def read_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    *,
+    from_timestamp: float | None = None,
+    to_timestamp: float | None = None,
 ) -> DataFrame:
     """Change data feed between two snapshots (Delta CDF semantics,
     derived purely from the commit log): every row inserted or deleted
@@ -1286,7 +1289,23 @@ def read_changes(
     which makes ``read_changes(path, cursor)`` +
     ``_change_type='insert'`` the incremental-consumption primitive for
     downstream pipelines. Versions below the vacuum retention horizon
-    raise :class:`VersionVacuumedError`."""
+    raise :class:`VersionVacuumedError`.
+
+    Timestamp bounds (Delta CDF's ``startingTimestamp``/
+    ``endingTimestamp``; each mutually exclusive with its version
+    twin): ``from_timestamp`` resolves to the snapshot current AT that
+    instant (changes strictly after it stream), ``to_timestamp`` to the
+    last version committed at or before it."""
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_timestamp, not both")
+        from_version = version_at_timestamp(path, from_timestamp)
+    if from_version is None:
+        raise ValueError("one of from_version / from_timestamp is required")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp, not both")
+        to_version = version_at_timestamp(path, to_timestamp)
     if to_version is None:
         to_version = latest_version(path)
         if to_version is None:

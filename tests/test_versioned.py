@@ -1808,3 +1808,41 @@ def test_batch_txn_seeds_legacy_stream_ledger(spark, tmp_path):
     )
     m = _json.loads(open(_manifest_path(t, v)).read())
     assert m["txn"] == {"s1": 5, "job": 0}
+
+
+def test_read_changes_timestamp_bounds(spark, tmp_path):
+    """Delta CDF's startingTimestamp/endingTimestamp: timestamp bounds
+    resolve to the same feed as their version twins."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        commit_timestamp,
+        read_changes,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    time.sleep(0.05)
+    versioned_write(spark.createDataFrame([(2, "b")], ["id", "v"]), t)
+    time.sleep(0.05)
+    versioned_write(spark.createDataFrame([(3, "c")], ["id", "v"]), t)
+
+    want = sorted(
+        tuple(r) for r in read_changes(spark, t, 0, 2).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_changes(
+            spark, t,
+            from_timestamp=commit_timestamp(t, 0),
+            to_timestamp=commit_timestamp(t, 2),
+        ).collect()
+    )
+    assert got == want
+    # mid-interval from_timestamp resolves to the snapshot current then
+    mid = (commit_timestamp(t, 1) + commit_timestamp(t, 2)) / 2
+    only_last = read_changes(spark, t, from_timestamp=mid).collect()
+    assert {(r["id"], r["_commit_version"]) for r in only_last} == {(3, 2)}
+    with pytest.raises(ValueError, match="not both"):
+        read_changes(spark, t, 0, from_timestamp=mid)
+    with pytest.raises(ValueError, match="required"):
+        read_changes(spark, t)
