@@ -116,6 +116,11 @@ class VersionedTableDataSource(DataSource):
     - ``path`` (required): the versioned table root
     - ``starting_version`` (default 0): first version INCLUDED in the
       stream (0 = replay the table from its first commit)
+    - ``starting_timestamp`` (epoch seconds; mutually exclusive with
+      ``starting_version``): Delta's ``startingTimestamp`` — the stream
+      begins at the first version committed strictly AFTER the snapshot
+      current at that instant (the snapshot itself is presumed consumed
+      in batch via ``read_version(timestamp=...)``)
     - ``skip_change_commits`` (default false): skip non-append commits
       instead of failing
     - ``read_change_feed`` (default false): stream every commit as
@@ -145,6 +150,22 @@ class VersionedTableDataSource(DataSource):
                 "exclusive: the change feed streams change commits, "
                 "skipping discards them"
             )
+        if "starting_version" in self.options and "starting_timestamp" in self.options:
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
+
+    def _starting_version(self) -> int:
+        ts = self.options.get("starting_timestamp")
+        if ts is not None:
+            # first version AFTER the snapshot current at ts; a ts
+            # before the earliest retained commit replays everything
+            try:
+                return V.version_at_timestamp(self._path(), float(ts)) + 1
+            except ValueError:
+                return 0
+        return int(self.options.get("starting_version", "0"))
 
     def schema(self) -> StructType:
         self._check_options()
@@ -166,7 +187,7 @@ class VersionedTableDataSource(DataSource):
         return VersionedStreamReader(
             self._path(),
             schema,
-            starting_version=int(self.options.get("starting_version", "0")),
+            starting_version=self._starting_version(),
             skip_change_commits=skip,
             read_change_feed=cdf,
         )

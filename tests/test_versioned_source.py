@@ -72,6 +72,30 @@ def test_stream_source_starting_version(spark, tmp_path):
     assert got == [(2, "r2")]
 
 
+def test_stream_source_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp: the stream begins after the snapshot
+    current at the instant; pre-history timestamps replay everything;
+    combining both start options is refused."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        commit_timestamp,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        versioned_write(spark.createDataFrame([(i, f"r{i}")], ["id", "v"]), t)
+    got: list[tuple] = []
+    _drain(spark, t, str(tmp_path / "cp"), got,
+           starting_timestamp=str(commit_timestamp(t, 1)))
+    assert got == [(2, "r2")]  # v1's snapshot is presumed consumed in batch
+    got2: list[tuple] = []
+    _drain(spark, t, str(tmp_path / "cp2"), got2,
+           starting_timestamp=str(commit_timestamp(t, 0) - 100.0))
+    assert sorted(got2) == [(0, "r0"), (1, "r1"), (2, "r2")]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(spark, t, str(tmp_path / "cp3"), [],
+               starting_version="0", starting_timestamp="0")
+
+
 def test_stream_source_change_commit_fails_then_skips(spark, tmp_path):
     t = str(tmp_path / "t")
     versioned_write(
