@@ -58,3 +58,41 @@ def test_redaction_is_map_only(spark):
     plan = pii.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # zero UDFs: all JVM regexp expressions
+
+
+def test_redaction_idempotent_and_residual_free_on_fuzz_corpus(spark):
+    """One batch of 150 seeded fuzz strings mixing every PII class with
+    word soup: (1) placeholders never re-match (redact∘redact ==
+    redact — placeholders carry no digits/@/separators), (2) the
+    realistic corpus redacts residual-free (re-counting every class on
+    the redacted text finds nothing)."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "ip", "mail", "x1", "42", "a.b", "-", "dot."]
+    def frag():
+        kind = rng.randrange(8)
+        if kind == 0:
+            return f"user{rng.randrange(99)}@h{rng.randrange(9)}.example.com"
+        if kind == 1:
+            return f"{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}"
+        if kind == 2:
+            return f"{rng.randrange(100,999)}-{rng.randrange(100,999)}-{rng.randrange(1000,9999)}"
+        if kind == 3:
+            return f"{rng.randrange(100,999)}-{rng.randrange(10,99)}-{rng.randrange(1000,9999)}"
+        if kind == 4:
+            return "4111-1111-1111-" + str(rng.randrange(1000, 9999))
+        return rng.choice(words)
+
+    rows = [(i, " ".join(frag() for _ in range(rng.randrange(3, 12))))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = pii.redact_pii(df, with_counts=False)
+    twice = pii.redact_pii(once, with_counts=False)
+    residual = once.select("doc_id", *pii.pii_counts("text")).collect()
+    assert all(
+        all(r[f"n_{name}"] == 0 for name, _, _ in pii.PII_RULES) for r in residual
+    )
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
