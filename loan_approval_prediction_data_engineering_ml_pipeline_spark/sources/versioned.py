@@ -1181,7 +1181,10 @@ def versioned_write(
                 if "txn" not in prev_m:
                     ledger.update(_seed_ledger_from_history(path))
                 if ledger.get(txn_app, -1) >= txn_version:
-                    return prev  # a concurrent retry of OUR txn won
+                    # a concurrent retry of OUR txn won; the data dir
+                    # this attempt already wrote is an unreferenced
+                    # orphan, reclaimed by vacuum like any crashed write
+                    return prev
                 # merge the moved head's ledger so other apps' entries
                 # committed under us are never clobbered by the rebase
                 _commit_extra = {
