@@ -28,7 +28,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO abort, not NaN) when either side
+    is the zero vector — matching DuckDB's x/0 -> NULL, so a zero-norm
+    row falls out of any >= threshold filter on both engines."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_normalize(v: Column) -> Column:

@@ -153,7 +153,17 @@ def build_bm25_index(
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
-    dlen.coalesce(1).write.mode("overwrite").parquet(f"{path}/lengths")
+    # lengths is one row PER CORPUS DOCUMENT — at 10^9 docs a
+    # coalesce(1) here would funnel ~12 GB through a single writer task
+    # and bound probe-side read parallelism to one file's row groups.
+    # Range-partition by id like postings/ so the build stays parallel
+    # and the probe's dlen join scans id-clustered files.
+    (
+        dlen.repartitionByRange(n_files, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/lengths")
+    )
     dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

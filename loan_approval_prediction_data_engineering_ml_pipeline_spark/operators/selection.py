@@ -201,15 +201,25 @@ def dsir_select_flagged(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # ONE bucket aggregation yields BOTH smoothed distributions; it is
-    # <= B rows, so it caches eagerly — every downstream consumer
-    # (totals, lambda) reads the kilobyte cache instead of re-scanning
-    # the corpus, which pins the whole plan at exactly TWO corpus
-    # passes (this one + the candidate-weight pass below)
-    counts = feats.groupBy("bucket").agg(
-        F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
-        F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
-    ).cache()
-    counts.count()  # materialize the B-row cache in one job
+    # <= B rows (kilobytes), so materialize it to the driver and
+    # rebuild as a local relation — every downstream consumer (totals,
+    # lambda) reads that instead of re-scanning the corpus, pinning the
+    # whole plan at exactly TWO corpus passes (this one + the
+    # candidate-weight pass below). A .cache() here would do the same
+    # but leak an executor-storage relation per call (the returned
+    # DataFrame is lazy, so the function can never safely unpersist —
+    # ADVICE r8); the collect is bounded at B rows by construction.
+    counts_rows = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+            F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+        )
+        .collect()
+    )
+    counts = docs.sparkSession.createDataFrame(
+        counts_rows, "bucket int, cr bigint, ct bigint"
+    )
     # totals over ALL buckets (target-only buckets carry target mass);
     # lambda only over the raw pool's buckets (cr > 0), matching
     # importance_weights' rc-left-join-tc construction exactly

@@ -252,8 +252,10 @@ def max_cosine_vs_reference(
     reference, probe per corpus row) and exact-verify only the matches.
 
     Semantics notes, shared by both paths: a zero-norm corpus vector has
-    no defined cosine — expr yields a NULL max, gemm a NaN — and either
-    falls out of any downstream ``>= threshold`` filter; zero-norm
+    no defined cosine — BOTH paths yield a NULL max (the gemm batch masks
+    zero-norm rows to null; a raw NaN would sort ABOVE every value in
+    Spark SQL and pass a ``>= threshold`` filter the expr path's NULL
+    fails, silently flagging junk vectors as contaminated); zero-norm
     REFERENCE rows are contribution-less in expr (NULL skipped by max)
     and are dropped from the gemm matrix to match."""
     if method not in ("auto", "expr", "gemm"):
@@ -290,7 +292,15 @@ def max_cosine_vs_reference(
             n = np.linalg.norm(M, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 mc = np.max((M @ En.T) / n[:, None], axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "mc": mc})
+            # zero-norm rows: 0/0 -> NaN, and Spark SQL orders NaN above
+            # every value, so it would PASS >= threshold filters the
+            # expr path's NULL fails. Emit null via pandas' nullable
+            # Float64 so Arrow carries a true null to the JVM.
+            out = pd.array(mc, dtype="Float64")
+            out[n == 0] = pd.NA
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "mc": out}
+            )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         mc_batches, schema=f"{id_col} long, mc double"

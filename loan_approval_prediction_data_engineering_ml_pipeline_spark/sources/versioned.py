@@ -1451,10 +1451,22 @@ def version_at_timestamp(path: str, ts: float) -> int:
     commit time is <= ``ts``. O(retained manifests) metadata reads, no
     data touched. Raises if ``ts`` predates the earliest retained
     commit (vacuum bounds timestamp travel exactly as it bounds
-    version travel)."""
+    version travel).
+
+    Raw stamps need not be monotonic across versions: multi-writer
+    clock skew, or a relocated legacy table whose pre-stamp manifests
+    fall back to mtime, can give a later version an earlier timestamp.
+    Delta's monotonic adjustment applies while scanning — each
+    version's effective time is ``max(commit_ts, previous effective)``
+    — so the version order is always respected and a skewed later
+    version is never returned for an instant at which it did not yet
+    exist (Delta's ``commitInfo`` in-commit-timestamp rule)."""
     best = None
+    eff = None
     for v in _manifest_versions(path):
-        if commit_timestamp(path, v) <= ts:
+        raw = commit_timestamp(path, v)
+        eff = raw if eff is None else max(raw, eff)
+        if eff <= ts:
             best = v
     if best is None:
         raise ValueError(

@@ -46,7 +46,6 @@ silent gap.
 
 from __future__ import annotations
 
-import os
 import posixpath
 from typing import Iterator, Sequence
 
@@ -68,6 +67,27 @@ def _local(p: str) -> str:
 
         return unquote(urlparse(p).path)
     return p
+
+
+def _fs_path(p: str):
+    """Worker-side (pyarrow filesystem, path) for any scheme the data
+    plane may carry. Plain paths and ``file:`` URIs resolve to the
+    local filesystem; other URI schemes go through
+    ``pyarrow.fs.FileSystem.from_uri`` (``s3a://`` — Hadoop's S3
+    connector scheme — is translated to pyarrow's ``s3://``). This is
+    what makes the module's remote-root claim hold for THIS Python
+    source too: worker reads never call ``os.listdir``/raw-path
+    ``read_table`` on a URI (ADVICE r8)."""
+    from pyarrow import fs as pafs
+
+    if p.startswith("file:"):
+        return pafs.LocalFileSystem(), _local(p)
+    if "://" not in p:
+        return pafs.LocalFileSystem(), p
+    uri = p
+    if uri.startswith("s3a://"):
+        uri = "s3://" + uri[len("s3a://") :]
+    return pafs.FileSystem.from_uri(uri)
 
 
 class _FilePartition(InputPartition):
@@ -159,10 +179,20 @@ class VersionedTableDataSource(DataSource):
     def _starting_version(self) -> int:
         ts = self.options.get("starting_timestamp")
         if ts is not None:
+            # parse OUTSIDE the fallback try: a malformed option (e.g. a
+            # '2026-08-15' date string) must error loudly, not silently
+            # replay from version 0 (ADVICE r8)
+            try:
+                ts_val = float(ts)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"starting_timestamp must be a unix epoch-seconds "
+                    f"number, got {ts!r}"
+                ) from None
             # first version AFTER the snapshot current at ts; a ts
             # before the earliest retained commit replays everything
             try:
-                return V.version_at_timestamp(self._path(), float(ts)) + 1
+                return V.version_at_timestamp(self._path(), ts_val) + 1
             except ValueError:
                 return 0
         return int(self.options.get("starting_version", "0"))
@@ -326,13 +356,15 @@ class VersionedStreamReader(DataSourceStreamReader):
             return set()
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyarrow.fs import FileSelector
 
-        d = _local(dirpath)
+        fs, d = _fs_path(dirpath)
         out: set[int] = set()
-        for part in sorted(os.listdir(d)):
-            if not part.endswith(".parquet"):
+        infos = sorted(fs.get_file_info(FileSelector(d)), key=lambda i: i.base_name)
+        for info in infos:
+            if not info.base_name.endswith(".parquet"):
                 continue
-            tbl = pq.read_table(os.path.join(d, part))
+            tbl = pq.read_table(info.path, filesystem=fs)
             m = tbl.filter(pc.equal(tbl.column("file_name"), file_name))
             out.update(m.column("row_index").to_pylist())
         return out
@@ -363,7 +395,8 @@ class VersionedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(_local(partition.file))
+        fs, fp = _fs_path(partition.file)
+        tbl = pq.read_table(fp, filesystem=fs)
         if isinstance(partition, _ChangePartition):
             name = posixpath.basename(partition.file)
             if partition.select_dir is not None:

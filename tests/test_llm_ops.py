@@ -855,3 +855,31 @@ def test_ivf_batch_topk_salted_equals_unsalted_on_hot_cell(spark, tmp_path):
         ).collect()
     ]
     assert one == single
+
+
+def test_max_cosine_zero_norm_corpus_rows_null_on_both_paths(spark):
+    """A zero-norm corpus vector has no defined cosine. The expr path
+    yields NULL (max over NULL cosines); the gemm path must yield NULL
+    too — NOT NaN, which Spark SQL orders ABOVE every value and which
+    would therefore PASS a >= threshold contamination filter the expr
+    path fails (ADVICE r8)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, v array<double>",
+    )
+    ref = spark.createDataFrame([([1.0, 0.0],)], "ev array<double>")
+    for method in ("expr", "gemm"):
+        rows = {
+            r["vec_id"]: r["mc"]
+            for r in S.max_cosine_vs_reference(corpus, ref, method=method).collect()
+        }
+        assert rows[2] is None, (method, rows)
+        assert abs(rows[1] - 1.0) < 1e-9
+        # the downstream decontamination predicate must NOT flag it
+        flagged = {
+            r["vec_id"]
+            for r in S.max_cosine_vs_reference(corpus, ref, method=method)
+            .where(F.round("mc", 6) >= 0.35)
+            .collect()
+        }
+        assert flagged == {1, 3}, (method, flagged)  # 2 (zero-norm) excluded

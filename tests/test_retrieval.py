@@ -126,3 +126,31 @@ def test_bm25_indexed_equals_direct_and_pushes_term_filter(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(tok" in plan or "tok IN" in plan
     assert "Python" not in plan
+
+
+def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
+    """lengths/ is corpus-sized (one row per document) — the build must
+    not funnel it through a single task. With n_files>1 the directory
+    holds multiple part files, and the probe still matches the direct
+    path exactly."""
+    import glob
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        build_bm25_index,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta") for i in range(400)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25p")
+    build_bm25_index(docs, idx, n_files=4)
+    parts = glob.glob(f"{idx}/lengths/part-*.parquet")
+    assert len(parts) > 1, "lengths/ must not be a single-writer stage"
+    q = spark.createDataFrame(
+        [("q1", "tok3"), ("q1", "beta")], "query_id string, term string"
+    )
+    direct = bm25_topk(docs, q, k=5).collect()
+    indexed = bm25_topk_indexed(spark, idx, q, k=5).collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, direct))

@@ -83,3 +83,25 @@ def test_dsir_flagged_equals_two_frame_path(spark):
     a = S.dsir_select(raw, target, k=15).collect()
     b = S.dsir_select_flagged(docs, pred, k=15).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dsir_flagged_leaves_no_cached_relations(spark):
+    """Repeated calls must not accumulate executor-storage cache
+    entries for the session's lifetime (ADVICE r8): the B-row counts
+    relation is driver-materialized, not .cache()d."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.selection import (
+        dsir_select_flagged,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("spark shuffle join " if i % 3 == 0 else "cat dog bird ") * 3)
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    before = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    for _ in range(2):
+        dsir_select_flagged(
+            docs, F.col("doc_id") % 3 == 0, k=5
+        ).collect()
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(after) == len(before), "dsir_select_flagged leaked cached RDDs"

@@ -1846,3 +1846,58 @@ def test_read_changes_timestamp_bounds(spark, tmp_path):
         read_changes(spark, t, 0, from_timestamp=mid)
     with pytest.raises(ValueError, match="required"):
         read_changes(spark, t)
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stamps=st.lists(
+        st.floats(min_value=1.0, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    probe=st.floats(min_value=0.0, max_value=1.1e6, allow_nan=False),
+)
+def test_version_at_timestamp_monotonic_under_clock_skew(tmp_path, stamps, probe):
+    """Delta's TIMESTAMP AS OF contract under arbitrary (possibly
+    NON-monotonic) committed_at stamps — multi-writer clock skew, or a
+    relocated legacy table whose mtime fallbacks reordered. The scan
+    must apply monotonic adjustment (effective = max(raw, prev
+    effective)) so a skewed later version is never returned for an
+    instant before it existed, and must raise below the adjusted
+    earliest commit. Pure metadata: manifests fabricated by hand, no
+    Spark (ADVICE r8 / VERDICT r8 #7)."""
+    import json as _json
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / f"skew_{hash(tuple(stamps)) & 0xFFFF}_{len(stamps)}")
+    for v, ts in enumerate(stamps):
+        mp = _manifest_path(t, v)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        with open(mp, "w") as fh:
+            _json.dump({"committed_at": ts, "mode": "overwrite"}, fh)
+
+    # reference: Delta monotonic adjustment
+    eff = []
+    for ts in stamps:
+        eff.append(ts if not eff else max(ts, eff[-1]))
+    expect = None
+    for v, e in enumerate(eff):
+        if e <= probe:
+            expect = v
+    if expect is None:
+        with pytest.raises(ValueError, match="no retained version"):
+            version_at_timestamp(t, probe)
+    else:
+        assert version_at_timestamp(t, probe) == expect

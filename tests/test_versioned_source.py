@@ -189,3 +189,43 @@ def test_stream_source_change_feed_excludes_skip_option(spark, tmp_path):
             .option("skip_change_commits", "true")
             .load()
         )
+
+
+def test_stream_source_change_feed_over_file_uri_root(spark, tmp_path):
+    """Worker-side reads (data files AND DV masks) must resolve through
+    a scheme-aware pyarrow filesystem, not os.listdir/raw paths — the
+    file:-URI root is the in-repo proxy for an object-store scheme
+    (ADVICE r8). CDF over a delete exercises both the mask listing and
+    the data-file read on URI paths."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+    )
+
+    t = "file:" + str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]), t
+    )
+    delete_where(spark, t, [("id", "==", 2)])
+    got: list[tuple] = []
+    _drain(
+        spark, t, str(tmp_path / "cp"), got, read_change_feed="true"
+    )
+    ins = sorted(r[:2] for r in got if r[2] == "insert")
+    dels = sorted(r[:2] for r in got if r[2] == "delete")
+    assert ins == [(1, "a"), (2, "b"), (3, "c")]
+    assert dels == [(2, "b")]
+
+
+def test_stream_source_malformed_starting_timestamp_errors(spark, tmp_path):
+    """A malformed starting_timestamp (e.g. a date string) must raise,
+    not silently replay from version 0 (ADVICE r8)."""
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    with pytest.raises(Exception, match="starting_timestamp"):
+        _drain(
+            spark,
+            t,
+            str(tmp_path / "cp"),
+            [],
+            starting_timestamp="2026-08-15",
+        )
