@@ -14,8 +14,19 @@ SF_CORRECT = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.session import get_spark
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.s3mock import ensure_s3mock_fs
 
+    # the s3mock:// Hadoop shim (object-store LogStore test matrix) must
+    # be on the driver classpath BEFORE the JVM launches; best-effort —
+    # without javac the s3mock-parameterized tests skip
+    extra: dict[str, str] = {}
+    classes = ensure_s3mock_fs()
+    if classes:
+        extra = {
+            "spark.driver.extraClassPath": classes,
+            "spark.hadoop.fs.s3mock.impl": "sparkgraft.S3MockFileSystem",
+        }
     s = get_spark(app_name="tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
-                  driver_memory="8g")
+                  driver_memory="8g", extra_conf=extra)
     yield s
     s.stop()
