@@ -123,6 +123,18 @@ def bm25_topk(
     )
 
 
+def _tok_bucket(tok, n_buckets: int):
+    """Deterministic token -> bucket, identical in driver-side Python
+    (:func:`_py_tok_bucket`): the shared md5 base hash mod n_buckets."""
+    return (X.token_base_hash(tok) % n_buckets).cast("int")
+
+
+def _py_tok_bucket(t: str, n_buckets: int) -> int:
+    import hashlib
+
+    return (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % X.MINHASH_PRIME) % n_buckets
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -130,27 +142,33 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_files: int = 8,
+    n_buckets: int = 8,
 ) -> None:
     """Persist the BM25 posting lists — the build-once/query-forever
     lifecycle the ANN indexes use, for standing query workloads where
     re-tokenizing 100 TB per query batch is the wrong cost model.
 
-    Layout: ``postings/`` holds (tok, id, tf) range-partitioned AND
-    sorted by ``tok``, so every file and every parquet row group spans
-    a narrow token range — a probe for K terms pushes ``tok IN (...)``
-    into the scan and reads only the row groups whose min/max admit
-    those terms (the text corpus is never touched again). ``lengths/``
-    holds (id, dl); ``meta/`` holds the 1-row (n, avgdl). Rebuild to
-    refresh; incremental maintenance follows the ivf_upsert pattern
-    (REPLACE the touched token ranges)."""
+    Layout: ``postings/`` holds (tok, id, tf) hive-partitioned by a
+    deterministic token ``bucket`` (md5 base hash mod ``n_buckets``) and
+    sorted by ``tok`` within each partition — a probe for K terms prunes
+    to the K buckets' directories (partition pruning) and pushes ``tok
+    IN (...)`` into the scan, reading only row groups whose tok min/max
+    admit the probe terms (the text corpus is never touched again). The
+    bucket is a stable function of the token, which is what makes
+    :func:`upsert_bm25_index` a partition-granular REPLACE — exactly the
+    ``ivf_upsert`` cell layout, with tokens in place of centroid cells.
+    ``lengths/`` holds (id, dl); ``meta/`` holds the 1-row
+    (n, avgdl, n_buckets)."""
     ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
     dlen = docs.select(F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl"))
     toks = docs.select(F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok"))
     tf = toks.groupBy("tok", "id").agg(F.count(F.lit(1)).alias("tf"))
     (
-        tf.repartitionByRange(n_files, "tok")
+        tf.withColumn("bucket", _tok_bucket(F.col("tok"), n_buckets))
+        .repartition(n_buckets, "bucket")
         .sortWithinPartitions("tok", "id")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
     # lengths is one row PER CORPUS DOCUMENT — at 10^9 docs a
@@ -167,7 +185,73 @@ def build_bm25_index(
     dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def upsert_bm25_index(
+    spark,
+    delta_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> int:
+    """Incremental BM25 maintenance (the ``ivf_upsert`` pattern): fold a
+    batch of NEW documents into an existing index without re-tokenizing
+    the corpus. The delta's postings REPLACE INTO only the token-bucket
+    partitions its tokens hash to — cold buckets keep byte-identical
+    files; the delta's lengths append as new files (cold length files
+    untouched); ``meta`` re-derives (n, avgdl) from the combined length
+    relation, O(corpus) rows of two ints but map-side-combined to one
+    row. A probe after the upsert equals a fresh :func:`bm25_topk` over
+    the union corpus exactly, because df/idf re-derive from the posting
+    sliver at probe time — no global statistic is baked into the files.
+
+    Same constraint as ``ivf_upsert``/``upsert_parquet_partitioned``: a
+    RE-INGESTED id whose new text drops a token would leave the old
+    (tok, id) posting in a bucket the delta does not touch — delete the
+    ids first (or rebuild) if documents mutate. New-id appends, the
+    daily-ingest shape, are exact.
+
+    Returns the number of posting buckets touched."""
+    from ..sources.loaders import upsert_parquet_partitioned
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
+    dlen = delta_docs.select(
+        F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")
+    )
+    toks = delta_docs.select(
+        F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok")
+    )
+    tf = (
+        toks.groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _tok_bucket(F.col("tok"), n_buckets))
+    )
+    n_touched = tf.select("bucket").distinct().count()
+    upsert_parquet_partitioned(tf, f"{path}/postings", ["tok", "id"], "bucket")
+    (
+        dlen.repartitionByRange(max(1, n_files // 4), "id")
+        .sortWithinPartitions("id")
+        .write.mode("append")
+        .parquet(f"{path}/lengths")
+    )
+    (
+        spark.read.parquet(f"{path}/lengths")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    return n_touched
 
 
 def bm25_topk_indexed(
@@ -188,7 +272,16 @@ def bm25_topk_indexed(
     terms select."""
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = [r["term"] for r in queries.select("term").distinct().collect()]
+    stats = spark.read.parquet(f"{path}/meta")
+    n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
     postings = spark.read.parquet(f"{path}/postings")
+    # directory-level partition pruning first: only the buckets the
+    # probe terms hash to are even listed (the bucket fn is the same
+    # md5 base hash on both sides, so this is computable driver-side
+    # from the already-collected term list — no extra job)
+    probe_buckets = sorted({_py_tok_bucket(t, n_buckets) for t in terms})
+    if len(probe_buckets) < n_buckets:
+        postings = postings.where(F.col("bucket").isin(probe_buckets))
     if len(terms) <= 512:
         # literal IN pushes into the parquet scan: only row groups
         # whose tok min/max admit a probe term are read
@@ -197,14 +290,14 @@ def bm25_topk_indexed(
         # degenerate mega-query workloads: a literal IN this wide
         # bloats the plan (the versioned DV-mask lesson) — fall back to
         # a broadcast semi-join; row-group pruning is lost but the scan
-        # still prunes to the postings relation, never the corpus text
+        # still prunes to the probe buckets, never the corpus text
         tf = postings.join(
             F.broadcast(spark.createDataFrame([(t,) for t in terms], "tok string")),
             "tok",
             "left_semi",
         )
+    tf = tf.drop("bucket")
     dlen = spark.read.parquet(f"{path}/lengths")
-    stats = spark.read.parquet(f"{path}/meta")
     idf = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -154,3 +154,74 @@ def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
     direct = bm25_topk(docs, q, k=5).collect()
     indexed = bm25_topk_indexed(spark, idx, q, k=5).collect()
     assert sorted(map(tuple, indexed)) == sorted(map(tuple, direct))
+
+
+def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
+    """upsert_bm25_index folds a NEW-doc batch in and a probe must
+    equal a fresh bm25_topk over the union corpus; only the posting
+    buckets the delta's tokens hash to are rewritten — cold bucket
+    dirs stay byte-identical (the S6 / ivf_upsert standard)."""
+    import glob
+    import hashlib as hl
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        _py_tok_bucket,
+        bm25_topk_indexed,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 11} beta gamma tok{i % 7}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, f"delta tok3 epsilon") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25u")
+    build_bm25_index(a, idx, n_buckets=8)
+
+    def _dir_digest(bucket: int) -> str:
+        h = hl.md5()
+        for f in sorted(glob.glob(f"{idx}/postings/bucket={bucket}/part-*")):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    delta_buckets = {_py_tok_bucket(t, 8) for t in ("delta", "tok3", "epsilon")}
+    cold = [bk for bk in range(8) if bk not in delta_buckets]
+    assert cold, "fixture must leave at least one cold bucket"
+    before = {bk: _dir_digest(bk) for bk in cold}
+
+    touched = upsert_bm25_index(spark, b, idx)
+    assert touched == len(delta_buckets)
+    for bk in cold:
+        assert _dir_digest(bk) == before[bk], f"cold bucket {bk} rewritten"
+
+    q = spark.createDataFrame(
+        [("q1", "tok3"), ("q1", "beta"), ("q2", "delta")],
+        "query_id string, term string",
+    )
+    fresh = bm25_topk(a.unionByName(b), q, k=9).collect()
+    probed = bm25_topk_indexed(spark, idx, q, k=9).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, fresh))
+
+
+def test_bm25_indexed_probe_prunes_partitions_to_term_buckets(spark, tmp_path):
+    """The probe's scan must carry a PartitionFilters entry on the
+    token bucket — directory pruning, not just row-group pruning."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 11} beta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25pp")
+    build_bm25_index(docs, idx, n_buckets=8)
+    q = spark.createDataFrame([("q1", "alpha")], "query_id string, term string")
+    probe = bm25_topk_indexed(spark, idx, q, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
