@@ -85,6 +85,7 @@ HEADLINE = [
     "pii_redact",  # full-rule-table privacy scrub, map-only codegen (r8)
     "bm25_topk",  # lexical retrieval: broadcast terms + one window (r8)
     "dsir_select",  # DSIR importance resampling, Gumbel top-k (r8)
+    "curation_pipeline_funnel",  # composed pii->quality->dedup->decon->dsir recipe (r9)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

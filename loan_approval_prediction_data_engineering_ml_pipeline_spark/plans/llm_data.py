@@ -1657,6 +1657,385 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_TARGET = ("src1", "src2")
+_DSIR_T = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+#: Deterministic doc_id-derived PII payload (SQL form) — the synthetic
+#: corpus has no real PII, so parity queries plant this on BOTH sides
+#: first: non-trivial counts, and the Java-vs-RE2 regex semantics are
+#: what the hash then certifies. Shared by pii_redact AND the composed
+#: curation funnel (redaction must measurably change downstream
+#: fingerprints or "redact first" would be unverifiable).
+_PII_AUG_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org via 192.168.'"
+    " || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0"
+    " THEN ' id 123-45-6789 pay 4111-1111-1111-1111' ELSE '' END"
+)
+
+
+def _pii_aug_expr():
+    """Spark twin of :data:`_PII_AUG_SQL`."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org via 192.168."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" id 123-45-6789 pay 4111-1111-1111-1111"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_redact_sql(col: str) -> str:
+    """DuckDB redaction chain over ``col`` from the SAME PII_RULES."""
+    from ..operators.pii import PII_RULES
+
+    red = col
+    for _, pat, repl in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return red
+
+
+
+_FUNNEL_CHK = (
+    "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 2147483647)"
+)
+_FUNNEL_K = 25
+
+# The funnel's planted PII payload derives from the doc's DISTINCT-TOKEN-
+# SET hash (order-independent sum of the md5 base hashes), NOT doc_id:
+# exact and token-set near-duplicates then carry IDENTICAL payloads, so
+# planting PII does not break the dedup stages it precedes, and the
+# payload's post-redaction token stream interleaves a set-hash-derived
+# identity token between placeholders so no 3 consecutive payload tokens
+# are doc-independent — planting cannot manufacture a universal
+# contamination shingle. (A doc_id-derived payload — fine for the
+# standalone pii_redact parity — fails BOTH ways: it un-duplicates exact
+# dups and its homogeneous "<EMAIL> via <IP>" run contaminates the
+# entire corpus.)
+_FUNNEL_HSUM_SQL = (
+    "list_aggregate(list_transform(list_distinct(string_split(trim(lower(text)), ' ')), "
+    f"x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {X.MINHASH_PRIME}), 'sum')"
+)
+_FUNNEL_AUG_SQL = (
+    "text || ' u' || CAST(hsum % 1000003 AS VARCHAR)"
+    " || ' user@mail.example.org w' || CAST(hsum % 1000003 AS VARCHAR)"
+    " || ' 192.168.' || CAST(hsum % 200 AS VARCHAR) || '.7'"
+    " || CASE WHEN hsum % 3 = 0 THEN ' c' || CAST(hsum % 1000003 AS VARCHAR)"
+    " || ' 415-555-' || lpad(CAST(hsum % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN hsum % 7 = 0 THEN ' s' || CAST(hsum % 1000003 AS VARCHAR)"
+    " || ' 123-45-6789 p' || CAST(hsum % 1000003 AS VARCHAR)"
+    " || ' 4111-1111-1111-1111' ELSE '' END"
+)
+
+
+def _funnel_aug_expr():
+    """Spark twin of :data:`_FUNNEL_AUG_SQL` (expects ``hsum``)."""
+    h6 = (F.col("hsum") % 1000003).cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" u"), h6,
+        F.lit(" user@mail.example.org w"), h6,
+        F.lit(" 192.168."), (F.col("hsum") % 200).cast("string"), F.lit(".7"),
+        F.when(
+            F.col("hsum") % 3 == 0,
+            F.concat(
+                F.lit(" c"), h6,
+                F.lit(" 415-555-"),
+                F.lpad((F.col("hsum") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hsum") % 7 == 0,
+            F.concat(
+                F.lit(" s"), h6,
+                F.lit(" 123-45-6789 p"), h6,
+                F.lit(" 4111-1111-1111-1111"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _funnel_hsum_expr():
+    return F.aggregate(
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " ")),
+            X.token_base_hash,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+_FUNNEL_STAGES_SQL = {
+    "1_quality": "q_pass",
+    "2_exact_dedup": "q_pass AND exact_keep",
+    "3_near_dedup": "q_pass AND exact_keep AND near_keep",
+    "4_decontaminated": "q_pass AND exact_keep AND near_keep AND NOT contaminated",
+}
+
+
+def _funnel_oracle() -> str:
+    stage_rows = "\n      UNION ALL\n".join(
+        f"""      SELECT '{name}' AS stage,
+             CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN {cond} THEN len(toks) END), 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(CASE WHEN {cond} THEN chk END), 0) AS BIGINT) AS id_checksum
+      FROM f4"""
+        for name, cond in _FUNNEL_STAGES_SQL.items()
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, lang, source, text, {_FUNNEL_HSUM_SQL} AS hsum
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, source,
+             {_pii_redact_sql(f"({_FUNNEL_AUG_SQL})")} AS text
+      FROM hs
+    ),
+    pool AS (
+      SELECT *, string_split(trim(text), ' ') AS toks,
+             {_FUNNEL_CHK} AS chk
+      FROM base WHERE doc_id % 97 != 0
+    ),
+    f1 AS (
+      SELECT *, ({_QUALITY_SQL} >= 0.55) AS q_pass FROM pool
+    ),
+    f2 AS (
+      SELECT *, doc_id = min(CASE WHEN q_pass THEN doc_id END)
+                OVER (PARTITION BY md5(lower(trim(text)))) AS exact_keep
+      FROM f1
+    ),
+    f3 AS (
+      SELECT *, doc_id = min(CASE WHEN q_pass AND exact_keep THEN doc_id END)
+                OVER (PARTITION BY {_sig_names}) AS near_keep
+      FROM (SELECT *, {_sig_cols}
+            FROM (SELECT *, {_TOKH} AS tokh FROM f2))
+    ),
+    esh AS (
+      SELECT DISTINCT unnest({_shingles_sql(3)}) AS g
+      FROM base WHERE doc_id % 97 = 0
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_shingles_sql(3)}) AS g FROM pool
+      ) p JOIN esh USING (g)
+    ),
+    f4 AS (
+      SELECT f3.*, (c.doc_id IS NOT NULL) AS contaminated
+      FROM f3 LEFT JOIN contam c ON f3.doc_id = c.doc_id
+    ),
+    surv AS (
+      SELECT * FROM f4
+      WHERE q_pass AND exact_keep AND near_keep AND NOT contaminated
+    ),
+    lt AS (SELECT doc_id, source, list_filter(toks, t -> t <> '') AS ts FROM surv),
+    tk AS (SELECT doc_id, source, unnest(ts) AS g,
+                  generate_subscripts(ts, 1) AS i FROM lt),
+    grams AS (
+      SELECT doc_id, source, g FROM tk
+      UNION ALL
+      SELECT a.doc_id, a.source, a.g || '_' || b.g
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             CAST((CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                   % 2147483647) % 1024 AS INT) AS bucket,
+             count(*) AS n
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    rawc AS (SELECT bucket, sum(n) AS cr FROM feat
+             WHERE source NOT IN ({_DSIR_T}) GROUP BY 1),
+    tgtc AS (SELECT bucket, sum(n) AS ct FROM feat
+             WHERE source IN ({_DSIR_T}) GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM rawc) AS rt,
+                   (SELECT sum(ct) FROM tgtc) AS tt),
+    lam AS (
+      SELECT r.bucket,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 1024.0))
+           - ln((r.cr + 1.0) / (tot.rt + 1024.0)) AS lam
+      FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT f.doc_id, sum(f.n * lam.lam) AS logw
+      FROM feat f JOIN lam USING (bucket)
+      WHERE f.source NOT IN ({_DSIR_T})
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id,
+             round(logw + (-ln(-ln(
+               ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 2147483647) + 1.0) / 2147483648.0
+             ))), 6) AS key
+      FROM w
+    ),
+    sel AS (SELECT doc_id FROM keyed ORDER BY key DESC, doc_id LIMIT {_FUNNEL_K}),
+    s5 AS (
+      SELECT '5_dsir_selected' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len(f4.toks)), 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(f4.chk), 0) AS BIGINT) AS id_checksum
+      FROM sel JOIN f4 USING (doc_id)
+    )
+    SELECT * FROM (
+{stage_rows}
+      UNION ALL
+      SELECT * FROM s5
+    ) ORDER BY stage
+    """
+
+
+@query(
+    "curation_pipeline_funnel",
+    tier="local",
+    oracle=_funnel_oracle(),
+    description="The END-TO-END curation recipe as ONE verified plan "
+    "(VERDICT r8 #4): PII redaction FIRST (per operators/pii.py — PII "
+    "must never reach fingerprints, signatures, or model features; a "
+    "deterministic planted payload makes the ordering hash-falsifiable, "
+    "since every downstream fingerprint changes if redaction were "
+    "skipped or reordered) -> quality threshold -> exact dedup -> "
+    "MinHash near-dup canonicalization -> n-gram decontamination vs a "
+    "held-out eval split -> DSIR importance top-k. Emits a per-stage "
+    "funnel (n_docs, total_tokens, and an id-set checksum that pins the "
+    "EXACT surviving doc set, not just its size). Scale shape: all "
+    "stage predicates compute as FLAGS in one corpus pass (conditional "
+    "windows over fingerprint/signature keys — 16-byte hashes shuffle, "
+    "never text; contamination is a broadcast semi-join), so the funnel "
+    "is one pass + one tiny agg; only DSIR adds its two documented "
+    "feature/weight passes over the survivor slice",
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.pii import redact_text
+    from ..operators.selection import dsir_select_flagged
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("hsum", _funnel_hsum_expr()).select(
+        "doc_id", "lang", "source",
+        redact_text(_funnel_aug_expr()).alias("text"),
+    )
+    pool = base.where(F.col("doc_id") % 97 != 0)
+    eval_set = base.where(F.col("doc_id") % 97 == 0)
+    chk = X.token_base_hash(F.col("doc_id").cast("string"))
+    ntok = X.token_count(F.col("text"))
+
+    f1 = pool.withColumn("q", F.round(X.quality_score(F.col("text")), 6)).withColumn(
+        "q_pass", F.col("q") >= 0.55
+    )
+    fp_win = W.partitionBy(X.fingerprint_md5(F.col("text")))
+    f2 = f1.withColumn(
+        "exact_keep",
+        F.col("doc_id")
+        == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(fp_win),
+    )
+    f3 = D.with_minhash(f2, text_col="text", k=MINHASH_K)
+    f3 = f3.withColumn(
+        "near_keep",
+        F.col("doc_id")
+        == F.min(
+            F.when(F.col("q_pass") & F.col("exact_keep"), F.col("doc_id"))
+        ).over(W.partitionBy("sig")),
+    )
+    contam = D.decontaminate(pool, eval_set, n=3).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    f4 = (
+        f3.join(F.broadcast(contam), "doc_id", "left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+    )
+
+    stages = [
+        ("1_quality", F.col("q_pass")),
+        ("2_exact_dedup", F.col("q_pass") & F.col("exact_keep")),
+        (
+            "3_near_dedup",
+            F.col("q_pass") & F.col("exact_keep") & F.col("near_keep"),
+        ),
+        (
+            "4_decontaminated",
+            F.col("q_pass")
+            & F.col("exact_keep")
+            & F.col("near_keep")
+            & ~F.col("contaminated"),
+        ),
+    ]
+    staged = f4.select(
+        ntok.alias("ntok"),
+        chk.alias("chk"),
+        *[cond.alias(f"c{i}") for i, (_n, cond) in enumerate(stages)],
+    )
+    aggs = []
+    for i in range(len(stages)):
+        c = F.col(f"c{i}")
+        aggs += [
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.coalesce(F.sum(F.when(c, F.col("ntok"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{i}"),
+            F.coalesce(F.sum(F.when(c, F.col("chk"))), F.lit(0))
+            .cast("long")
+            .alias(f"k{i}"),
+        ]
+    funnel = (
+        staged.agg(*aggs)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("stage"),
+                            F.col(f"n{i}").alias("n_docs"),
+                            F.col(f"t{i}").alias("total_tokens"),
+                            F.col(f"k{i}").alias("id_checksum"),
+                        )
+                        for i, (name, _c) in enumerate(stages)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    surv = f4.where(stages[3][1])
+    sel = dsir_select_flagged(
+        surv.select("doc_id", "text", "source"),
+        F.col("source").isin(*_DSIR_TARGET),
+        k=_FUNNEL_K,
+    ).select("doc_id")
+    s5 = (
+        f4.join(sel, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(ntok), F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce(F.sum(chk), F.lit(0)).cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.lit("5_dsir_selected").alias("stage"),
+            "n_docs",
+            "total_tokens",
+            "id_checksum",
+        )
+    )
+    return funnel.unionByName(s5).orderBy("stage")
+
+
 @query(
     "source_entropy",
     oracle="""
@@ -2389,32 +2768,16 @@ def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_oracle() -> str:
     """Oracle SQL built from the SAME PII_RULES the Spark operator
     applies (single source of truth: a pattern edit changes both sides
-    or the parity hash breaks). The synthetic corpus has no real PII,
-    so the query plants a deterministic, doc_id-derived payload on both
-    sides first — non-trivial counts (zero-row oracles are weak
-    evidence), and the cross-engine regex semantics (Java vs RE2) are
-    what the hash then certifies."""
+    or the parity hash breaks)."""
     from ..operators.pii import PII_RULES
 
-    aug = (
-        "text || ' reach user' || CAST(doc_id AS VARCHAR)"
-        " || '@mail.example.org via 192.168.'"
-        " || CAST(doc_id % 200 AS VARCHAR) || '.7'"
-        " || CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-'"
-        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0"
-        " THEN ' id 123-45-6789 pay 4111-1111-1111-1111' ELSE '' END"
-    )
     counts = ", ".join(
         f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
         for name, pat, _ in PII_RULES
     )
-    red = "t"
-    for _, pat, repl in PII_RULES:
-        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
     return f"""
-    WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
-    SELECT doc_id, {counts}, md5({red}) AS fp
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id, {counts}, md5({_pii_redact_sql("t")}) AS fp
     FROM aug ORDER BY doc_id
     """
 
@@ -2435,25 +2798,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pii import pii_counts, redact_text
 
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" reach user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@mail.example.org via 192.168."),
-        (F.col("doc_id") % 200).cast("string"),
-        F.lit(".7"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit(" call 415-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.lit(" id 123-45-6789 pay 4111-1111-1111-1111"),
-        ).otherwise(F.lit("")),
-    )
+    aug = _pii_aug_expr()
     return (
         docs.select("doc_id", aug.alias("t"))
         .select("doc_id", *pii_counts("t"), F.md5(redact_text("t")).alias("fp"))
@@ -2543,8 +2888,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR importance resampling (targeted data selection, Xie et al. 2023)
 # ---------------------------------------------------------------------------
 
-_DSIR_TARGET = ("src1", "src2")
-_DSIR_T = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
 
 
 @query(

@@ -341,3 +341,29 @@ def test_semantic_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_curation_funnel_redaction_precedes_fingerprinting(spark):
+    """The composed curation plan must redact PII BEFORE any content
+    fingerprinting (operators/pii.py contract: PII never reaches
+    fingerprints, signatures, or features). Structural proof from the
+    optimized plan: the exact-dedup fingerprint hashes the projected
+    text column, and that column's defining projection is the
+    regexp_replace redaction chain sitting DEEPER in the tree (children
+    print after parents in Catalyst's tree string, and deeper nodes
+    execute first). Also: zero Python anywhere in the composed plan."""
+    import re
+
+    df = QUERIES["curation_pipeline_funnel"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"md5\(cast\(lower\(trim\(text#(\d+)", plan)
+    assert m, "exact-dedup fingerprint over the projected text column missing"
+    eid = m.group(1)
+    d = re.search(rf"regexp_replace\(.*? AS text#{eid}\b", plan)
+    assert d, "text column is not defined by the PII redaction chain"
+    assert d.start() > m.start(), (
+        "redaction projection must be a descendant of (execute before) "
+        "the fingerprint window"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys, "composed curation plan must stay JVM-side"
