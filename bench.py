@@ -452,6 +452,20 @@ def main() -> None:
         "noisy_rounds": noisy,
         "rounds_used": len(use),
     }
+    # Drift attribution (VERDICT r8 #3): the ~0.28s calibration probe is
+    # too small to catch a host slow-phase that scales with query cost —
+    # r8 drifted ~1.19x uniformly on untouched code while every probe
+    # read clean. So flag at the level the drift actually shows: whole
+    # suite-round totals, any round >20% over the session-best round.
+    round_totals = [
+        sum(samples[n][i] for n in names) for i in range(len(use))
+    ]
+    best_total = min(round_totals)
+    drift_rounds = [
+        i for i, t in enumerate(round_totals) if t > 1.2 * best_total
+    ]
+    calibration["round_totals_sec"] = [round(t, 3) for t in round_totals]
+    calibration["rounds_over_20pct_of_best"] = drift_rounds
 
     # maintenance timings BEFORE any streaming replay — a finished
     # replay's state-store threads/sink heap tax subsequent timings
@@ -486,6 +500,10 @@ def main() -> None:
     calibration["streaming_noisy_rounds"] = s_noisy
 
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    # min alongside median: the min is the host-noise-free floor — a
+    # query whose min moved is a plan change; one whose median moved
+    # but min held is scheduling/GC/host noise (VERDICT r8 #3)
+    timings_min = {n: round(min(s), 4) for n, s in samples.items()}
 
     # one extra instrumented replay per streaming query: peak state-store
     # rows + micro-batch count (wall time is already in the timed rows).
@@ -544,11 +562,60 @@ def main() -> None:
     # recorded BENCH_r{N}.json had "parsed": null.  Keep the machine-readable
     # line compact (metric/value/queries only, 3-decimal timings) and write
     # the complete detail to BENCH_DETAIL.json alongside the repo root.
+    # drift verdict vs the previous committed record: compare the
+    # noise-free floors (sum of per-query mins) of the shared query set;
+    # the medians total is reported too but the min-floor is what
+    # separates "plan regression" from "host slow phase"
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    min_total = round(sum(timings_min.values()), 4)
+    drift = {
+        "min_total_sec": min_total,
+        "internal_drift_rounds": calibration["rounds_over_20pct_of_best"],
+    }
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf:
+            raise ValueError("prior record at different sf — not comparable")
+        prev_min = prev.get("queries_min") or prev.get("queries") or {}
+        shared = [n for n in timings_min if n in prev_min]
+        if shared:
+            cur_s = sum(timings_min[n] for n in shared)
+            prev_s = sum(prev_min[n] for n in shared)
+            ratio = round(cur_s / prev_s, 3) if prev_s else None
+            drift.update(
+                {
+                    "prev_shared_min_total_sec": round(prev_s, 3),
+                    "cur_shared_min_total_sec": round(cur_s, 3),
+                    "vs_prev_ratio": ratio,
+                }
+            )
+            if ratio is not None:
+                if ratio <= 1.2:
+                    drift["verdict"] = "clean"
+                elif calibration["rounds_over_20pct_of_best"]:
+                    drift["verdict"] = (
+                        "host-slow-phase: internal rounds disagree >20% and "
+                        "the floor moved vs prev — prefer the best round"
+                    )
+                else:
+                    drift["verdict"] = (
+                        "uniform >20% floor drift vs prev with internally "
+                        "consistent rounds — host phase or plan regression; "
+                        "re-run standalone before comparing records"
+                    )
+    except (OSError, ValueError):
+        drift["verdict"] = "no-prior-record"
+
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "drift": drift,
         "sf": sf,
         "iters": iters,
         "calibration": calibration,
@@ -557,7 +624,6 @@ def main() -> None:
         "ingest_dedup": ingest_dedup,
         "versioned": versioned,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     compact = {
@@ -566,6 +632,12 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": sf,
+        "min_total": round(min_total, 3),
+        "drift": {
+            k: drift[k]
+            for k in ("vs_prev_ratio", "verdict", "internal_drift_rounds")
+            if k in drift
+        },
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never outgrow the driver's capture window again

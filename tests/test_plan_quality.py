@@ -354,7 +354,14 @@ def test_curation_funnel_redaction_precedes_fingerprinting(spark):
     execute first). Also: zero Python anywhere in the composed plan."""
     import re
 
-    df = QUERIES["curation_pipeline_funnel"].fn(spark, "/root/testdata/sf0.001")
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import (
+        _curation_flagged,
+    )
+
+    # inspect the UNCHECKPOINTED flagged relation: the full query
+    # localCheckpoints it (truncating lineage to a LogicalRDD), so the
+    # expression tree lives here
+    df, _stages = _curation_flagged(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     m = re.search(r"md5\(cast\(lower\(trim\(text#(\d+)", plan)
     assert m, "exact-dedup fingerprint over the projected text column missing"
