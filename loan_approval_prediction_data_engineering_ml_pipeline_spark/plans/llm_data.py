@@ -1716,6 +1716,7 @@ _FUNNEL_CHK = (
     "AS BIGINT) % 2147483647)"
 )
 _FUNNEL_K = 25
+_FUNNEL_PACK_BUDGET = 128  #: context-window token budget for the packing stage (small enough that the k=25 selected docs span several bins at sf0.01, so the bin-weighted checksum is non-trivial)
 
 # The funnel's planted PII payload derives from the doc's DISTINCT-TOKEN-
 # SET hash (order-independent sum of the md5 base hashes), NOT doc_id:
@@ -1892,11 +1893,26 @@ def _funnel_oracle() -> str:
              CAST(coalesce(sum(len(f4.toks)), 0) AS BIGINT) AS total_tokens,
              CAST(coalesce(sum(f4.chk), 0) AS BIGINT) AS id_checksum
       FROM sel JOIN f4 USING (doc_id)
+    ),
+    packed AS (
+      SELECT f4.doc_id, f4.chk, len(f4.toks) AS n_tokens,
+             CAST(floor((sum(len(f4.toks)) OVER w - len(f4.toks)) / {_FUNNEL_PACK_BUDGET}) AS BIGINT) AS bin
+      FROM sel JOIN f4 USING (doc_id)
+      WINDOW w AS (ORDER BY f4.doc_id ROWS UNBOUNDED PRECEDING)
+    ),
+    s6 AS (
+      SELECT '6_packed_bins' AS stage,
+             CAST(count(DISTINCT bin) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(chk * (bin + 1)), 0) AS BIGINT) AS id_checksum
+      FROM packed
     )
     SELECT * FROM (
 {stage_rows}
       UNION ALL
       SELECT * FROM s5
+      UNION ALL
+      SELECT * FROM s6
     ) ORDER BY stage
     """
 
@@ -1992,6 +2008,8 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
     "feature/weight passes over the survivor slice",
 )
 def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators.selection import dsir_select_flagged
 
     flagged, stage_names = _curation_flagged(spark, sf_dir)
@@ -2059,7 +2077,37 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_checksum",
         )
     )
-    return funnel.unionByName(s5).orderBy("stage")
+    # packing stage over the selected set (the trainer-facing tail of
+    # the recipe): offset packing at a fixed token budget — bin = where
+    # the doc STARTS when the k selected docs lie end-to-end in id
+    # order. k is bounded, so the single global window is k rows.
+    packed = (
+        f4.join(sel, "doc_id")
+        .select(
+            "doc_id", "chk", F.col("ntok").alias("n_tokens"),
+            F.floor(
+                (F.sum("ntok").over(
+                    Window.orderBy("doc_id").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ) - F.col("ntok"))
+                / _FUNNEL_PACK_BUDGET
+            ).cast("long").alias("bin"),
+        )
+    )
+    s6 = packed.agg(
+        F.countDistinct("bin").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.col("chk") * (F.col("bin") + 1)), F.lit(0))
+        .cast("long")
+        .alias("id_checksum"),
+    ).select(
+        F.lit("6_packed_bins").alias("stage"),
+        "n_docs",
+        "total_tokens",
+        "id_checksum",
+    )
+    return funnel.unionByName(s5).unionByName(s6).orderBy("stage")
 
 
 @query(
