@@ -86,6 +86,8 @@ HEADLINE = [
     "bm25_topk",  # lexical retrieval: broadcast terms + one window (r8)
     "dsir_select",  # DSIR importance resampling, Gumbel top-k (r8)
     "curation_pipeline_funnel",  # composed pii->quality->dedup->decon->dsir recipe (r9)
+    "gopher_quality_rules",  # rule-table quality census, map-only codegen (r9)
+    "temperature_mixture",  # p^alpha mixture reweighting + hash-threshold sample (r9)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

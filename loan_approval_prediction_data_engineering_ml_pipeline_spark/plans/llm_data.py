@@ -1376,6 +1376,169 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TM_ALPHA = 0.7  #: temperature for mixture reweighting (multilingual-pretraining convention)
+_TM_U = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+@query(
+    "temperature_mixture",
+    tier="local",
+    # Exact: p, p^alpha, the normalized weights, and the capped keep
+    # rates re-derive in DuckDB; membership compares the md5 hash
+    # threshold against the 6-dp-ROUNDED rate on BOTH engines, so a
+    # last-ulp libm pow() difference can never flip a doc.
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n,
+             n * 1.0 / sum(n) OVER () AS p,
+             pow(n * 1.0 / sum(n) OVER (), {_TM_ALPHA}) AS pa
+      FROM c
+    ),
+    r AS (
+      SELECT source, n, p,
+             pa / sum(pa) OVER () AS w,
+             round(least(1.0, (pa / sum(pa) OVER ()) / p), 6) AS rate
+      FROM t
+    ),
+    d AS (SELECT source, {_TM_U} AS u FROM documents)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(any_value(r.w), 6)    AS target_weight,
+           round(any_value(r.rate), 6) AS keep_rate,
+           CAST(sum(CASE WHEN u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN r USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    description="Temperature-based mixture reweighting (the multilingual/"
+    "multi-domain pretraining sampler: weight w_s proportional to p_s^alpha "
+    "upweights low-resource sources, alpha=0.7): per-source corpus shares "
+    "-> tempered weights -> capped keep rates, applied as the SAME "
+    "deterministic md5 hash threshold mixture_sample uses (stable under "
+    "retries/AQE/partitioning; the threshold compares against the "
+    "6-dp-rounded rate on both engines so libm pow ulp noise cannot flip "
+    "membership). Source cardinality is tiny, so the rate table is a "
+    "broadcast and the corpus pass is one map-only filter + small agg",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wall = W.partitionBy()
+    p = F.col("n") / F.sum("n").over(wall)
+    rates = counts.select(
+        "source",
+        "n",
+        p.alias("p"),
+        F.pow(p, F.lit(_TM_ALPHA)).alias("pa"),
+    ).select(
+        "source",
+        "n",
+        "p",
+        (F.col("pa") / F.sum("pa").over(wall)).alias("w"),
+        F.round(
+            F.least(
+                F.lit(1.0), (F.col("pa") / F.sum("pa").over(wall)) / F.col("p")
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    return (
+        docs.select("source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.first("w"), 6).alias("target_weight"),
+            F.round(F.first("rate"), 6).alias("keep_rate"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_oracle() -> str:
+    from ..operators.quality_rules import (
+        MAX_MEAN_WORD_LEN,
+        MAX_WORDS,
+        MIN_ALPHA_RATIO,
+        MIN_DISTINCT_RATIO,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        RULE_NAMES,
+    )
+
+    fails = {
+        "word_count": f"(nt < {MIN_WORDS} OR nt > {MAX_WORDS})",
+        "mean_word_len": f"(mwl < {MIN_MEAN_WORD_LEN} OR mwl > {MAX_MEAN_WORD_LEN})",
+        "alpha_ratio": f"(ar < {MIN_ALPHA_RATIO})",
+        "stopword_hits": f"(sh < {MIN_STOPWORD_HITS})",
+        "repetition": f"(dr < {MIN_DISTINCT_RATIO})",
+    }
+    fail_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {fails[name]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_{name}"
+        for name in RULE_NAMES
+    )
+    pass_all = " AND ".join(f"NOT {fails[name]}" for name in RULE_NAMES)
+    return f"""
+    WITH t AS (
+      SELECT source, text, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT source,
+             len(toks) AS nt,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+               / len(toks) AS mwl,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text) AS ar,
+             len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS sh,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS dr
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {fail_cols},
+           CAST(sum(CASE WHEN {pass_all} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "gopher_quality_rules",
+    tier="local",
+    oracle=_gopher_oracle(),
+    description="Gopher-style rule-table quality census (Rae et al. 2021 "
+    "A1.1; the C4/RedPajama/Dolma/FineWeb pre-filter family): named "
+    "boolean rules over cheap text statistics — word-count bounds, mean "
+    "word length, alphabetic ratio, stopword evidence, repetition — with "
+    "thresholds defined ONCE (operators/quality_rules.py) and compiled "
+    "into both engines, reported as per-source fail counts + pass-all. "
+    "Every rule is a map-only JVM expression fused into one scan; the "
+    "report aggregates to source-cardinality rows",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_rules import gopher_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_report(docs)
+
+
 @query(
     "repetition_stats",
     tier="local",  # new-capability slot: the driver tier is at its 50-query cap
