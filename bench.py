@@ -88,6 +88,7 @@ HEADLINE = [
     "curation_pipeline_funnel",  # composed pii->quality->dedup->decon->dsir recipe (r9)
     "gopher_quality_rules",  # rule-table quality census, map-only codegen (r9)
     "temperature_mixture",  # p^alpha mixture reweighting + hash-threshold sample (r9)
+    "bpe_merges",  # BPE tokenizer training: 1 corpus pass + O(vocab) merge rounds (r9)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

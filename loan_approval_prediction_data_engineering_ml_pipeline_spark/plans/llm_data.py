@@ -2647,6 +2647,65 @@ def _phrase_cte(m: int = 6) -> str:
     "self-join); the whole ITERATIVE loop is DuckDB-re-derived via "
     "chained CTEs (replace semantics match exactly)",
 )
+def _bpe_cte(m: int = 8) -> str:
+    """Chained-CTE oracle for the character-level BPE learner
+    (operators.bpe.learn_bpe): the word-frequency vocab is built once,
+    then each round's weighted pair argmax + greedy left-to-right merge
+    re-derive over the vocab relation — the same MATERIALIZED chaining
+    as the word2phrase oracle (inlining would recompute 2^m times)."""
+    lines = [
+        "v0 AS MATERIALIZED ("
+        " SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w,"
+        " cnt FROM ("
+        "  SELECT g AS word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "   SELECT unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS g"
+        "   FROM documents) GROUP BY 1))"
+    ]
+    for i in range(1, m + 1):
+        lines.append(
+            f"p{i} AS (SELECT t[r.i] AS a, t[r.i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n"
+            f" FROM (SELECT string_split(trim(w), ' ') AS t, cnt FROM v{i-1}),"
+            " UNNEST(range(1, len(t))) AS r(i) GROUP BY 1, 2)"
+        )
+        lines.append(
+            f"m{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        lines.append(
+            f"v{i} AS MATERIALIZED (SELECT replace(w,"
+            f" ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',"
+            f" ' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' ') AS w, cnt"
+            f" FROM v{i-1})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a, b, n FROM m{i}" for i in range(1, m + 1)
+    )
+    return "WITH " + ",\n".join(lines) + f"\nSELECT * FROM ({final}) ORDER BY rank"
+
+
+@query(
+    "bpe_merges",
+    tier="local",
+    oracle=_bpe_cte(),
+    description="BPE tokenizer training (Sennrich 2016): 8 weighted "
+    "merge rounds at character level. The scale property is Sennrich's "
+    "own: pair statistics depend only on the WORD-FREQUENCY VOCABULARY, "
+    "so the corpus is scanned exactly once (explode+count) and every "
+    "merge round is O(vocab) — map-only pair transform + one partial-agg "
+    "shuffle over vocab rows weighted by cnt, 1-row argmax collect, "
+    "map-only replace. The whole iterative learner re-derives in DuckDB "
+    "chained CTEs (left-to-right replace semantics match exactly); the "
+    "merge list is the portable tokenizer artifact",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, m=8)
+    return spark.createDataFrame(
+        merges, "rank long, a string, b string, n long"
+    ).orderBy("rank")
+
+
 def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.phrases import learn_phrase_merges
 
