@@ -89,6 +89,7 @@ HEADLINE = [
     "gopher_quality_rules",  # rule-table quality census, map-only codegen (r9)
     "temperature_mixture",  # p^alpha mixture reweighting + hash-threshold sample (r9)
     "bpe_merges",  # BPE tokenizer training: 1 corpus pass + O(vocab) merge rounds (r9)
+    "bm25_phrase_topk",  # exact phrase retrieval via n-gram BM25, broadcast-first (r9)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

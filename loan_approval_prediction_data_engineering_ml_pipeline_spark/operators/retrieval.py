@@ -342,3 +342,107 @@ def bm25_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrase_queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact PHRASE retrieval with BM25 scoring: each query is a set of
+    multi-word phrases, and a phrase's tf is the number of positions
+    where the document's consecutive tokens equal it exactly.
+
+    Spark-first design note: Lucene answers phrases by intersecting
+    POSITIONAL posting lists because its index stores per-term
+    positions; the declarative equivalent — for a known phrase set —
+    is counting matching word n-grams, which is semantically identical
+    (an L-gram equals the phrase exactly at the positions the
+    positional intersection would find) and keeps the whole plan in
+    built-in expressions: one map-only ``word_ngrams`` explode per
+    distinct phrase LENGTH, the broadcast phrase set filtering BEFORE
+    the tf aggregation (the :func:`bm25_topk` shape — the shuffle
+    carries matched candidates, not the corpus), dl = n-gram count per
+    doc (map-only), df/idf/avgdl re-derived per length. Scores sum per
+    query over its phrases, round before ranking, ties on doc id.
+
+    The event space per length L is the doc's L-gram stream (dl =
+    n_tokens - L + 1), so idf and length normalization are computed in
+    the same units as tf — the standard reduction of BM25 to phrase
+    "terms"."""
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    qrows = phrase_queries.select("query_id", "phrase").collect()  # kilobytes
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    for r in qrows:
+        by_len.setdefault(len(r["phrase"].split()), []).append(
+            (r["query_id"], r["phrase"])
+        )
+    contribs = []
+    for L, pairs in sorted(by_len.items()):
+        grams = X.word_ngrams(text_col, L)
+        pq = spark.createDataFrame(pairs, "query_id string, g string")
+        dlen = docs.select(F.col(id_col).alias("id"), F.size(grams).alias("dl"))
+        base = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        tf = (
+            base.join(F.broadcast(pq.select("g").distinct()), "g", "left_semi")
+            .groupBy("g", "id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        stats = dlen.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        idf = (
+            tf.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(stats.select("n")))
+            .select(
+                "g",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ).alias("idf"),
+            )
+        )
+        contribs.append(
+            tf.join(F.broadcast(idf), "g")
+            .join(F.broadcast(pq), "g")
+            .join(dlen, "id")
+            .crossJoin(F.broadcast(stats.select("avgdl")))
+            .select(
+                "query_id",
+                "id",
+                (
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("s"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    scored = allc.groupBy("query_id", "id").agg(
+        F.round(F.sum("s"), decimals).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )

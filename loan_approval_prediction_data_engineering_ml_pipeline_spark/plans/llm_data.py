@@ -2635,27 +2635,97 @@ def _phrase_cte(m: int = 6) -> str:
     return "WITH " + ",\n".join(lines) + f"\nSELECT * FROM ({final}) ORDER BY rank"
 
 
+_PHRASE_QUERIES = [
+    ("p1", "table hash"), ("p1", "merge group"),
+    ("p2", "customer join"), ("p2", "slow hash batch"),
+    ("p3", "part filter scan"), ("p3", "window fast query"),
+]
+
+
+def _bm25_phrase_oracle(k: int = 10) -> str:
+    """Per distinct phrase LENGTH, re-derive the n-gram event space
+    (tf, df, dl, N, avgdl) and the BM25 contributions; union, sum per
+    query, rank on the rounded score — the exact dual of
+    operators.retrieval.bm25_phrase_topk."""
+    values = ", ".join(f"('{q}', '{g}')" for q, g in _PHRASE_QUERIES)
+    lens = sorted({len(g.split()) for _q, g in _PHRASE_QUERIES})
+    parts = [f"q(query_id, g) AS (VALUES {values})"]
+    unions = []
+    for L in lens:
+        ng = _ngrams_sql(L)
+        parts.append(f"g{L} AS (SELECT doc_id, unnest({ng}) AS g FROM documents)")
+        parts.append(f"d{L} AS (SELECT doc_id, len({ng}) AS dl FROM documents)")
+        parts.append(
+            f"s{L} AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM d{L})"
+        )
+        parts.append(
+            f"tf{L} AS (SELECT doc_id, g, count(*) AS tf FROM g{L}"
+            f" WHERE g IN (SELECT g FROM q WHERE len(string_split(g, ' ')) = {L})"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"idf{L} AS (SELECT g, ln(1 + ((SELECT n FROM s{L}) - df + 0.5) / (df + 0.5)) AS idf"
+            f" FROM (SELECT g, count(*) AS df FROM tf{L} GROUP BY 1))"
+        )
+        parts.append(
+            f"c{L} AS (SELECT q.query_id, tf{L}.doc_id AS id,"
+            f" idf{L}.idf * (tf{L}.tf * (1.2 + 1.0))"
+            f" / (tf{L}.tf + 1.2 * (1 - 0.75 + 0.75 * d{L}.dl / (SELECT avgdl FROM s{L}))) AS s"
+            f" FROM tf{L} JOIN idf{L} USING (g) JOIN q USING (g)"
+            f" JOIN d{L} ON tf{L}.doc_id = d{L}.doc_id)"
+        )
+        unions.append(f"SELECT * FROM c{L}")
+    parts.append("c AS (" + " UNION ALL ".join(unions) + ")")
+    parts.append(
+        "scored AS (SELECT query_id, id, round(sum(s), 6) AS score"
+        " FROM c GROUP BY 1, 2)"
+    )
+    parts.append(
+        "rk AS (SELECT query_id, id AS doc_id, score,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank"
+        " FROM scored)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, doc_id, score, rank FROM rk WHERE rank <= {k}"
+        " ORDER BY query_id, rank"
+    )
+
+
 @query(
-    "phrase_merges",
+    "bm25_phrase_topk",
     tier="local",
-    oracle=_phrase_cte(),
-    description="Iterative phrase-vocabulary learning (word2phrase / "
-    "BPE-style merge loop): 6 rounds of corpus-wide adjacent-pair "
-    "argmax + greedy left-to-right merge; later rounds merge merged "
-    "tokens into longer phrases. Pair counting is map-only index "
-    "transform + one partial-agg shuffle per round (no window, no "
-    "self-join); the whole ITERATIVE loop is DuckDB-re-derived via "
-    "chained CTEs (replace semantics match exactly)",
+    oracle=_bm25_phrase_oracle(),
+    description="Exact PHRASE retrieval with BM25 scoring: a phrase's "
+    "tf is the count of positions where consecutive tokens equal it — "
+    "computed as matching word n-grams (semantically identical to "
+    "Lucene's positional-postings intersection for a known phrase set, "
+    "but fully declarative): one map-only n-gram explode per distinct "
+    "phrase LENGTH, phrases broadcast as the filter BEFORE the tf "
+    "aggregation, per-length df/idf/avgdl in n-gram units, scores "
+    "summed per query and ranked on the rounded value. Mixed bigram + "
+    "trigram fixture; zero Python",
 )
-def _bpe_cte(m: int = 8) -> str:
-    """Chained-CTE oracle for the character-level BPE learner
-    (operators.bpe.learn_bpe): the word-frequency vocab is built once,
-    then each round's weighted pair argmax + greedy left-to-right merge
-    re-derive over the vocab relation — the same MATERIALIZED chaining
-    as the word2phrase oracle (inlining would recompute 2^m times)."""
+def bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_phrase_topk as _phr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pq = spark.createDataFrame(_PHRASE_QUERIES, "query_id string, phrase string")
+    return _phr(docs, pq, k=10).orderBy("query_id", "rank")
+
+
+def _bpe_chain_ctes(m: int = 8) -> str:
+    """The shared CTE chain for the character-level BPE learner
+    (operators.bpe.learn_bpe): vocab built once, then each round's
+    weighted pair argmax + greedy left-to-right merge re-derived over
+    the vocab relation — MATERIALIZED chaining as in the word2phrase
+    oracle (inlining would recompute 2^m times). The vN relations carry
+    the original word through, so v{m} doubles as the final
+    SEGMENTATION (word -> space-joined pieces)."""
     lines = [
         "v0 AS MATERIALIZED ("
-        " SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w,"
+        " SELECT word,"
+        " ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w,"
         " cnt FROM ("
         "  SELECT g AS word, CAST(count(*) AS BIGINT) AS cnt FROM ("
         "   SELECT unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS g"
@@ -2671,15 +2741,21 @@ def _bpe_cte(m: int = 8) -> str:
             f"m{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"
         )
         lines.append(
-            f"v{i} AS MATERIALIZED (SELECT replace(w,"
+            f"v{i} AS MATERIALIZED (SELECT word, replace(w,"
             f" ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',"
             f" ' ' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ' ') AS w, cnt"
             f" FROM v{i-1})"
         )
+    return ",\n".join(lines)
+
+
+def _bpe_cte(m: int = 8) -> str:
     final = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, a, b, n FROM m{i}" for i in range(1, m + 1)
     )
-    return "WITH " + ",\n".join(lines) + f"\nSELECT * FROM ({final}) ORDER BY rank"
+    return (
+        "WITH " + _bpe_chain_ctes(m) + f"\nSELECT * FROM ({final}) ORDER BY rank"
+    )
 
 
 @query(
@@ -2706,6 +2782,75 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+@query(
+    "bpe_token_counts",
+    tier="local",
+    # The applied-tokenizer twin of bpe_merges: the oracle's v8 CTE IS
+    # the final segmentation (word carried through the merge chain), so
+    # per-source BPE token totals re-derive exactly.
+    oracle="WITH " + _bpe_chain_ctes(8) + """,
+    seg AS (
+      SELECT word, len(string_split(trim(w), ' ')) AS n_pieces FROM v8
+    ),
+    cw AS (
+      SELECT source, g AS word FROM (
+        SELECT source,
+               unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS g
+        FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens,
+           round(sum(n_pieces) * 1.0 / count(*), 6) AS pieces_per_word
+    FROM cw JOIN seg USING (word)
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="The BPE tokenizer APPLIED at corpus scale: learn the "
+    "8-merge vocab (one corpus pass + O(vocab) rounds), replay the "
+    "merges into a word->pieces segmentation over the vocab relation, "
+    "then tokenize the corpus as exploded-words JOIN broadcast "
+    "segmentation — per-source word counts, BPE token totals, and "
+    "fertility (pieces/word), the number a token-budgeted pipeline "
+    "actually plans with. The oracle re-derives the full iterative "
+    "learner AND the applied counts",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe, segmentation
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, m=8)
+    seg = segmentation(docs, merges).select("word", "n_pieces")
+    toks = F.filter(X.tokens("text"), lambda t: t != "")
+    words = docs.select("source", F.explode(toks).alias("word"))
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+
+
+@query(
+    "phrase_merges",
+    tier="local",
+    oracle=_phrase_cte(),
+    description="Iterative phrase-vocabulary learning (word2phrase / "
+    "BPE-style merge loop): 6 rounds of corpus-wide adjacent-pair "
+    "argmax + greedy left-to-right merge; later rounds merge merged "
+    "tokens into longer phrases. Pair counting is map-only index "
+    "transform + one partial-agg shuffle per round (no window, no "
+    "self-join); the whole ITERATIVE loop is DuckDB-re-derived via "
+    "chained CTEs (replace semantics match exactly)",
+)
 def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.phrases import learn_phrase_merges
 

@@ -225,3 +225,71 @@ def test_bm25_indexed_probe_prunes_partitions_to_term_buckets(spark, tmp_path):
     probe = bm25_topk_indexed(spark, idx, q, k=5)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_bm25_phrase_topk_matches_reference(spark):
+    """Phrase tf = count of exact consecutive-token matches; scoring is
+    BM25 in n-gram units, re-derived in plain Python."""
+    import math
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_phrase_topk,
+    )
+
+    corpus = {1: "a b a b c", 2: "a b x", 3: "x y z a"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    pq = spark.createDataFrame(
+        [("q1", "a b"), ("q1", "y z"), ("q2", "a b c")],
+        "query_id string, phrase string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_phrase_topk(docs, pq, k=5).collect()
+    }
+
+    def ref_scores(phrases):
+        L = len(phrases[0].split())
+        grams = {
+            d: [" ".join(t.split()[i : i + L]) for i in range(len(t.split()) - L + 1)]
+            for d, t in corpus.items()
+        }
+        n = len(corpus)
+        avgdl = sum(len(g) for g in grams.values()) / n
+        out = {}
+        for ph in phrases:
+            df = sum(1 for g in grams.values() if ph in g)
+            if not df:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for d, g in grams.items():
+                tf = g.count(ph)
+                if tf:
+                    s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(g) / avgdl))
+                    out[d] = out.get(d, 0.0) + s
+        return out
+
+    q1 = {d: round(s, 6) for d, s in ref_scores(["a b"]).items()}
+    yz = ref_scores(["y z"])
+    for d, s in yz.items():
+        q1[d] = round(q1.get(d, 0.0) + s, 6)
+    q2 = {d: round(s, 6) for d, s in ref_scores(["a b c"]).items()}
+    assert {d: got[("q1", d)][0] for d in q1} == q1
+    assert {d: got[("q2", d)][0] for d in q2} == q2
+    # doc1 has tf=2 for "a b": must outrank doc2 in q1
+    assert got[("q1", 1)][1] < got[("q1", 2)][1]
+    # trigram query matches only doc1
+    assert [d for (q, d) in got if q == "q2"] == [1]
+
+
+def test_bm25_phrase_plan_is_python_free(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    pq = spark.createDataFrame([("q", "a b")], "query_id string, phrase string")
+    plan = bm25_phrase_topk(docs, pq)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
