@@ -157,8 +157,9 @@ def build_bm25_index(
     bucket is a stable function of the token, which is what makes
     :func:`upsert_bm25_index` a partition-granular REPLACE — exactly the
     ``ivf_upsert`` cell layout, with tokens in place of centroid cells.
-    ``lengths/`` holds (id, dl); ``meta/`` holds the 1-row
-    (n, avgdl, n_buckets)."""
+    ``lengths/`` holds (id, dl) hive-partitioned by a stable
+    id bucket; ``meta/`` holds the 1-row (n, avgdl, n_buckets,
+    n_files)."""
     ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
     dlen = docs.select(F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl"))
     toks = docs.select(F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok"))
@@ -174,18 +175,25 @@ def build_bm25_index(
     # lengths is one row PER CORPUS DOCUMENT — at 10^9 docs a
     # coalesce(1) here would funnel ~12 GB through a single writer task
     # and bound probe-side read parallelism to one file's row groups.
-    # Range-partition by id like postings/ so the build stays parallel
-    # and the probe's dlen join scans id-clustered files.
+    # Hive-partition by a stable id bucket (like postings' token
+    # buckets): the build stays parallel, the probe's dlen join scans
+    # id-clustered files, and upsert_bm25_index can REPLACE INTO only
+    # the touched buckets with per-id replace semantics — re-applying
+    # the same delta (a retried ingest step) is a no-op, never a
+    # duplicated length row.
     (
-        dlen.repartitionByRange(n_files, "id")
+        dlen.withColumn("lb", F.pmod(F.xxhash64("id"), F.lit(n_files)).cast("int"))
+        .repartition(n_files, "lb")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
+        .partitionBy("lb")
         .parquet(f"{path}/lengths")
     )
     dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(n_files).alias("n_files"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -196,7 +204,6 @@ def upsert_bm25_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_files: int = 8,
 ) -> int:
     """Incremental BM25 maintenance (the ``ivf_upsert`` pattern): fold a
     batch of NEW documents into an existing index without re-tokenizing
@@ -220,6 +227,7 @@ def upsert_bm25_index(
 
     meta = spark.read.parquet(f"{path}/meta").first()
     n_buckets = int(meta["n_buckets"])
+    n_files = int(meta["n_files"])  # lengths' id-bucket modulus is the build's
     ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
     dlen = delta_docs.select(
         F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")
@@ -234,11 +242,14 @@ def upsert_bm25_index(
     )
     n_touched = tf.select("bucket").distinct().count()
     upsert_parquet_partitioned(tf, f"{path}/postings", ["tok", "id"], "bucket")
-    (
-        dlen.repartitionByRange(max(1, n_files // 4), "id")
-        .sortWithinPartitions("id")
-        .write.mode("append")
-        .parquet(f"{path}/lengths")
+    # lengths: per-id REPLACE into the touched id buckets — a retried
+    # ingest step re-applying the same delta is a no-op (cold buckets
+    # byte-identical), never a duplicated length row
+    upsert_parquet_partitioned(
+        dlen.withColumn("lb", F.pmod(F.xxhash64("id"), F.lit(n_files)).cast("int")),
+        f"{path}/lengths",
+        ["id"],
+        "lb",
     )
     (
         spark.read.parquet(f"{path}/lengths")
@@ -246,6 +257,7 @@ def upsert_bm25_index(
             F.count(F.lit(1)).alias("n"),
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
             F.lit(n_buckets).alias("n_buckets"),
+            F.lit(n_files).alias("n_files"),
         )
         .coalesce(1)
         .write.mode("overwrite")

@@ -146,7 +146,7 @@ def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
     )
     idx = str(tmp_path / "bm25p")
     build_bm25_index(docs, idx, n_files=4)
-    parts = glob.glob(f"{idx}/lengths/part-*.parquet")
+    parts = glob.glob(f"{idx}/lengths/lb=*/part-*.parquet")
     assert len(parts) > 1, "lengths/ must not be a single-writer stage"
     q = spark.createDataFrame(
         [("q1", "tok3"), ("q1", "beta")], "query_id string, term string"
@@ -197,6 +197,10 @@ def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
     assert touched == len(delta_buckets)
     for bk in cold:
         assert _dir_digest(bk) == before[bk], f"cold bucket {bk} rewritten"
+    # retried ingest step: re-applying the SAME delta is a no-op for
+    # correctness (per-key replace in postings AND lengths — no
+    # duplicated length rows)
+    upsert_bm25_index(spark, b, idx)
 
     q = spark.createDataFrame(
         [("q1", "tok3"), ("q1", "beta"), ("q2", "delta")],
