@@ -229,3 +229,72 @@ def ensure_s3mock_fs() -> str | None:
         return _BUILD_DIR
     except (OSError, subprocess.SubprocessError):
         return None
+
+
+class S3MockDiskLogStore(S3MockLogStore):
+    """Disk-backed variant of the mock: blobs are files under the Java
+    shim's backing tree, so OTHER PYTHON PROCESSES see the same table —
+    which is exactly what Spark's Python data source requires (the
+    streaming source's planning runs in a separate planner process, and
+    file reads in worker processes; an in-memory log plane can never
+    serve them). The commit primitive is create-exclusive (``O_EXCL``) —
+    the portable stand-in for S3's conditional PUT — and there is still
+    no link(2), no rename(2), and no directory listing in the log
+    plane: keys enumerate flat with pagination, exactly as in the
+    in-memory store. The in-memory variant stays the default for the
+    single-process OCC matrix (it proves the protocol needs nothing
+    from the filesystem); this one proves the registration story works
+    ACROSS the process boundary."""
+
+    def read_text(self, path: str) -> str:
+        with open(self._key(path)) as fh:
+            return fh.read()
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        k = self._key(path)
+        os.makedirs(os.path.dirname(k), exist_ok=True)
+        # O_EXCL: atomic create-if-absent — the conditional PUT
+        fd = os.open(k, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._key(path))
+
+    def delete(self, path: str) -> None:
+        os.unlink(self._key(path))
+
+
+_SHARED: S3MockDiskLogStore | None = None
+
+
+def register_shared_s3mock() -> S3MockDiskLogStore:
+    """Register the disk-backed mock for ``s3mock://`` in THIS process:
+    the LogStore (commit protocol) and the streaming-source scheme
+    resolver (worker-side reads). Idempotent. Usable directly in tests
+    AND as the versioned_table source's ``bootstrap`` option — Spark
+    runs Python data source planning in its own interpreter, so any
+    custom-scheme registration must be re-establishable there by name.
+    """
+    global _SHARED
+    from ..streaming.versioned_source import register_stream_filesystem
+    from .versioned import register_log_store
+
+    if _SHARED is None:
+        _SHARED = S3MockDiskLogStore()
+    register_log_store("s3mock://", _SHARED)
+    register_stream_filesystem("s3mock", s3mock_stream_resolver)
+    return _SHARED
+
+
+def s3mock_stream_resolver(uri: str):
+    """Worker-side (pyarrow filesystem, path) for an ``s3mock://`` URI —
+    the Python twin of the Java shim's backing mapping (authority
+    ignored, key = URI path), registered with
+    ``streaming.versioned_source.register_stream_filesystem`` so the
+    versioned STREAMING source (including the change feed) serves
+    tables living under the mock object-store root. Module-level so it
+    pickles by reference into the executors' Python workers."""
+    from pyarrow import fs as pafs
+
+    return pafs.LocalFileSystem(), S3MockLogStore._key(uri)

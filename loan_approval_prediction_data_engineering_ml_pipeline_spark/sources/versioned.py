@@ -230,7 +230,11 @@ _STORES: list[tuple[str, LogStore]] = []  # (prefix, store), longest-prefix wins
 def register_log_store(prefix: str, store: LogStore) -> None:
     """Route every table whose path starts with ``prefix`` through
     ``store`` (e.g. an S3 conditional-put store for ``s3a://bucket/``).
-    Longest matching prefix wins; unmatched paths use the POSIX store."""
+    Longest matching prefix wins; unmatched paths use the POSIX store.
+    Re-registering a prefix REPLACES its store (idempotent bootstrap
+    from multiple entry points, e.g. the streaming source's planner
+    process re-establishing registrations by name)."""
+    _STORES[:] = [(pfx, s) for pfx, s in _STORES if pfx != prefix]
     _STORES.append((prefix, store))
     _STORES.sort(key=lambda ps: -len(ps[0]))
 

@@ -69,21 +69,42 @@ def _local(p: str) -> str:
     return p
 
 
+#: scheme -> resolver(uri) -> (pyarrow filesystem, path). Lets a
+#: deployment map custom/aliased schemes the workers must read
+#: (e.g. a vendor connector scheme, or the in-repo s3mock test double)
+#: without touching the source. The registration is captured when the
+#: reader is constructed on the driver and travels to workers with it.
+_STREAM_FS_RESOLVERS: dict[str, object] = {}
+
+
+def register_stream_filesystem(scheme: str, resolver) -> None:
+    """Route worker-side reads of ``scheme://…`` data-plane paths
+    through ``resolver(uri) -> (pyarrow_filesystem, path)``."""
+    _STREAM_FS_RESOLVERS[scheme] = resolver
+
+
+def unregister_stream_filesystem(scheme: str) -> None:
+    _STREAM_FS_RESOLVERS.pop(scheme, None)
+
+
 def _fs_path(p: str):
     """Worker-side (pyarrow filesystem, path) for any scheme the data
     plane may carry. Plain paths and ``file:`` URIs resolve to the
-    local filesystem; other URI schemes go through
-    ``pyarrow.fs.FileSystem.from_uri`` (``s3a://`` — Hadoop's S3
-    connector scheme — is translated to pyarrow's ``s3://``). This is
-    what makes the module's remote-root claim hold for THIS Python
-    source too: worker reads never call ``os.listdir``/raw-path
-    ``read_table`` on a URI (ADVICE r8)."""
+    local filesystem; registered schemes go through their resolver;
+    other URI schemes go through ``pyarrow.fs.FileSystem.from_uri``
+    (``s3a://`` — Hadoop's S3 connector scheme — is translated to
+    pyarrow's ``s3://``). This is what makes the module's remote-root
+    claim hold for THIS Python source too: worker reads never call
+    ``os.listdir``/raw-path ``read_table`` on a URI (ADVICE r8)."""
     from pyarrow import fs as pafs
 
     if p.startswith("file:"):
         return pafs.LocalFileSystem(), _local(p)
     if "://" not in p:
         return pafs.LocalFileSystem(), p
+    scheme = p.split("://", 1)[0]
+    if scheme in _STREAM_FS_RESOLVERS:
+        return _STREAM_FS_RESOLVERS[scheme](p)
     uri = p
     if uri.startswith("s3a://"):
         uri = "s3://" + uri[len("s3a://") :]
@@ -146,13 +167,35 @@ class VersionedTableDataSource(DataSource):
     - ``read_change_feed`` (default false): stream every commit as
       row-level changes with ``_change_type``/``_commit_version``
       columns (mutually exclusive with ``skip_change_commits``)
+    - ``bootstrap`` (optional, ``pkg.module:function``): idempotent
+      registration hook run in EVERY process that touches the table —
+      Spark's planner interpreter and read workers are separate Python
+      processes, so custom LogStore / scheme-resolver registrations
+      must be re-establishable by importable name
     """
 
     @classmethod
     def name(cls) -> str:
         return "versioned_table"
 
+    def _bootstrap(self) -> None:
+        """``.option("bootstrap", "pkg.module:function")`` — import and
+        call a module-level function before any table access. Spark
+        runs Python data source PLANNING in its own interpreter (and
+        reads in worker processes), so registrations made in the user's
+        driver process — a custom LogStore prefix, a stream filesystem
+        resolver — do not exist there; the bootstrap names them by
+        importable path so every process can re-establish them. The
+        function must be idempotent."""
+        spec = self.options.get("bootstrap")
+        if spec:
+            import importlib
+
+            mod, _, fn = spec.partition(":")
+            getattr(importlib.import_module(mod), fn)()
+
     def _path(self) -> str:
+        self._bootstrap()
         path = self.options.get("path")
         if not path:
             raise ValueError(
@@ -238,6 +281,11 @@ class VersionedStreamReader(DataSourceStreamReader):
         self._start = starting_version
         self._skip_change = skip_change_commits
         self._cdf = read_change_feed
+        # snapshot the scheme resolvers HERE: the reader is pickled to
+        # the executors' Python workers, where the driver's module
+        # registry does not exist — resolvers must be picklable
+        # (module-level functions, not closures)
+        self._fs_resolvers = dict(_STREAM_FS_RESOLVERS)
 
     # -- offsets: the commit log IS the WAL ---------------------------------
     def initialOffset(self) -> dict:
@@ -348,8 +396,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         return parts
 
     # -- execution: Arrow pass-through on the workers ------------------------
-    @staticmethod
-    def _mask_indices(dirpath: str | None, file_name: str) -> set[int]:
+    def _resolve(self, p: str):
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        if scheme and scheme in self._fs_resolvers:
+            return self._fs_resolvers[scheme](p)
+        return _fs_path(p)
+
+    def _mask_indices(self, dirpath: str | None, file_name: str) -> set[int]:
         """Row indices of ``file_name`` masked by the DV parquet(s) in
         ``dirpath`` — kilobytes per mask, read worker-side with pyarrow."""
         if dirpath is None:
@@ -358,7 +411,7 @@ class VersionedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyarrow.fs import FileSelector
 
-        fs, d = _fs_path(dirpath)
+        fs, d = self._resolve(dirpath)
         out: set[int] = set()
         infos = sorted(fs.get_file_info(FileSelector(d)), key=lambda i: i.base_name)
         for info in infos:
@@ -395,7 +448,7 @@ class VersionedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        fs, fp = _fs_path(partition.file)
+        fs, fp = self._resolve(partition.file)
         tbl = pq.read_table(fp, filesystem=fs)
         if isinstance(partition, _ChangePartition):
             name = posixpath.basename(partition.file)

@@ -229,3 +229,52 @@ def test_stream_source_malformed_starting_timestamp_errors(spark, tmp_path):
             [],
             starting_timestamp="2026-08-15",
         )
+
+
+def test_stream_source_change_feed_over_object_store_root(spark, tmp_path):
+    """The versioned streaming source (CDF mode) over an s3mock://
+    object-store root. Spark runs Python data source PLANNING in its
+    own interpreter and reads in worker processes, so the custom-scheme
+    registrations must travel: the ``bootstrap`` option re-establishes
+    the (disk-backed, create-exclusive conditional-PUT) LogStore and
+    the scheme resolver by importable name in every process — the
+    mechanism a real object-store deployment of this source needs."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.s3mock import (
+        register_shared_s3mock,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        delete_where,
+        unregister_log_store,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.versioned_source import (
+        unregister_stream_filesystem,
+    )
+
+    if spark.conf.get("spark.hadoop.fs.s3mock.impl", None) is None:
+        pytest.skip("s3mock Hadoop shim unavailable (no javac)")
+    register_shared_s3mock()  # this (test/driver) process
+    try:
+        t = "s3mock://bucket" + str(tmp_path) + "/table"
+        versioned_write(
+            spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]), t
+        )
+        delete_where(spark, t, [("id", "==", 2)])
+        got: list[tuple] = []
+        _drain(
+            spark,
+            t,
+            str(tmp_path / "cp"),
+            got,
+            read_change_feed="true",
+            bootstrap=(
+                "loan_approval_prediction_data_engineering_ml_pipeline_spark"
+                ".sources.s3mock:register_shared_s3mock"
+            ),
+        )
+        ins = sorted(r[:2] for r in got if r[2] == "insert")
+        dels = sorted(r[:2] for r in got if r[2] == "delete")
+        assert ins == [(1, "a"), (2, "b"), (3, "c")]
+        assert dels == [(2, "b")]
+    finally:
+        unregister_stream_filesystem("s3mock")
+        unregister_log_store("s3mock://")
