@@ -42,27 +42,31 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.fixture(params=["file", "s3mock"])
+@pytest.fixture(params=["file", "s3mock", "s3mock-disk"])
 def uri_root(request, tmp_path, spark):
-    """The SAME lifecycle matrix runs against two scheme-aware roots:
+    """The SAME lifecycle matrix runs against three scheme-aware roots:
 
     - ``file:`` — single-slash canonical form, POSIX LocalLogStore;
     - ``s3mock://bucket/…`` — a double-slash authority-bearing root
       served by :class:`S3MockLogStore` (conditional-PUT log plane, no
       link/rename, paged flat-key listing) with the bundled Hadoop shim
       carrying the data plane. This is the object-store proof the
-      LogStore abstraction promises (VERDICT r8 #2).
+      LogStore abstraction promises (VERDICT r8 #2);
+    - ``s3mock-disk`` — the same root on :class:`S3MockDiskLogStore`
+      (create-exclusive conditional PUT, blobs visible across
+      processes — the store the streaming source's bootstrap uses).
     """
     if request.param == "file":
         yield "file:" + str(tmp_path / "table")
         return
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.s3mock import (
+        S3MockDiskLogStore,
         S3MockLogStore,
     )
 
     if spark.conf.get("spark.hadoop.fs.s3mock.impl", None) is None:
         pytest.skip("s3mock Hadoop shim unavailable (no javac)")
-    store = S3MockLogStore()
+    store = S3MockDiskLogStore() if request.param == "s3mock-disk" else S3MockLogStore()
     register_log_store("s3mock://", store)
     try:
         yield "s3mock://bucket" + str(tmp_path) + "/table"
