@@ -135,6 +135,15 @@ def _py_tok_bucket(t: str, n_buckets: int) -> int:
     return (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % X.MINHASH_PRIME) % n_buckets
 
 
+def _unit_expr(text_col: str, gram: int):
+    """The indexing unit stream: non-empty tokens for gram=1, word
+    n-grams (duplicates preserved, positional order) for gram>1 — the
+    same n-gram event space :func:`bm25_phrase_topk` scores in."""
+    if gram == 1:
+        return F.filter(X.tokens(text_col), lambda t: t != "")
+    return X.word_ngrams(text_col, gram)
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -143,6 +152,7 @@ def build_bm25_index(
     id_col: str = "doc_id",
     n_files: int = 8,
     n_buckets: int = 8,
+    gram: int = 1,
 ) -> None:
     """Persist the BM25 posting lists — the build-once/query-forever
     lifecycle the ANN indexes use, for standing query workloads where
@@ -159,10 +169,16 @@ def build_bm25_index(
     ``ivf_upsert`` cell layout, with tokens in place of centroid cells.
     ``lengths/`` holds (id, dl) hive-partitioned by a stable
     id bucket; ``meta/`` holds the 1-row (n, avgdl, n_buckets,
-    n_files)."""
-    ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
-    dlen = docs.select(F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl"))
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok"))
+    n_files, gram).
+
+    ``gram > 1`` indexes word n-grams instead of tokens — the standing
+    PHRASE workload (SCALE.md's "n-grams as the posting key"): one
+    index per phrase length, probed by
+    :func:`bm25_phrase_topk_indexed` with scores identical to the
+    direct :func:`bm25_phrase_topk`."""
+    units = _unit_expr(text_col, gram)
+    dlen = docs.select(F.col(id_col).alias("id"), F.size(units).alias("dl"))
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(units).alias("tok"))
     tf = toks.groupBy("tok", "id").agg(F.count(F.lit(1)).alias("tf"))
     (
         tf.withColumn("bucket", _tok_bucket(F.col("tok"), n_buckets))
@@ -194,6 +210,7 @@ def build_bm25_index(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         F.lit(n_buckets).alias("n_buckets"),
         F.lit(n_files).alias("n_files"),
+        F.lit(gram).alias("gram"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -228,12 +245,13 @@ def upsert_bm25_index(
     meta = spark.read.parquet(f"{path}/meta").first()
     n_buckets = int(meta["n_buckets"])
     n_files = int(meta["n_files"])  # lengths' id-bucket modulus is the build's
-    ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
+    gram = int(meta["gram"]) if "gram" in meta.asDict() else 1
+    units = _unit_expr(text_col, gram)
     dlen = delta_docs.select(
-        F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")
+        F.col(id_col).alias("id"), F.size(units).alias("dl")
     )
     toks = delta_docs.select(
-        F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok")
+        F.col(id_col).alias("id"), F.explode(units).alias("tok")
     )
     tf = (
         toks.groupBy("tok", "id")
@@ -258,6 +276,7 @@ def upsert_bm25_index(
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
             F.lit(n_buckets).alias("n_buckets"),
             F.lit(n_files).alias("n_files"),
+            F.lit(gram).alias("gram"),
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -266,22 +285,18 @@ def upsert_bm25_index(
     return n_touched
 
 
-def bm25_topk_indexed(
+def _indexed_contrib(
     spark,
     path: str,
     queries: DataFrame,
     *,
-    id_col: str = "doc_id",
-    k1: float = K1,
-    b: float = B,
-    k: int = 10,
-    decimals: int = 6,
-) -> DataFrame:
-    """:func:`bm25_topk` semantics over a persisted index: identical
-    scores and ranking, but the corpus-sized work drops to a
-    predicate-pushed scan of the term-sorted posting files — df, idf,
-    and per-doc sums all derive from the posting sliver the probe
-    terms select."""
+    k1: float,
+    b: float,
+):
+    """Per-(query, doc) BM25 contributions from a persisted posting
+    index — the shared probe core of :func:`bm25_topk_indexed` and
+    :func:`bm25_phrase_topk_indexed` (the latter unions contributions
+    across per-length indexes BEFORE summing/ranking)."""
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = [r["term"] for r in queries.select("term").distinct().collect()]
     stats = spark.read.parquet(f"{path}/meta")
@@ -322,7 +337,7 @@ def bm25_topk_indexed(
             ).alias("idf"),
         )
     )
-    contrib = (
+    return (
         tf.join(F.broadcast(idf), "tok")
         .join(F.broadcast(queries), F.col("tok") == F.col("term"))
         .join(dlen, "id")
@@ -341,11 +356,14 @@ def bm25_topk_indexed(
             ).alias("s"),
         )
     )
-    scored = contrib.groupBy("query_id", "id").agg(
-        F.round(F.sum("s"), decimals).alias("score")
-    )
+
+
+def _rank_topk(scored_contrib, id_col: str, k: int, decimals: int):
     from pyspark.sql import Window
 
+    scored = scored_contrib.groupBy("query_id", "id").agg(
+        F.round(F.sum("s"), decimals).alias("score")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
@@ -354,6 +372,69 @@ def bm25_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`bm25_topk` semantics over a persisted index: identical
+    scores and ranking, but the corpus-sized work drops to a
+    predicate-pushed scan of the term-sorted posting files — df, idf,
+    and per-doc sums all derive from the posting sliver the probe
+    terms select."""
+    contrib = _indexed_contrib(spark, path, queries, k1=k1, b=b)
+    return _rank_topk(contrib, id_col, k, decimals)
+
+
+def bm25_phrase_topk_indexed(
+    spark,
+    paths_by_len: dict[int, str],
+    phrase_queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`bm25_phrase_topk` semantics over persisted n-gram posting
+    indexes — the standing phrase workload: one ``gram=L`` index per
+    phrase length in use (``paths_by_len[L]``, built by
+    :func:`build_bm25_index` with ``gram=L``), each probed for its
+    length's phrases through the same bucket-pruned posting sliver the
+    unigram probe reads; contributions union across lengths and sum per
+    query BEFORE ranking, so scores equal the direct path exactly. The
+    corpus text is never re-read at probe time."""
+    qrows = phrase_queries.select("query_id", "phrase").collect()  # kilobytes
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    for r in qrows:
+        by_len.setdefault(len(r["phrase"].split()), []).append(
+            (r["query_id"], r["phrase"])
+        )
+    missing = sorted(set(by_len) - set(paths_by_len))
+    if missing:
+        raise ValueError(
+            f"no gram index for phrase length(s) {missing}: build one with "
+            f"build_bm25_index(..., gram=L) per length in the workload"
+        )
+    contribs = []
+    for L, pairs in sorted(by_len.items()):
+        pq = spark.createDataFrame(pairs, "query_id string, term string")
+        contribs.append(
+            _indexed_contrib(spark, paths_by_len[L], pq, k1=k1, b=b)
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return _rank_topk(allc, id_col, k, decimals)
 
 
 def bm25_phrase_topk(

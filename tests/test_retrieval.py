@@ -297,3 +297,51 @@ def test_bm25_phrase_plan_is_python_free(spark):
     plan = bm25_phrase_topk(docs, pq)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_phrase_indexed_equals_direct_across_lengths(spark, tmp_path):
+    """Per-length gram indexes probed and unioned must return the direct
+    phrase path's exact rows; each probe prunes to its term buckets and
+    the upsert lifecycle (new docs folded into the bigram index) keeps
+    parity with a fresh direct run over the union corpus."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_phrase_topk,
+        bm25_phrase_topk_indexed,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta gamma tok{i % 3} delta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    pq = spark.createDataFrame(
+        [("q1", "beta gamma"), ("q1", "alpha tok2"),
+         ("q2", "beta gamma tok1"), ("q2", "gamma tok2 delta")],
+        "query_id string, phrase string",
+    )
+    paths = {2: str(tmp_path / "g2"), 3: str(tmp_path / "g3")}
+    for L, p in paths.items():
+        build_bm25_index(a, p, gram=L, n_buckets=4)
+    direct = bm25_phrase_topk(a, pq, k=8).collect()
+    probe = bm25_phrase_topk_indexed(spark, paths, pq, k=8)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, direct))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "Python" not in plan
+
+    # missing-length guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no gram index for phrase length"):
+        bm25_phrase_topk_indexed(spark, {2: paths[2]}, pq)
+
+    # incremental: fold new docs into BOTH gram indexes, probe == fresh
+    b = spark.createDataFrame(
+        [(1000 + i, "beta gamma tok1 extra words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for p in paths.values():
+        upsert_bm25_index(spark, b, p)
+    fresh = bm25_phrase_topk(a.unionByName(b), pq, k=8).collect()
+    again = bm25_phrase_topk_indexed(spark, paths, pq, k=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, fresh))
