@@ -374,3 +374,65 @@ def test_curation_funnel_redaction_precedes_fingerprinting(spark):
     )
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys, "composed curation plan must stay JVM-side"
+
+
+def test_gopher_rules_single_scan_no_python(spark):
+    """The whole rule census fuses into ONE corpus scan — every rule is
+    a JVM expression; a second scan or a Python node would mean the
+    rule table fell out of the fused projection."""
+    import re
+
+    df = QUERIES["gopher_quality_rules"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert "Python" not in plan
+
+
+def test_temperature_mixture_broadcasts_rates_no_python(spark):
+    """The per-source rate table is tiny and must broadcast to the
+    corpus-side filter; two scans total (rates derivation + the
+    membership pass), zero Python."""
+    import re
+
+    df = QUERIES["temperature_mixture"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"FileScan", plan)) == 2
+    assert "Python" not in plan
+
+
+def test_bpe_merge_round_is_vocab_sized_no_python(spark):
+    """One BPE merge round's pair-count plan: map-only transform +
+    explode over the (tiny) vocab relation into a single partial-agg'd
+    shuffle — no window, no self-join, no Python. (The corpus pass
+    happens once, before any round.)"""
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.bpe import (
+        _symbolized,
+        word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest widest low")], "doc_id long, text string"
+    )
+    cur = _symbolized(word_vocab(docs))
+    pairs = (
+        cur.withColumn("__s", F.split(F.trim(F.col("w")), " "))
+        .where(F.size("__s") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__s)-2),"
+                    " i -> struct(__s[i] AS a, __s[i+1] AS b))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan  # partial-agg'd pair counts
