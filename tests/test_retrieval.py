@@ -345,3 +345,53 @@ def test_bm25_phrase_indexed_equals_direct_across_lengths(spark, tmp_path):
     fresh = bm25_phrase_topk(a.unionByName(b), pq, k=8).collect()
     again = bm25_phrase_topk_indexed(spark, paths, pq, k=8).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, fresh))
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+    bm25_topk_indexed,
+    build_bm25_index,
+    upsert_bm25_index,
+)
+
+_WORD = st.sampled_from(["spark", "join", "scan", "merge", "hash", "row", "col"])
+_DOC = st.lists(_WORD, min_size=1, max_size=6).map(" ".join)
+
+
+@hyp_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_DOC, min_size=2, max_size=6),
+    delta=st.lists(_DOC, min_size=1, max_size=4),
+    terms=st.lists(_WORD, min_size=1, max_size=3, unique=True),
+)
+def test_bm25_index_lifecycle_property(spark, tmp_path, base, delta, terms):
+    """For ARBITRARY small corpora, delta batches, and query terms:
+    build -> probe == direct, upsert -> probe == direct over the union,
+    re-applied upsert is a value-level no-op. The fixed-case tests pin
+    plans and layouts; this pins the algebra."""
+    import uuid
+
+    idx = str(tmp_path / f"bm25_{uuid.uuid4().hex[:8]}")
+    a = spark.createDataFrame(list(enumerate(base)), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(delta)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [("q", t) for t in terms], "query_id string, term string"
+    )
+    build_bm25_index(a, idx, n_buckets=4, n_files=2)
+    probe = bm25_topk_indexed(spark, idx, q, k=10).collect()
+    direct = bm25_topk(a, q, k=10).collect()
+    assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
+
+    upsert_bm25_index(spark, b, idx)
+    upsert_bm25_index(spark, b, idx)  # idempotent re-apply
+    probe2 = bm25_topk_indexed(spark, idx, q, k=10).collect()
+    direct2 = bm25_topk(a.unionByName(b), q, k=10).collect()
+    assert sorted(map(tuple, probe2)) == sorted(map(tuple, direct2))
