@@ -465,10 +465,14 @@ def main() -> None:
         sum(samples[n][i] for n in names) for i in range(len(use))
     ]
     best_total = min(round_totals)
+    # indices reported in ORIGINAL round numbers (use[i]), so they line
+    # up with noisy_rounds and per_round_sec — a drift round can't be
+    # misattributed when noisy rounds were dropped (ADVICE r9)
     drift_rounds = [
-        i for i, t in enumerate(round_totals) if t > 1.2 * best_total
+        use[i] for i, t in enumerate(round_totals) if t > 1.2 * best_total
     ]
     calibration["round_totals_sec"] = [round(t, 3) for t in round_totals]
+    calibration["rounds_used_idx"] = list(use)
     calibration["rounds_over_20pct_of_best"] = drift_rounds
 
     # maintenance timings BEFORE any streaming replay — a finished
@@ -583,7 +587,15 @@ def main() -> None:
             prev = json.load(fh)
         if prev.get("sf") != sf:
             raise ValueError("prior record at different sf — not comparable")
-        prev_min = prev.get("queries_min") or prev.get("queries") or {}
+        prev_min = prev.get("queries_min")
+        # pre-r9 records lack queries_min; comparing current min-floors
+        # against previous MEDIANS biases the verdict toward "clean" —
+        # tag the baseline and withhold the verdict instead (ADVICE r9)
+        prev_baseline = "min"
+        if not prev_min:
+            prev_min = prev.get("queries") or {}
+            prev_baseline = "median"
+        drift["prev_baseline"] = prev_baseline
         shared = [n for n in timings_min if n in prev_min]
         if shared:
             cur_s = sum(timings_min[n] for n in shared)
@@ -596,7 +608,13 @@ def main() -> None:
                     "vs_prev_ratio": ratio,
                 }
             )
-            if ratio is not None:
+            if ratio is not None and prev_baseline == "median":
+                drift["verdict"] = (
+                    "no-verdict: prior record lacks queries_min — current "
+                    "min-floor vs previous MEDIAN is not a like-for-like "
+                    "comparison (would bias toward clean)"
+                )
+            elif ratio is not None:
                 if ratio <= 1.2:
                     drift["verdict"] = "clean"
                 elif calibration["rounds_over_20pct_of_best"]:

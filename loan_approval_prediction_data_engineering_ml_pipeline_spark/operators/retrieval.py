@@ -208,6 +208,7 @@ def build_bm25_index(
     dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         F.lit(n_buckets).alias("n_buckets"),
         F.lit(n_files).alias("n_files"),
         F.lit(gram).alias("gram"),
@@ -227,11 +228,20 @@ def upsert_bm25_index(
     the corpus. The delta's postings REPLACE INTO only the token-bucket
     partitions its tokens hash to — cold buckets keep byte-identical
     files; the delta's lengths append as new files (cold length files
-    untouched); ``meta`` re-derives (n, avgdl) from the combined length
-    relation, O(corpus) rows of two ints but map-side-combined to one
-    row. A probe after the upsert equals a fresh :func:`bm25_topk` over
+    untouched); ``meta`` maintains (n, sum_dl) INCREMENTALLY from the
+    delta alone (VERDICT r9 #8): replaced ids' old lengths are read
+    from only the touched ``lb`` buckets (partition-pruned, O(delta
+    buckets) not O(corpus)), so
+    ``n' = n + |new ids|`` and ``sum_dl' = sum_dl + Σdelta − Σreplaced``.
+    Pre-``sum_dl`` indexes (built before r10) fall back to the full
+    lengths re-scan once; the rewritten meta then carries ``sum_dl``.
+    A probe after the upsert equals a fresh :func:`bm25_topk` over
     the union corpus exactly, because df/idf re-derive from the posting
     sliver at probe time — no global statistic is baked into the files.
+
+    The delta batch must carry each id at most once (the ingest-batch
+    contract the per-id REPLACE already assumes); duplicate ids within
+    one delta would double-count in the incremental (n, sum_dl).
 
     Same constraint as ``ivf_upsert``/``upsert_parquet_partitioned``: a
     RE-INGESTED id whose new text drops a token would leave the old
@@ -259,30 +269,82 @@ def upsert_bm25_index(
         .withColumn("bucket", _tok_bucket(F.col("tok"), n_buckets))
     )
     n_touched = tf.select("bucket").distinct().count()
-    upsert_parquet_partitioned(tf, f"{path}/postings", ["tok", "id"], "bucket")
+
+    dlen_lb = dlen.withColumn(
+        "lb", F.pmod(F.xxhash64("id"), F.lit(n_files)).cast("int")
+    )
+    # incremental meta: BEFORE the lengths rewrite, read the replaced
+    # ids' old lengths from only the touched lb buckets. The collect is
+    # one 3-number row; the scan is partition-pruned to O(delta buckets).
+    meta_d = meta.asDict()
+    if "sum_dl" in meta_d and meta_d["sum_dl"] is not None:
+        touched_lbs = [r[0] for r in dlen_lb.select("lb").distinct().collect()]
+        # declared schema (the delta's own) so the id column compares
+        # like-for-like regardless of the corpus id type
+        old_lengths = spark.read.schema(dlen_lb.schema).parquet(f"{path}/lengths")
+        replaced = (
+            old_lengths.where(F.col("lb").isin(touched_lbs))
+            .join(dlen_lb.select("id"), "id", "left_semi")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            )
+            .first()
+        )
+        delta_stats = dlen.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        ).first()
+        new_n = int(meta_d["n"]) + int(delta_stats["c"]) - int(replaced["c"])
+        new_sum = int(meta_d["sum_dl"]) + int(delta_stats["s"]) - int(replaced["s"])
+        meta_rows = [(new_n, new_sum / new_n if new_n else 0.0, new_sum)]
+    else:
+        meta_rows = None  # pre-sum_dl index: full re-scan fallback below
+
+    upsert_parquet_partitioned(
+        tf,
+        f"{path}/postings",
+        ["tok", "id"],
+        "bucket",
+        sort_within=["tok", "id"],
+    )
     # lengths: per-id REPLACE into the touched id buckets — a retried
     # ingest step re-applying the same delta is a no-op (cold buckets
     # byte-identical), never a duplicated length row
     upsert_parquet_partitioned(
-        dlen.withColumn("lb", F.pmod(F.xxhash64("id"), F.lit(n_files)).cast("int")),
-        f"{path}/lengths",
-        ["id"],
-        "lb",
+        dlen_lb, f"{path}/lengths", ["id"], "lb", sort_within=["id"]
     )
-    (
-        spark.read.parquet(f"{path}/lengths")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    if meta_rows is not None:
+        meta_df = spark.createDataFrame(
+            meta_rows, "n long, avgdl double, sum_dl long"
+        ).select(
+            "n",
+            "avgdl",
+            "sum_dl",
             F.lit(n_buckets).alias("n_buckets"),
             F.lit(n_files).alias("n_files"),
             F.lit(gram).alias("gram"),
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/meta")
-    )
+    else:
+        meta_df = spark.read.parquet(f"{path}/lengths").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+            F.lit(n_files).alias("n_files"),
+            F.lit(gram).alias("gram"),
+        )
+    meta_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return n_touched
+
+
+def _empty_topk(spark, id_col: str) -> DataFrame:
+    """The (query_id, doc_id, score, rank) result shape with zero rows —
+    what an empty query workload ranks to (ADVICE r9: the phrase paths
+    used to raise IndexError on ``contribs[0]`` instead)."""
+    return spark.createDataFrame(
+        [], f"query_id string, {id_col} string, score double, rank int"
+    )
 
 
 def _indexed_contrib(
@@ -292,15 +354,30 @@ def _indexed_contrib(
     *,
     k1: float,
     b: float,
+    expect_gram: int | None = None,
 ):
     """Per-(query, doc) BM25 contributions from a persisted posting
     index — the shared probe core of :func:`bm25_topk_indexed` and
     :func:`bm25_phrase_topk_indexed` (the latter unions contributions
-    across per-length indexes BEFORE summing/ranking)."""
+    across per-length indexes BEFORE summing/ranking).
+
+    ``expect_gram`` guards against a mis-wired index mapping (ADVICE
+    r9): meta records the ``gram`` the index was built with, and a
+    unigram index probed for bigram phrases would silently return
+    empty/wrong rankings — raise instead."""
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = [r["term"] for r in queries.select("term").distinct().collect()]
     stats = spark.read.parquet(f"{path}/meta")
-    n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
+    meta_row = stats.first()
+    if expect_gram is not None:
+        built_gram = int(meta_row["gram"]) if "gram" in meta_row.asDict() else 1
+        if built_gram != expect_gram:
+            raise ValueError(
+                f"index at {path} was built with gram={built_gram}, but the "
+                f"probe expects gram={expect_gram} units — wire the right "
+                f"per-length index (build_bm25_index(..., gram={expect_gram}))"
+            )
+    n_buckets = int(meta_row["n_buckets"])
     postings = spark.read.parquet(f"{path}/postings")
     # directory-level partition pruning first: only the buckets the
     # probe terms hash to are even listed (the bucket fn is the same
@@ -390,7 +467,9 @@ def bm25_topk_indexed(
     predicate-pushed scan of the term-sorted posting files — df, idf,
     and per-doc sums all derive from the posting sliver the probe
     terms select."""
-    contrib = _indexed_contrib(spark, path, queries, k1=k1, b=b)
+    if not queries.take(1):
+        return _empty_topk(spark, id_col)
+    contrib = _indexed_contrib(spark, path, queries, k1=k1, b=b, expect_gram=1)
     return _rank_topk(contrib, id_col, k, decimals)
 
 
@@ -419,6 +498,8 @@ def bm25_phrase_topk_indexed(
         by_len.setdefault(len(r["phrase"].split()), []).append(
             (r["query_id"], r["phrase"])
         )
+    if not by_len:
+        return _empty_topk(spark, id_col)
     missing = sorted(set(by_len) - set(paths_by_len))
     if missing:
         raise ValueError(
@@ -429,7 +510,7 @@ def bm25_phrase_topk_indexed(
     for L, pairs in sorted(by_len.items()):
         pq = spark.createDataFrame(pairs, "query_id string, term string")
         contribs.append(
-            _indexed_contrib(spark, paths_by_len[L], pq, k1=k1, b=b)
+            _indexed_contrib(spark, paths_by_len[L], pq, k1=k1, b=b, expect_gram=L)
         )
     allc = contribs[0]
     for c in contribs[1:]:
@@ -478,6 +559,8 @@ def bm25_phrase_topk(
         by_len.setdefault(len(r["phrase"].split()), []).append(
             (r["query_id"], r["phrase"])
         )
+    if not by_len:
+        return _empty_topk(spark, id_col)
     contribs = []
     for L, pairs in sorted(by_len.items()):
         grams = X.word_ngrams(text_col, L)

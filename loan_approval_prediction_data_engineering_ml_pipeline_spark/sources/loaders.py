@@ -285,6 +285,7 @@ def upsert_parquet_partitioned(
     partition_col: str,
     *,
     order_col: str | None = None,
+    sort_within: list[str] | None = None,
 ) -> None:
     """S6 at scale: partition-granular REPLACE INTO over a hive-partitioned
     parquet store — only the partitions present in the incoming batch are
@@ -300,6 +301,11 @@ def upsert_parquet_partitioned(
     (a row never migrates partitions between versions). If a key can move
     partitions, its old version would survive in the old partition — use
     ``upsert_parquet`` (full rewrite) or delete-by-key first.
+
+    ``sort_within`` re-clusters each rewritten partition by the given
+    columns before the write — stores whose probes rely on row-group
+    min/max pruning (the BM25 posting layout sorts by ``tok``) keep that
+    clustering across repeated upserts instead of degrading (ADVICE r9).
     """
     spark = df.sparkSession
     touched = [r[0] for r in df.select(partition_col).distinct().collect()]
@@ -326,6 +332,10 @@ def upsert_parquet_partitioned(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+    if sort_within:
+        deduped = deduped.repartition(F.col(partition_col)).sortWithinPartitions(
+            *sort_within
+        )
     staged = path.rstrip("/") + "__upsert_staging"
     _stage_and_dynamic_overwrite(deduped, path, partition_col, staged)
     _delete_path(spark, staged)

@@ -395,3 +395,119 @@ def test_bm25_index_lifecycle_property(spark, tmp_path, base, delta, terms):
     probe2 = bm25_topk_indexed(spark, idx, q, k=10).collect()
     direct2 = bm25_topk(a.unionByName(b), q, k=10).collect()
     assert sorted(map(tuple, probe2)) == sorted(map(tuple, direct2))
+
+
+def test_phrase_empty_queries_and_gram_mismatch(spark, tmp_path):
+    """ADVICE r9: an empty phrase workload returns the empty
+    (query_id, doc_id, score, rank) shape instead of IndexError, and a
+    mis-wired per-length index map (unigram index under key 2) raises
+    instead of silently ranking in the wrong unit space."""
+    import pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_phrase_topk,
+        bm25_phrase_topk_indexed,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red red fox")], "doc_id long, text string"
+    )
+    empty_q = spark.createDataFrame([], "query_id string, phrase string")
+    out = bm25_phrase_topk(docs, empty_q)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
+
+    uni = str(tmp_path / "uni")
+    build_bm25_index(docs, uni, n_buckets=2, n_files=1, gram=1)
+    out2 = bm25_phrase_topk_indexed(spark, {2: uni}, empty_q)
+    assert out2.count() == 0
+
+    bi_q = spark.createDataFrame(
+        [("q", "red fox")], "query_id string, phrase string"
+    )
+    with pytest.raises(ValueError, match="gram=1.*gram=2"):
+        bm25_phrase_topk_indexed(spark, {2: uni}, bi_q).collect()
+
+    # unigram probe path also guards (expects gram=1) and an empty
+    # term workload short-circuits to the empty shape
+    bi = str(tmp_path / "bi")
+    build_bm25_index(docs, bi, n_buckets=2, n_files=1, gram=2)
+    tq = spark.createDataFrame([("q", "red")], "query_id string, term string")
+    with pytest.raises(ValueError, match="gram=2.*gram=1"):
+        bm25_topk_indexed(spark, bi, tq).collect()
+    empty_t = spark.createDataFrame([], "query_id string, term string")
+    assert bm25_topk_indexed(spark, uni, empty_t).count() == 0
+
+
+def test_upsert_incremental_meta_matches_full_rescan(spark, tmp_path):
+    """VERDICT r9 #8: after build + two upserts (one pure-append, one
+    re-apply that REPLACES existing ids), the incrementally-maintained
+    meta (n, avgdl, sum_dl) equals a from-scratch recompute over the
+    lengths relation."""
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta " + "pad " * (i % 3)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, "gamma tok1 word " + "x " * i) for i in range(9)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "incmeta")
+    build_bm25_index(a, idx, n_buckets=4, n_files=2)
+    upsert_bm25_index(spark, b, idx)   # pure append
+    upsert_bm25_index(spark, b, idx)   # re-apply: every id replaced
+
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    truth = (
+        spark.read.parquet(f"{idx}/lengths")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .first()
+    )
+    assert meta["n"] == truth["n"] == 69
+    assert meta["sum_dl"] == truth["sum_dl"]
+    assert abs(meta["avgdl"] - truth["sum_dl"] / truth["n"]) < 1e-12
+
+
+def test_upsert_preserves_tok_sort_within_buckets(spark, tmp_path):
+    """ADVICE r9: the upsert rewrite re-clusters merged posting
+    partitions by (tok, id), preserving the row-group min/max pruning
+    the build-time layout promises."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"w{i % 37} w{(i * 7) % 37} common") for i in range(400)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, f"w{i % 37} fresh") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sorted")
+    build_bm25_index(a, idx, n_buckets=4)
+    upsert_bm25_index(spark, b, idx)
+    checked = 0
+    for f in glob.glob(f"{idx}/postings/bucket=*/part-*"):
+        col = pq.read_table(f, columns=["tok", "id"]).to_pydict()
+        rows = list(zip(col["tok"], col["id"]))
+        assert rows == sorted(rows), f"unsorted postings in {f}"
+        checked += 1
+    assert checked > 0
