@@ -35,6 +35,12 @@ MAX_MEAN_WORD_LEN = 10.0
 MIN_ALPHA_RATIO = 0.6
 MIN_STOPWORD_HITS = 2
 MIN_DISTINCT_RATIO = 0.5
+#: Rae 2021 §A1.1 repetition family (VERDICT r9 #4): duplicate-line
+#: fraction bound and top-2-gram mass bound. Masses here are in n-gram
+#: OCCURRENCE units (the same unit space repetition_stats reports); the
+#: paper's character-fraction variant differs only by a length weight.
+MAX_DUP_LINE_FRAC = 0.30
+MAX_TOP_2GRAM_FRAC = 0.20
 
 #: Rule names in report order. Each flag is True when the doc FAILS.
 RULE_NAMES = (
@@ -43,7 +49,56 @@ RULE_NAMES = (
     "alpha_ratio",
     "stopword_hits",
     "repetition",
+    "dup_lines",
+    "top_2gram",
 )
+
+
+def dup_line_frac(text: Column | str) -> Column:
+    """Fraction of non-empty (trimmed) lines that repeat an earlier
+    line: ``1 - distinct/total``; 0.0 for documents with no non-empty
+    lines. Map-only array expressions — no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return F.when(
+        F.size(lines) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+
+
+def top_2gram_frac(text: Column | str) -> Column:
+    """Mass of the most frequent word 2-gram: ``max count / total
+    2-grams`` (0.0 when the doc has fewer than 2 tokens). The mode
+    count is one O(n log n) pass — sort the gram array, then a single
+    fold tracks the longest equal-run — so a 100k-token document costs
+    its own sort, never an O(n^2) self-comparison. The fold is a
+    Catalyst higher-order function: JVM-side (no Python), interpreted
+    rather than codegen'd — fine for a once-per-doc array pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    g = F.array_sort(X.word_ngrams(c, 2))
+    best_run = F.aggregate(
+        g,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(F.size(g) > 0, best_run / F.size(g)).otherwise(F.lit(0.0))
 
 
 def gopher_flags(text: Column | str) -> list[Column]:
@@ -62,6 +117,8 @@ def gopher_flags(text: Column | str) -> list[Column]:
         (X.alpha_ratio(c) < MIN_ALPHA_RATIO).alias("fail_alpha_ratio"),
         (stop_hits < MIN_STOPWORD_HITS).alias("fail_stopword_hits"),
         (distinct_ratio < MIN_DISTINCT_RATIO).alias("fail_repetition"),
+        (dup_line_frac(c) > MAX_DUP_LINE_FRAC).alias("fail_dup_lines"),
+        (top_2gram_frac(c) > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
     ]
 
 
@@ -69,9 +126,16 @@ def gopher_report(
     docs: DataFrame, *, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:
     """Per-``group_col`` rule-failure census: doc count, per-rule fail
-    counts, and the count passing EVERY rule — the summary a curation
-    run records before deciding thresholds. One scan, one tiny agg."""
-    flagged = docs.select(group_col, *gopher_flags(text_col))
+    counts, the count passing EVERY rule, and the mean repetition
+    fractions (the signals behind the two Rae §A1.1 repetition rules —
+    reported so threshold tuning sees the distribution, not just the
+    fail counts). One scan, one tiny agg."""
+    flagged = docs.select(
+        group_col,
+        *gopher_flags(text_col),
+        dup_line_frac(text_col).alias("__dlf"),
+        top_2gram_frac(text_col).alias("__tgf"),
+    )
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for name in RULE_NAMES:
         aggs.append(
@@ -85,4 +149,6 @@ def gopher_report(
     aggs.append(
         F.sum(F.when(pass_expr, 1).otherwise(0)).cast("long").alias("n_pass_all")
     )
+    aggs.append(F.round(F.avg("__dlf"), 6).alias("avg_dup_line_frac"))
+    aggs.append(F.round(F.avg("__tgf"), 6).alias("avg_top_2gram_frac"))
     return flagged.groupBy(group_col).agg(*aggs).orderBy(group_col)
