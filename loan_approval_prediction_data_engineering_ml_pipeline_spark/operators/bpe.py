@@ -141,9 +141,8 @@ def learn_bpe(
         eager=True  # the single corpus pass — rounds never re-scan it
     )
     merges: list[tuple[int, str, str, int]] = []
-    rounds = 0
+    last_ckpt = 0  # merges recorded at the last checkpoint
     while len(merges) < m:
-        rounds += 1
         top = (
             cur.withColumn("__s", F.split(F.trim(F.col("w")), " "))
             .where(F.size("__s") >= 2)
@@ -171,8 +170,12 @@ def learn_bpe(
             merges.append((len(merges) + 1, a, b, n))
             expr = F.replace(expr, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         cur = cur.select(expr.alias("w"), "cnt")
-        if checkpoint_every and rounds % checkpoint_every == 0:
+        # cadence is in MERGES, not rounds (ADVICE r10): a batched round
+        # nests up to `batch` replaces, so a per-round cadence would let
+        # lineage depth grow batch-fold between checkpoints
+        if checkpoint_every and len(merges) - last_ckpt >= checkpoint_every:
             cur = cur.localCheckpoint(eager=True)  # vocab-sized, tiny
+            last_ckpt = len(merges)
     return merges
 
 

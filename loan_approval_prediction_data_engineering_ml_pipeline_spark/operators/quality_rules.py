@@ -101,8 +101,10 @@ def top_2gram_frac(text: Column | str) -> Column:
     return F.when(F.size(g) > 0, best_run / F.size(g)).otherwise(F.lit(0.0))
 
 
-def gopher_flags(text: Column | str) -> list[Column]:
-    """One ``fail_<rule>`` boolean column per rule (True = doc fails)."""
+def _base_flags(text: Column | str) -> list[Column]:
+    """The five token-statistic ``fail_<rule>`` flags (everything except
+    the two repetition-fraction rules, whose inputs callers may want to
+    project once and reuse)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = X.tokens(c)
     n = F.size(toks)
@@ -117,6 +119,14 @@ def gopher_flags(text: Column | str) -> list[Column]:
         (X.alpha_ratio(c) < MIN_ALPHA_RATIO).alias("fail_alpha_ratio"),
         (stop_hits < MIN_STOPWORD_HITS).alias("fail_stopword_hits"),
         (distinct_ratio < MIN_DISTINCT_RATIO).alias("fail_repetition"),
+    ]
+
+
+def gopher_flags(text: Column | str) -> list[Column]:
+    """One ``fail_<rule>`` boolean column per rule (True = doc fails)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        *_base_flags(c),
         (dup_line_frac(c) > MAX_DUP_LINE_FRAC).alias("fail_dup_lines"),
         (top_2gram_frac(c) > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
     ]
@@ -129,12 +139,27 @@ def gopher_report(
     counts, the count passing EVERY rule, and the mean repetition
     fractions (the signals behind the two Rae §A1.1 repetition rules —
     reported so threshold tuning sees the distribution, not just the
-    fail counts). One scan, one tiny agg."""
-    flagged = docs.select(
+    fail counts). One scan, one tiny agg.
+
+    The two fraction expressions are projected ONCE and the fail flags
+    derived from the projected columns in a second select — the
+    top-2gram sort+fold is the expensive rule, and Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases in
+    their own projection, so each document pays the O(n log n) pass
+    exactly once per scan."""
+    fractions = docs.select(
         group_col,
-        *gopher_flags(text_col),
+        *_base_flags(text_col),
         dup_line_frac(text_col).alias("__dlf"),
         top_2gram_frac(text_col).alias("__tgf"),
+    )
+    flagged = fractions.select(
+        group_col,
+        *[f"fail_{n}" for n in RULE_NAMES[:5]],
+        (F.col("__dlf") > MAX_DUP_LINE_FRAC).alias("fail_dup_lines"),
+        (F.col("__tgf") > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
+        "__dlf",
+        "__tgf",
     )
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for name in RULE_NAMES:

@@ -277,10 +277,33 @@ def upsert_bm25_index(
     # ids' old lengths from only the touched lb buckets. The collect is
     # one 3-number row; the scan is partition-pruned to O(delta buckets).
     meta_d = meta.asDict()
-    if "sum_dl" in meta_d and meta_d["sum_dl"] is not None:
+    stored_id_type = (
+        spark.read.parquet(f"{path}/lengths").schema["id"].dataType
+    )  # footer-only schema read
+    if (
+        "sum_dl" in meta_d
+        and meta_d["sum_dl"] is not None
+        # ADVICE r10 guard: a delta id type whose xxhash64 differs from
+        # the build's would miss its lb bucket in the replaced-id
+        # lookup and silently skew avgdl — incremental meta is only
+        # sound when the types agree; otherwise full re-scan below.
+        and dlen.schema["id"].dataType == stored_id_type
+    ):
+        delta_stats = dlen.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct(F.col("id")).alias("d"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        ).first()
+        # ADVICE r10 guard: duplicate ids within one delta double-count
+        # both postings and lengths — reject loudly, the upsert contract
+        # is one row per id per delta.
+        if int(delta_stats["c"]) != int(delta_stats["d"]):
+            raise ValueError(
+                f"delta contains duplicate ids ({int(delta_stats['c'])} rows, "
+                f"{int(delta_stats['d'])} distinct) — deduplicate the delta "
+                "before upsert_bm25_index; REPLACE semantics are per-id"
+            )
         touched_lbs = [r[0] for r in dlen_lb.select("lb").distinct().collect()]
-        # declared schema (the delta's own) so the id column compares
-        # like-for-like regardless of the corpus id type
         old_lengths = spark.read.schema(dlen_lb.schema).parquet(f"{path}/lengths")
         replaced = (
             old_lengths.where(F.col("lb").isin(touched_lbs))
@@ -291,15 +314,13 @@ def upsert_bm25_index(
             )
             .first()
         )
-        delta_stats = dlen.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-        ).first()
         new_n = int(meta_d["n"]) + int(delta_stats["c"]) - int(replaced["c"])
         new_sum = int(meta_d["sum_dl"]) + int(delta_stats["s"]) - int(replaced["s"])
         meta_rows = [(new_n, new_sum / new_n if new_n else 0.0, new_sum)]
     else:
-        meta_rows = None  # pre-sum_dl index: full re-scan fallback below
+        # pre-sum_dl index, or delta id type != build id type:
+        # full lengths re-scan fallback below
+        meta_rows = None
 
     upsert_parquet_partitioned(
         tf,
@@ -338,13 +359,23 @@ def upsert_bm25_index(
     return n_touched
 
 
-def _empty_topk(spark, id_col: str) -> DataFrame:
+def _empty_topk(spark, id_col: str, id_type: str = "string") -> DataFrame:
     """The (query_id, doc_id, score, rank) result shape with zero rows —
     what an empty query workload ranks to (ADVICE r9: the phrase paths
-    used to raise IndexError on ``contribs[0]`` instead)."""
+    used to raise IndexError on ``contribs[0]`` instead).
+
+    ``id_type`` is the corpus id's DDL type (ADVICE r10: a hardcoded
+    string here gave the empty-workload path a different schema than
+    normal results, breaking callers that union batches)."""
     return spark.createDataFrame(
-        [], f"query_id string, {id_col} string, score double, rank int"
+        [], f"query_id string, {id_col} {id_type}, score double, rank int"
     )
+
+
+def _index_id_type(spark, path: str) -> str:
+    """DDL type of the doc id persisted in an index's lengths relation —
+    a footer-only schema read, no data job."""
+    return spark.read.parquet(f"{path}/lengths").schema["id"].dataType.simpleString()
 
 
 def _indexed_contrib(
@@ -468,7 +499,7 @@ def bm25_topk_indexed(
     and per-doc sums all derive from the posting sliver the probe
     terms select."""
     if not queries.take(1):
-        return _empty_topk(spark, id_col)
+        return _empty_topk(spark, id_col, _index_id_type(spark, path))
     contrib = _indexed_contrib(spark, path, queries, k1=k1, b=b, expect_gram=1)
     return _rank_topk(contrib, id_col, k, decimals)
 
@@ -499,6 +530,9 @@ def bm25_phrase_topk_indexed(
             (r["query_id"], r["phrase"])
         )
     if not by_len:
+        if paths_by_len:
+            any_path = next(iter(paths_by_len.values()))
+            return _empty_topk(spark, id_col, _index_id_type(spark, any_path))
         return _empty_topk(spark, id_col)
     missing = sorted(set(by_len) - set(paths_by_len))
     if missing:
@@ -560,7 +594,9 @@ def bm25_phrase_topk(
             (r["query_id"], r["phrase"])
         )
     if not by_len:
-        return _empty_topk(spark, id_col)
+        return _empty_topk(
+            spark, id_col, docs.schema[id_col].dataType.simpleString()
+        )
     contribs = []
     for L, pairs in sorted(by_len.items()):
         grams = X.word_ngrams(text_col, L)

@@ -1472,7 +1472,9 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gopher_oracle() -> str:
     from ..operators.quality_rules import (
+        MAX_DUP_LINE_FRAC,
         MAX_MEAN_WORD_LEN,
+        MAX_TOP_2GRAM_FRAC,
         MAX_WORDS,
         MIN_ALPHA_RATIO,
         MIN_DISTINCT_RATIO,
@@ -1488,31 +1490,67 @@ def _gopher_oracle() -> str:
         "alpha_ratio": f"(ar < {MIN_ALPHA_RATIO})",
         "stopword_hits": f"(sh < {MIN_STOPWORD_HITS})",
         "repetition": f"(dr < {MIN_DISTINCT_RATIO})",
+        "dup_lines": f"(dlf > {MAX_DUP_LINE_FRAC})",
+        "top_2gram": f"(tgf > {MAX_TOP_2GRAM_FRAC})",
     }
+    # Hard invariant: the oracle covers exactly the Spark rule table.
+    # (Round-10 regression: RULE_NAMES grew two rules this dict lacked,
+    # and the KeyError fired at import time via the @query decorator.)
+    if set(fails) != set(RULE_NAMES):  # pragma: no cover - build guard
+        raise RuntimeError(
+            "gopher oracle rule set drifted from quality_rules.RULE_NAMES: "
+            f"{sorted(set(fails) ^ set(RULE_NAMES))}"
+        )
     fail_cols = ",\n           ".join(
         f"CAST(sum(CASE WHEN {fails[name]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_{name}"
         for name in RULE_NAMES
     )
     pass_all = " AND ".join(f"NOT {fails[name]}" for name in RULE_NAMES)
+    # dup-line fraction: trimmed non-empty lines, 1 - distinct/total
+    # (quality_rules.dup_line_frac twin; chr(10) == '\n').
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+    dlf = (
+        f"CASE WHEN len({lines}) > 0 THEN "
+        f"1.0 - len(list_distinct({lines})) * 1.0 / len({lines}) "
+        "ELSE 0.0 END"
+    )
+    # top-2gram mass: mode count / total grams per doc, via an
+    # unnest+group twin of the Spark sort+fold run-length pass.
     return f"""
     WITH t AS (
-      SELECT source, text, string_split(trim(text), ' ') AS toks FROM documents
+      SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest({_ngrams_sql(2)}) AS gram FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS tgf
+      FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+      GROUP BY doc_id
     ),
     s AS (
-      SELECT source,
+      SELECT t.source,
              len(toks) AS nt,
              list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
                / len(toks) AS mwl,
              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                / length(text) AS ar,
              len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS sh,
-             len(list_distinct(toks)) * 1.0 / len(toks) AS dr
-      FROM t
+             len(list_distinct(toks)) * 1.0 / len(toks) AS dr,
+             {dlf} AS dlf,
+             coalesce(tg.tgf, 0.0) AS tgf
+      FROM t LEFT JOIN tg USING (doc_id)
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            {fail_cols},
-           CAST(sum(CASE WHEN {pass_all} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+           CAST(sum(CASE WHEN {pass_all} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           round(avg(dlf), 6) AS avg_dup_line_frac,
+           round(avg(tgf), 6) AS avg_top_2gram_frac
     FROM s
     GROUP BY source
     ORDER BY source
