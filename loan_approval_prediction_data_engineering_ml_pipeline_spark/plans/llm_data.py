@@ -1560,7 +1560,7 @@ def _gopher_oracle() -> str:
 @query(
     "gopher_quality_rules",
     tier="local",
-    oracle=_gopher_oracle(),
+    oracle=_gopher_oracle,
     description="Gopher-style rule-table quality census (Rae et al. 2021 "
     "A1.1; the C4/RedPajama/Dolma/FineWeb pre-filter family): named "
     "boolean rules over cheap text statistics — word-count bounds, mean "
@@ -2191,7 +2191,7 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
 @query(
     "curation_pipeline_funnel",
     tier="local",
-    oracle=_funnel_oracle(),
+    oracle=_funnel_oracle,
     description="The END-TO-END curation recipe as ONE verified plan "
     "(VERDICT r8 #4): PII redaction FIRST (per operators/pii.py — PII "
     "must never reach fingerprints, signatures, or model features; a "
@@ -2517,7 +2517,7 @@ def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
 @query(
     "kmeans_embed_clusters",
     tier="local",
-    oracle=_kmeans_cte()
+    oracle=lambda: _kmeans_cte()
     + """
     SELECT c.cell, n.n, r.pos, c.cent[r.pos] AS centroid_val
     FROM c3 c
@@ -2555,7 +2555,7 @@ def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup",
     tier="local",
-    oracle=_kmeans_cte()
+    oracle=lambda: _kmeans_cte()
     + """,
     p AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -2799,7 +2799,7 @@ def _bpe_cte(m: int = 8) -> str:
 @query(
     "bpe_merges",
     tier="local",
-    oracle=_bpe_cte(),
+    oracle=_bpe_cte,
     description="BPE tokenizer training (Sennrich 2016): 8 weighted "
     "merge rounds at character level. The scale property is Sennrich's "
     "own: pair statistics depend only on the WORD-FREQUENCY VOCABULARY, "
@@ -2880,7 +2880,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "phrase_merges",
     tier="local",
-    oracle=_phrase_cte(),
+    oracle=_phrase_cte,
     description="Iterative phrase-vocabulary learning (word2phrase / "
     "BPE-style merge loop): 6 rounds of corpus-wide adjacent-pair "
     "argmax + greedy left-to-right merge; later rounds merge merged "
@@ -3264,7 +3264,7 @@ def _pii_oracle() -> str:
 @query(
     "pii_redact",
     tier="local",
-    oracle=_pii_oracle(),
+    oracle=_pii_oracle,
     description="PII detection + redaction (Dolma/CCNet/C4 privacy scrub): "
     "emails, credit cards, SSNs, phones, IPv4s counted on the raw text and "
     "replaced by typed placeholders in one chained regexp pass — map-only, "

@@ -350,7 +350,7 @@ def transition_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_preprocess_fit_stats",
-    oracle=_preprocess_oracle(),
+    oracle=_preprocess_oracle,
     description="Every deterministic fit-time aggregate of the reference's "
     "preprocessing dataflow (LP.ipynb:748-763), emitted from the ACTUAL "
     "fitted MLlib models — Imputer surrogate medians, StringModeImputer "
@@ -422,7 +422,7 @@ def ml_preprocess_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the committed fixture + committed fitted weights and
     # hash-compared (VERDICT r4 #2 — flips this query from rows-only to
     # oracle-verified).
-    oracle=_lr_score_oracle(),
+    oracle=_lr_score_oracle,
     description="The reference's end-to-end ML dataflow in one query: "
     "loan star fixture -> join/clean -> impute/encode/scale -> logistic "
     "regression -> confusion matrix (deterministic, seed 42); the fitted "

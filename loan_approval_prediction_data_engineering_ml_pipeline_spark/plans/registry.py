@@ -41,23 +41,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 @dataclass(frozen=True)
 class QuerySpec:
     fn: QueryFn
-    oracle: str | None
+    _oracle: str | Callable[[], str] | None
     description: str = ""
     tier: str = "driver"
+
+    @property
+    def oracle(self) -> str | None:
+        """Oracle SQL, building it lazily when registered as a callable.
+
+        Lazy evaluation is the round-10 outage fix: ``oracle=`` used to
+        be evaluated inside the decorator argument list at module import
+        time, so one broken oracle builder (a KeyError in
+        ``_gopher_oracle``) took down the entire package — ``queries()``,
+        bench, and pytest collection. A callable oracle instead fails
+        exactly one query, at the moment its SQL is first requested
+        (parity test / driver compare)."""
+        return self._oracle() if callable(self._oracle) else self._oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, description: str = "", tier: str = "driver"):
-    """Decorator registering a named query with its oracle twin."""
+def query(
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    description: str = "",
+    tier: str = "driver",
+):
+    """Decorator registering a named query with its oracle twin.
+
+    ``oracle`` may be the SQL string or a zero-arg builder called lazily
+    (preferred for oracles assembled from shared constants — see
+    :class:`QuerySpec.oracle` for why)."""
     if tier not in ("driver", "local"):
         raise ValueError(f"unknown tier: {tier!r}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description, tier=tier)
+        QUERIES[name] = QuerySpec(
+            fn=fn, _oracle=oracle, description=description, tier=tier
+        )
         return fn
 
     return deco

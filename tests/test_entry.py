@@ -36,3 +36,40 @@ def test_driver_tier_is_exactly_fifty():
     # optimizer's coefficient values stay seed-pinned in test_ml.py
     o = entry_mod.oracle_sql()
     assert set(q) - set(o) == set()
+
+
+def test_broken_oracle_builder_cannot_break_import():
+    """Round-10 outage regression: ``oracle=`` used to be evaluated at
+    module import time, so one raising oracle builder (a KeyError in
+    ``_gopher_oracle``) killed the whole package — queries(), bench, and
+    pytest collection. With lazy callables, registration always succeeds
+    and the failure is scoped to the one query whose SQL is requested."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans import (
+        registry,
+    )
+
+    def boom() -> str:
+        raise KeyError("dup_lines")
+
+    spec = registry.QuerySpec(
+        fn=lambda spark, sf: None, _oracle=boom, tier="local"
+    )
+    # registration-shaped construction is fine...
+    assert callable(spec._oracle)
+    # ...and the blast radius of a bad builder is exactly this spec
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        _ = spec.oracle
+
+
+def test_registry_lazy_oracles_all_build():
+    """Every registered oracle (string or callable) renders to SQL —
+    the lazy path can't hide a builder that never worked."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans import (
+        registry,
+    )
+
+    for name, spec in registry.QUERIES.items():
+        o = spec.oracle  # raises loudly if a builder is broken
+        assert o is None or (isinstance(o, str) and o.strip()), name
