@@ -53,6 +53,46 @@ RULE_NAMES = (
     "top_2gram",
 )
 
+#: The rule subset the composed curation funnel gates on. Production
+#: funnels enable rules per corpus (FineWeb/Dolma both tune the Gopher
+#: table); this synthetic corpus is ~50 tokens/doc BY CONSTRUCTION, so
+#: the word-count floor (50) and distinct-ratio bound sit exactly on the
+#: generator's operating point and would ablate half the pool before the
+#: funnel's own stages get evidence. The funnel therefore runs the five
+#: content-shape rules; the full table stays the default elsewhere.
+FUNNEL_RULES = (
+    "mean_word_len",
+    "alpha_ratio",
+    "stopword_hits",
+    "dup_lines",
+    "top_2gram",
+)
+
+
+def rule_sql_predicates(
+    nt: str = "nt",
+    mwl: str = "mwl",
+    ar: str = "ar",
+    sh: str = "sh",
+    dr: str = "dr",
+    dlf: str = "dlf",
+    tgf: str = "tgf",
+) -> dict[str, str]:
+    """Per-rule FAIL predicates as ANSI SQL over named stat expressions —
+    the oracle-side twin of :func:`gopher_flags`, built from the SAME
+    threshold constants so the two engines cannot drift (VERDICT r10:
+    the predicates used to be inlined in the oracle and drifted when
+    RULE_NAMES grew). Keys are exactly ``RULE_NAMES``."""
+    return {
+        "word_count": f"({nt} < {MIN_WORDS} OR {nt} > {MAX_WORDS})",
+        "mean_word_len": f"({mwl} < {MIN_MEAN_WORD_LEN} OR {mwl} > {MAX_MEAN_WORD_LEN})",
+        "alpha_ratio": f"({ar} < {MIN_ALPHA_RATIO})",
+        "stopword_hits": f"({sh} < {MIN_STOPWORD_HITS})",
+        "repetition": f"({dr} < {MIN_DISTINCT_RATIO})",
+        "dup_lines": f"({dlf} > {MAX_DUP_LINE_FRAC})",
+        "top_2gram": f"({tgf} > {MAX_TOP_2GRAM_FRAC})",
+    }
+
 
 def dup_line_frac(text: Column | str) -> Column:
     """Fraction of non-empty (trimmed) lines that repeat an earlier
@@ -130,6 +170,22 @@ def gopher_flags(text: Column | str) -> list[Column]:
         (dup_line_frac(c) > MAX_DUP_LINE_FRAC).alias("fail_dup_lines"),
         (top_2gram_frac(c) > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
     ]
+
+
+def gopher_pass(
+    text: Column | str, rules: tuple[str, ...] = RULE_NAMES
+) -> Column:
+    """True when the document passes every rule in ``rules`` (default:
+    the full table) — one fused map-only expression, the gate form the
+    curation funnel composes into its single flag pass."""
+    unknown = set(rules) - set(RULE_NAMES)
+    if unknown:
+        raise ValueError(f"unknown gopher rules: {sorted(unknown)}")
+    by_name = dict(zip(RULE_NAMES, gopher_flags(text)))
+    out = F.lit(True)
+    for name in rules:
+        out = out & ~by_name[name]
+    return out
 
 
 def gopher_report(

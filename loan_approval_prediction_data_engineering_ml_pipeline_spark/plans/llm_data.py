@@ -1471,36 +1471,14 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_oracle() -> str:
-    from ..operators.quality_rules import (
-        MAX_DUP_LINE_FRAC,
-        MAX_MEAN_WORD_LEN,
-        MAX_TOP_2GRAM_FRAC,
-        MAX_WORDS,
-        MIN_ALPHA_RATIO,
-        MIN_DISTINCT_RATIO,
-        MIN_MEAN_WORD_LEN,
-        MIN_STOPWORD_HITS,
-        MIN_WORDS,
-        RULE_NAMES,
-    )
+    from ..operators.quality_rules import RULE_NAMES, rule_sql_predicates
 
-    fails = {
-        "word_count": f"(nt < {MIN_WORDS} OR nt > {MAX_WORDS})",
-        "mean_word_len": f"(mwl < {MIN_MEAN_WORD_LEN} OR mwl > {MAX_MEAN_WORD_LEN})",
-        "alpha_ratio": f"(ar < {MIN_ALPHA_RATIO})",
-        "stopword_hits": f"(sh < {MIN_STOPWORD_HITS})",
-        "repetition": f"(dr < {MIN_DISTINCT_RATIO})",
-        "dup_lines": f"(dlf > {MAX_DUP_LINE_FRAC})",
-        "top_2gram": f"(tgf > {MAX_TOP_2GRAM_FRAC})",
-    }
-    # Hard invariant: the oracle covers exactly the Spark rule table.
-    # (Round-10 regression: RULE_NAMES grew two rules this dict lacked,
-    # and the KeyError fired at import time via the @query decorator.)
-    if set(fails) != set(RULE_NAMES):  # pragma: no cover - build guard
-        raise RuntimeError(
-            "gopher oracle rule set drifted from quality_rules.RULE_NAMES: "
-            f"{sorted(set(fails) ^ set(RULE_NAMES))}"
-        )
+    # Per-rule predicates single-sourced beside the thresholds (VERDICT
+    # r10: an inlined dict here drifted when RULE_NAMES grew, and the
+    # KeyError fired at import time via the @query decorator — the
+    # builder is also registered lazily now, so a future drift fails one
+    # parity row, never the package import).
+    fails = rule_sql_predicates()
     fail_cols = ",\n           ".join(
         f"CAST(sum(CASE WHEN {fails[name]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_{name}"
         for name in RULE_NAMES
@@ -1984,13 +1962,45 @@ def _funnel_hsum_expr():
     )
 _FUNNEL_STAGES_SQL = {
     "1_quality": "q_pass",
-    "2_exact_dedup": "q_pass AND exact_keep",
-    "3_near_dedup": "q_pass AND exact_keep AND near_keep",
-    "4_decontaminated": "q_pass AND exact_keep AND near_keep AND NOT contaminated",
+    "2_gopher": "q_pass AND g_pass",
+    "3_exact_dedup": "q_pass AND g_pass AND exact_keep",
+    "4_near_dedup": "q_pass AND g_pass AND exact_keep AND near_keep",
+    "5_decontaminated": (
+        "q_pass AND g_pass AND exact_keep AND near_keep AND NOT contaminated"
+    ),
 }
 
 
 def _funnel_oracle() -> str:
+    from ..operators.quality_rules import FUNNEL_RULES, rule_sql_predicates
+
+    # the funnel's gopher gate: FUNNEL_RULES predicates over the pool's
+    # redacted text, stats inlined (same single-source constants as
+    # _gopher_oracle; tgf needs the per-doc 2-gram mode, computed in the
+    # ptg CTE and joined back by doc_id)
+    _mwl = (
+        "(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0"
+        " / len(toks))"
+    )
+    _lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+    preds = rule_sql_predicates(
+        mwl=_mwl,
+        ar=(
+            "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0"
+            " / length(text))"
+        ),
+        sh=f"len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))",
+        dlf=(
+            f"(CASE WHEN len({_lines}) > 0 THEN "
+            f"1.0 - len(list_distinct({_lines})) * 1.0 / len({_lines}) "
+            "ELSE 0.0 END)"
+        ),
+        tgf="coalesce(ptg.tgf, 0.0)",
+    )
+    g_pass = " AND ".join(f"NOT {preds[name]}" for name in FUNNEL_RULES)
     stage_rows = "\n      UNION ALL\n".join(
         f"""      SELECT '{name}' AS stage,
              CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_docs,
@@ -2014,16 +2024,27 @@ def _funnel_oracle() -> str:
              {_FUNNEL_CHK} AS chk
       FROM base WHERE doc_id % 97 != 0
     ),
+    pg AS (
+      SELECT doc_id, unnest({_ngrams_sql(2)}) AS gram FROM pool
+    ),
+    ptg AS (
+      SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS tgf
+      FROM (SELECT doc_id, gram, count(*) AS cnt FROM pg GROUP BY 1, 2)
+      GROUP BY 1
+    ),
     f1 AS (
-      SELECT *, ({_QUALITY_SQL} >= 0.55) AS q_pass FROM pool
+      SELECT pool.*, ({_QUALITY_SQL} >= 0.55) AS q_pass,
+             ({g_pass}) AS g_pass
+      FROM pool LEFT JOIN ptg USING (doc_id)
     ),
     f2 AS (
-      SELECT *, doc_id = min(CASE WHEN q_pass THEN doc_id END)
+      SELECT *, doc_id = min(CASE WHEN q_pass AND g_pass THEN doc_id END)
                 OVER (PARTITION BY md5(lower(trim(text)))) AS exact_keep
       FROM f1
     ),
     f3 AS (
-      SELECT *, doc_id = min(CASE WHEN q_pass AND exact_keep THEN doc_id END)
+      SELECT *, doc_id = min(CASE WHEN q_pass AND g_pass AND exact_keep
+                                  THEN doc_id END)
                 OVER (PARTITION BY {_sig_names}) AS near_keep
       FROM (SELECT *, {_sig_cols}
             FROM (SELECT *, {_TOKH} AS tokh FROM f2))
@@ -2043,9 +2064,29 @@ def _funnel_oracle() -> str:
     ),
     surv AS (
       SELECT * FROM f4
-      WHERE q_pass AND exact_keep AND near_keep AND NOT contaminated
+      WHERE q_pass AND g_pass AND exact_keep AND near_keep
+        AND NOT contaminated
     ),
-    lt AS (SELECT doc_id, source, list_filter(toks, t -> t <> '') AS ts FROM surv),
+    mrate AS (
+      SELECT source,
+             round(least(1.0,
+               (pow(p, {_TM_ALPHA}) / sum(pow(p, {_TM_ALPHA})) OVER ()) / p
+             ), 6) AS rate
+      FROM (SELECT source, count(*) * 1.0 / sum(count(*)) OVER () AS p
+            FROM surv GROUP BY source)
+    ),
+    mkept AS (
+      SELECT surv.* FROM surv JOIN mrate USING (source)
+      WHERE {_TM_U} < mrate.rate
+    ),
+    s6 AS (
+      SELECT '6_mixture' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(chk), 0) AS BIGINT) AS id_checksum
+      FROM mkept
+    ),
+    lt AS (SELECT doc_id, source, list_filter(toks, t -> t <> '') AS ts FROM mkept),
     tk AS (SELECT doc_id, source, unnest(ts) AS g,
                   generate_subscripts(ts, 1) AS i FROM lt),
     grams AS (
@@ -2088,8 +2129,8 @@ def _funnel_oracle() -> str:
       FROM w
     ),
     sel AS (SELECT doc_id FROM keyed ORDER BY key DESC, doc_id LIMIT {_FUNNEL_K}),
-    s5 AS (
-      SELECT '5_dsir_selected' AS stage,
+    s7 AS (
+      SELECT '7_dsir_selected' AS stage,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(coalesce(sum(len(f4.toks)), 0) AS BIGINT) AS total_tokens,
              CAST(coalesce(sum(f4.chk), 0) AS BIGINT) AS id_checksum
@@ -2101,8 +2142,8 @@ def _funnel_oracle() -> str:
       FROM sel JOIN f4 USING (doc_id)
       WINDOW w AS (ORDER BY f4.doc_id ROWS UNBOUNDED PRECEDING)
     ),
-    s6 AS (
-      SELECT '6_packed_bins' AS stage,
+    s8 AS (
+      SELECT '8_packed_bins' AS stage,
              CAST(count(DISTINCT bin) AS BIGINT) AS n_docs,
              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
              CAST(coalesce(sum(chk * (bin + 1)), 0) AS BIGINT) AS id_checksum
@@ -2111,9 +2152,11 @@ def _funnel_oracle() -> str:
     SELECT * FROM (
 {stage_rows}
       UNION ALL
-      SELECT * FROM s5
-      UNION ALL
       SELECT * FROM s6
+      UNION ALL
+      SELECT * FROM s7
+      UNION ALL
+      SELECT * FROM s8
     ) ORDER BY stage
     """
 
@@ -2138,21 +2181,32 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
     chk = X.token_base_hash(F.col("doc_id").cast("string"))
     ntok = X.token_count(F.col("text"))
 
-    f1 = pool.withColumn("q", F.round(X.quality_score(F.col("text")), 6)).withColumn(
-        "q_pass", F.col("q") >= 0.55
+    from ..operators.quality_rules import FUNNEL_RULES, gopher_pass
+
+    f1 = (
+        pool.withColumn("q", F.round(X.quality_score(F.col("text")), 6))
+        .withColumn("q_pass", F.col("q") >= 0.55)
+        # the Gopher rule gate (VERDICT r9 #5): the funnel's enabled
+        # subset, fused into the same flag pass — still map-only
+        .withColumn("g_pass", gopher_pass(F.col("text"), FUNNEL_RULES))
     )
     fp_win = W.partitionBy(X.fingerprint_md5(F.col("text")))
     f2 = f1.withColumn(
         "exact_keep",
         F.col("doc_id")
-        == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(fp_win),
+        == F.min(
+            F.when(F.col("q_pass") & F.col("g_pass"), F.col("doc_id"))
+        ).over(fp_win),
     )
     f3 = D.with_minhash(f2, text_col="text", k=MINHASH_K)
     f3 = f3.withColumn(
         "near_keep",
         F.col("doc_id")
         == F.min(
-            F.when(F.col("q_pass") & F.col("exact_keep"), F.col("doc_id"))
+            F.when(
+                F.col("q_pass") & F.col("g_pass") & F.col("exact_keep"),
+                F.col("doc_id"),
+            )
         ).over(W.partitionBy("sig")),
     )
     contam = D.decontaminate(pool, eval_set, n=3).select(
@@ -2165,14 +2219,22 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
 
     stages = [
         ("1_quality", F.col("q_pass")),
-        ("2_exact_dedup", F.col("q_pass") & F.col("exact_keep")),
+        ("2_gopher", F.col("q_pass") & F.col("g_pass")),
         (
-            "3_near_dedup",
-            F.col("q_pass") & F.col("exact_keep") & F.col("near_keep"),
+            "3_exact_dedup",
+            F.col("q_pass") & F.col("g_pass") & F.col("exact_keep"),
         ),
         (
-            "4_decontaminated",
+            "4_near_dedup",
             F.col("q_pass")
+            & F.col("g_pass")
+            & F.col("exact_keep")
+            & F.col("near_keep"),
+        ),
+        (
+            "5_decontaminated",
+            F.col("q_pass")
+            & F.col("g_pass")
             & F.col("exact_keep")
             & F.col("near_keep")
             & ~F.col("contaminated"),
@@ -2197,9 +2259,12 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
     "must never reach fingerprints, signatures, or model features; a "
     "deterministic planted payload makes the ordering hash-falsifiable, "
     "since every downstream fingerprint changes if redaction were "
-    "skipped or reordered) -> quality threshold -> exact dedup -> "
-    "MinHash near-dup canonicalization -> n-gram decontamination vs a "
-    "held-out eval split -> DSIR importance top-k. Emits a per-stage "
+    "skipped or reordered) -> quality threshold -> Gopher rule gate "
+    "(FUNNEL_RULES subset, fused into the same flag pass) -> exact "
+    "dedup -> MinHash near-dup canonicalization -> n-gram "
+    "decontamination vs a held-out eval split -> temperature-mixture "
+    "per-source sampling over the survivor distribution -> DSIR "
+    "importance top-k. Emits a per-stage "
     "funnel (n_docs, total_tokens, and an id-set checksum that pins the "
     "EXACT surviving doc set, not just its size). Scale shape: all "
     "stage predicates compute as FLAGS in one corpus pass (conditional "
@@ -2259,12 +2324,53 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
     )
     surv = f4.where(F.col(f"c{len(stages) - 1}"))
+    # temperature-mixture stage (VERDICT r9 #5): per-source keep rates
+    # p^alpha renormalized over the SURVIVOR distribution (the set the
+    # trainer would actually sample from), membership decided by the
+    # same 6-dp-rounded rate vs md5-uniform threshold the standalone
+    # temperature_mixture query verifies — rates are a source-cardinality
+    # broadcast, the keep decision is map-only
+    wall = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(wall)
+    mrates = (
+        surv.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("source", p.alias("p"), F.pow(p, F.lit(_TM_ALPHA)).alias("pa"))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0), (F.col("pa") / F.sum("pa").over(wall)) / F.col("p")
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    mkept = surv.join(F.broadcast(mrates), "source").where(u < F.col("rate"))
+    s6 = mkept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum("chk"), F.lit(0)).cast("long").alias("id_checksum"),
+    ).select(
+        F.lit("6_mixture").alias("stage"),
+        "n_docs",
+        "total_tokens",
+        "id_checksum",
+    )
     sel = dsir_select_flagged(
-        surv.select("doc_id", "text", "source"),
+        mkept.select("doc_id", "text", "source"),
         F.col("source").isin(*_DSIR_TARGET),
         k=_FUNNEL_K,
     ).select("doc_id")
-    s5 = (
+    s7 = (
         f4.join(sel, "doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2272,7 +2378,7 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("chk"), F.lit(0)).cast("long").alias("id_checksum"),
         )
         .select(
-            F.lit("5_dsir_selected").alias("stage"),
+            F.lit("7_dsir_selected").alias("stage"),
             "n_docs",
             "total_tokens",
             "id_checksum",
@@ -2296,19 +2402,21 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("bin"),
         )
     )
-    s6 = packed.agg(
+    s8 = packed.agg(
         F.countDistinct("bin").cast("long").alias("n_docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
         F.coalesce(F.sum(F.col("chk") * (F.col("bin") + 1)), F.lit(0))
         .cast("long")
         .alias("id_checksum"),
     ).select(
-        F.lit("6_packed_bins").alias("stage"),
+        F.lit("8_packed_bins").alias("stage"),
         "n_docs",
         "total_tokens",
         "id_checksum",
     )
-    return funnel.unionByName(s5).unionByName(s6).orderBy("stage")
+    return (
+        funnel.unionByName(s6).unionByName(s7).unionByName(s8).orderBy("stage")
+    )
 
 
 @query(
