@@ -333,8 +333,15 @@ def upsert_parquet_partitioned(
         .drop("__rn", "__src")
     )
     if sort_within:
+        # the partition column LEADS the sort: the parquet writer's
+        # required ordering is (partition cols first), and when the
+        # incoming ordering doesn't satisfy it the FileFormatWriter
+        # inserts its own NON-STABLE sort by the partition column —
+        # scrambling sort_within whenever one task carries rows of two
+        # or more partition dirs (only surfaced when partitions
+        # hash-collide into a task; prefixing makes it impossible)
         deduped = deduped.repartition(F.col(partition_col)).sortWithinPartitions(
-            *sort_within
+            partition_col, *sort_within
         )
     staged = path.rstrip("/") + "__upsert_staging"
     _stage_and_dynamic_overwrite(deduped, path, partition_col, staged)

@@ -146,7 +146,7 @@ def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
     )
     idx = str(tmp_path / "bm25p")
     build_bm25_index(docs, idx, n_files=4)
-    parts = glob.glob(f"{idx}/lengths/lb=*/part-*.parquet")
+    parts = glob.glob(f"{idx}/objects/*/lengths/lb=*/part-*.parquet")
     assert len(parts) > 1, "lengths/ must not be a single-writer stage"
     q = spark.createDataFrame(
         [("q1", "tok3"), ("q1", "beta")], "query_id string, term string"
@@ -159,8 +159,10 @@ def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
 def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
     """upsert_bm25_index folds a NEW-doc batch in and a probe must
     equal a fresh bm25_topk over the union corpus; only the posting
-    buckets the delta's tokens hash to are rewritten — cold bucket
-    dirs stay byte-identical (the S6 / ivf_upsert standard)."""
+    buckets the delta's tokens hash to are rewritten — cold buckets
+    carry over into the next manifest BY REFERENCE (same immutable
+    dir, byte-identical — stronger than the S6 / ivf_upsert
+    byte-identical-rewrite standard)."""
     import glob
     import hashlib as hl
 
@@ -168,6 +170,7 @@ def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
         _py_tok_bucket,
         bm25_topk_indexed,
         build_bm25_index,
+        read_index_manifest,
         upsert_bm25_index,
     )
 
@@ -182,21 +185,28 @@ def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
     idx = str(tmp_path / "bm25u")
     build_bm25_index(a, idx, n_buckets=8)
 
-    def _dir_digest(bucket: int) -> str:
+    def _dir_digest(rel: str) -> str:
         h = hl.md5()
-        for f in sorted(glob.glob(f"{idx}/postings/bucket={bucket}/part-*")):
+        for f in sorted(glob.glob(f"{idx}/{rel}/part-*")):
             h.update(open(f, "rb").read())
         return h.hexdigest()
 
     delta_buckets = {_py_tok_bucket(t, 8) for t in ("delta", "tok3", "epsilon")}
     cold = [bk for bk in range(8) if bk not in delta_buckets]
     assert cold, "fixture must leave at least one cold bucket"
-    before = {bk: _dir_digest(bk) for bk in cold}
+    m1 = read_index_manifest(idx)
+    before = {bk: _dir_digest(m1["postings"][str(bk)]) for bk in cold}
 
     touched = upsert_bm25_index(spark, b, idx)
     assert touched == len(delta_buckets)
+    m2 = read_index_manifest(idx)
+    assert m2["version"] == m1["version"] + 1
     for bk in cold:
-        assert _dir_digest(bk) == before[bk], f"cold bucket {bk} rewritten"
+        # carried over by reference: SAME dir, untouched bytes
+        assert m2["postings"][str(bk)] == m1["postings"][str(bk)]
+        assert _dir_digest(m2["postings"][str(bk)]) == before[bk]
+    for bk in sorted(delta_buckets):
+        assert m2["postings"][str(bk)] != m1["postings"].get(str(bk))
     # retried ingest step: re-applying the SAME delta is a no-op for
     # correctness (per-key replace in postings AND lengths — no
     # duplicated length rows)
@@ -212,11 +222,15 @@ def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
 
 
 def test_bm25_indexed_probe_prunes_partitions_to_term_buckets(spark, tmp_path):
-    """The probe's scan must carry a PartitionFilters entry on the
-    token bucket — directory pruning, not just row-group pruning."""
+    """The probe must read ONLY the posting dir its term hashes to —
+    under the manifest layout the pruning is driver-side dir selection
+    (cold dirs are never even listed), so assert on the files the scan
+    actually reads instead of a PartitionFilters plan entry."""
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        _py_tok_bucket,
         bm25_topk_indexed,
         build_bm25_index,
+        read_index_manifest,
     )
 
     docs = spark.createDataFrame(
@@ -227,8 +241,13 @@ def test_bm25_indexed_probe_prunes_partitions_to_term_buckets(spark, tmp_path):
     build_bm25_index(docs, idx, n_buckets=8)
     q = spark.createDataFrame([("q1", "alpha")], "query_id string, term string")
     probe = bm25_topk_indexed(spark, idx, q, k=5)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "bucket" in plan
+    m = read_index_manifest(idx)
+    want = m["postings"][str(_py_tok_bucket("alpha", 8))]
+    posting_files = [f for f in probe.inputFiles() if "/postings/" in f]
+    assert posting_files, "probe must read the posting index"
+    assert all(f"/{want}/" in f for f in posting_files), (
+        "probe read a posting dir outside its term's bucket"
+    )
 
 
 def test_bm25_phrase_topk_matches_reference(spark):
@@ -327,7 +346,9 @@ def test_bm25_phrase_indexed_equals_direct_across_lengths(spark, tmp_path):
     probe = bm25_phrase_topk_indexed(spark, paths, pq, k=8)
     assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, direct))
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "Python" not in plan
+    assert "Python" not in plan
+    # manifest-side dir pruning: the probe reads only gram-index dirs
+    assert all("/objects/" in f for f in probe.inputFiles())
 
     # missing-length guard
     import pytest as _pytest
@@ -449,6 +470,7 @@ def test_upsert_incremental_meta_matches_full_rescan(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        _Bm25Snapshot,
         build_bm25_index,
         upsert_bm25_index,
     )
@@ -466,15 +488,12 @@ def test_upsert_incremental_meta_matches_full_rescan(spark, tmp_path):
     upsert_bm25_index(spark, b, idx)   # pure append
     upsert_bm25_index(spark, b, idx)   # re-apply: every id replaced
 
-    meta = spark.read.parquet(f"{idx}/meta").first()
-    truth = (
-        spark.read.parquet(f"{idx}/lengths")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        )
-        .first()
-    )
+    snap = _Bm25Snapshot(spark, idx)
+    meta = snap.meta_df().first()
+    truth = snap.lengths().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).first()
     assert meta["n"] == truth["n"] == 69
     assert meta["sum_dl"] == truth["sum_dl"]
     assert abs(meta["avgdl"] - truth["sum_dl"] / truth["n"]) < 1e-12
@@ -505,9 +524,185 @@ def test_upsert_preserves_tok_sort_within_buckets(spark, tmp_path):
     build_bm25_index(a, idx, n_buckets=4)
     upsert_bm25_index(spark, b, idx)
     checked = 0
-    for f in glob.glob(f"{idx}/postings/bucket=*/part-*"):
+    for f in glob.glob(f"{idx}/objects/*/postings/bucket=*/part-*"):
         col = pq.read_table(f, columns=["tok", "id"]).to_pydict()
         rows = list(zip(col["tok"], col["id"]))
         assert rows == sorted(rows), f"unsorted postings in {f}"
         checked += 1
     assert checked > 0
+
+
+def test_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #2: (a) a crash AFTER the object writes but BEFORE the
+    manifest commit leaves the index exactly at the previous version —
+    a probe sees the old index in full, never new postings with old
+    meta; (b) a probe plan resolved before an upsert keeps reading the
+    version it resolved (immutable dirs); (c) a lost manifest race
+    raises CommitConflict with nothing partially visible; (d) vacuum
+    reclaims the crash orphan and the rolled-off version's objects
+    while keeping every dir the retained manifest references."""
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        CommitConflict,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 7} beta") for i in range(120)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, "beta tok3 fresh") for i in range(20)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "tok3"), ("q1", "beta")], "query_id string, term string"
+    )
+    idx = str(tmp_path / "atomic")
+    R.build_bm25_index(a, idx, n_buckets=4, n_files=2)
+    before = sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=9).collect()))
+
+    # (b) resolve a probe against v1 BEFORE mutating
+    stale_probe = R.bm25_topk_indexed(spark, idx, q, k=9)
+
+    # (a) crash injection: objects written, manifest commit never runs
+    real_commit = R._commit_index_manifest
+
+    def boom(path, version, doc):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(R, "_commit_index_manifest", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        R.upsert_bm25_index(spark, b, idx)
+    monkeypatch.setattr(R, "_commit_index_manifest", real_commit)
+
+    assert R.read_index_manifest(idx)["version"] == 1
+    mid = sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=9).collect()))
+    assert mid == before, "torn state visible after crashed upsert"
+
+    # real upsert now succeeds; the crash orphan does not interfere
+    R.upsert_bm25_index(spark, b, idx)
+    assert R.read_index_manifest(idx)["version"] == 2
+    fresh = sorted(
+        map(tuple, R.bm25_topk(a.unionByName(b), q, k=9).collect())
+    )
+    assert (
+        sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=9).collect()))
+        == fresh
+    )
+    # (b) the stale probe still ranks against v1 — its dirs are immutable
+    assert sorted(map(tuple, stale_probe.collect())) == before
+
+    # (c) lost race: committing a version another writer already
+    # published raises CommitConflict (write_exclusive EEXIST), leaving
+    # the existing manifest untouched
+    with _pytest.raises(CommitConflict):
+        R._commit_index_manifest(idx, 2, {"meta": "x", "postings": {}, "lengths": {}})
+    assert R.read_index_manifest(idx)["version"] == 2
+    assert "n_buckets" in R.read_index_manifest(idx)  # not the loser's doc
+
+    # (d) vacuum: keep only v2; crash orphan + v1-only objects reclaimed
+    n_objects_before = len(os.listdir(os.path.join(idx, "objects")))
+    removed = R.vacuum_bm25_index(idx, keep_last=1)
+    assert removed >= 1  # at least the crash orphan
+    assert len(os.listdir(os.path.join(idx, "objects"))) == n_objects_before - removed
+    assert R._index_versions(idx) == [2]
+    assert (
+        sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=9).collect()))
+        == fresh
+    )
+
+
+def test_bm25_catalog_routes_by_manifest_gram(spark, tmp_path):
+    """VERDICT r9 #6: the phrase catalog's gram->index routing derives
+    from the children's committed manifests, equals the mapping the
+    build returned, and the catalog probe matches the direct phrase
+    path; a duplicate-gram catalog is an error."""
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta gamma tok{i % 3} delta") for i in range(150)],
+        "doc_id long, text string",
+    )
+    pq_ = spark.createDataFrame(
+        [("q1", "beta"), ("q1", "beta gamma"), ("q2", "beta gamma tok1")],
+        "query_id string, phrase string",
+    )
+    cat = str(tmp_path / "cat")
+    built = R.build_bm25_catalog(a, cat, grams=(1, 2, 3), n_buckets=4)
+    assert R.catalog_paths_by_gram(cat) == built
+    direct = R.bm25_phrase_topk(a, pq_, k=8).collect()
+    routed = R.bm25_phrase_topk_catalog(spark, cat, pq_, k=8).collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, direct))
+
+    # upsert the whole catalog; parity holds over the union corpus
+    b = spark.createDataFrame(
+        [(1000 + i, "beta gamma tok1 more words") for i in range(25)],
+        "doc_id long, text string",
+    )
+    touched = R.upsert_bm25_catalog(spark, b, cat)
+    assert set(touched) == {1, 2, 3} and all(v > 0 for v in touched.values())
+    fresh = R.bm25_phrase_topk(a.unionByName(b), pq_, k=8).collect()
+    again = R.bm25_phrase_topk_catalog(spark, cat, pq_, k=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, fresh))
+
+    # duplicate gram = mis-built catalog, loud error
+    R.build_bm25_index(a, f"{cat}/g1_dup", gram=1, n_buckets=4)
+    with _pytest.raises(ValueError, match="two indexes for gram=1"):
+        R.catalog_paths_by_gram(cat)
+
+
+@hyp_settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_DOC, min_size=3, max_size=6),
+    delta=st.lists(_DOC, min_size=1, max_size=3),
+    phrases=st.lists(
+        st.tuples(_WORD, _WORD, st.sampled_from([None, "scan", "row"])).map(
+            lambda t: " ".join(w for w in t if w)
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_catalog_lifecycle_property(spark, tmp_path, base, delta, phrases):
+    """VERDICT r9 #6 done-criterion: for ARBITRARY corpora, deltas, and
+    mixed length-2/3 phrase workloads, catalog build -> routed probe ==
+    direct, catalog upsert -> routed probe == direct over the union."""
+    import uuid as _uuid
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    cat = str(tmp_path / f"cat_{_uuid.uuid4().hex[:8]}")
+    a = spark.createDataFrame(list(enumerate(base)), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(delta)], "doc_id long, text string"
+    )
+    pq_ = spark.createDataFrame(
+        [(f"q{i}", p) for i, p in enumerate(phrases)],
+        "query_id string, phrase string",
+    )
+    R.build_bm25_catalog(a, cat, grams=(1, 2, 3), n_buckets=4, n_files=2)
+    probe = R.bm25_phrase_topk_catalog(spark, cat, pq_, k=10).collect()
+    direct = R.bm25_phrase_topk(a, pq_, k=10).collect()
+    assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
+
+    R.upsert_bm25_catalog(spark, b, cat)
+    probe2 = R.bm25_phrase_topk_catalog(spark, cat, pq_, k=10).collect()
+    direct2 = R.bm25_phrase_topk(a.unionByName(b), pq_, k=10).collect()
+    assert sorted(map(tuple, probe2)) == sorted(map(tuple, direct2))
