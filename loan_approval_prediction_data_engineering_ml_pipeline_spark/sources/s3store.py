@@ -1,0 +1,204 @@
+"""Production S3 transport behind the :class:`~.versioned.LogStore`
+contract (VERDICT r9 #3) — the boto3 implementation of the interface
+:mod:`.s3mock` mocks one-for-one.
+
+Call mapping (each LogStore primitive is exactly one S3 API shape):
+
+- ``write_exclusive``  -> ``PutObject`` with ``If-None-Match: *`` — S3's
+  native conditional write (generally available since 2024-08): the
+  loser of a concurrent publish gets HTTP 412 ``PreconditionFailed``,
+  surfaced as :class:`FileExistsError`; nothing tears, nothing is
+  overwritten, no external mutex service is needed.
+- ``read_text``        -> ``GetObject`` (``NoSuchKey`` ->
+  :class:`FileNotFoundError`). S3 reads are strongly consistent after
+  writes (since 2020-12), which is all the log plane assumes.
+- ``list_dir`` / ``list_files`` / ``list_subdirs`` -> paginated
+  ``ListObjectsV2`` with ``Delimiter='/'``; "directories" exist only as
+  derived common prefixes, exactly the flat-key model the commit
+  protocol was proven against on the mock.
+- ``delete``           -> ``DeleteObject`` (existence-checked first so
+  the POSIX store's unlink(2) error contract holds).
+- ``delete_tree``      -> paginated ``ListObjectsV2`` (no delimiter) +
+  batched ``DeleteObjects`` (1000 keys per call, the API maximum).
+- ``mtime``            -> ``HeadObject`` ``LastModified`` (for a prefix
+  "directory": the newest object under it).
+
+Paths are authority-bearing URIs (``s3://bucket/key…`` or
+``s3a://bucket/key…``): the authority names the bucket, the URI path is
+the key — the same arithmetic the mock and the Hadoop data plane use,
+so ``register_log_store("s3a://bucket/warehouse", S3LogStore())``
+routes a table's whole log plane through this class while Spark's
+``s3a://`` connector carries the parquet data plane.
+
+The class takes an injected ``client`` so tests run against moto (and
+deployments can pass a client pinned to an endpoint/region/role);
+``page_size`` caps ``MaxKeys`` so the test matrix forces every listing
+across a continuation-token boundary, like the mock does.
+
+boto3 is imported lazily at construction — the module imports cleanly
+in environments without it.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote, urlparse
+
+from .versioned import LogStore
+
+#: DeleteObjects hard API limit.
+_DELETE_BATCH = 1000
+
+
+class S3LogStore(LogStore):
+    """boto3-backed LogStore: conditional-PUT log plane, paginated
+    flat-key listing, batched recursive delete."""
+
+    def __init__(self, client=None, *, page_size: int = 1000) -> None:
+        if client is None:  # pragma: no cover - exercised in production
+            import boto3
+
+            client = boto3.client("s3")
+        self._s3 = client
+        self._page = int(page_size)
+        self.pages_served = 0  # observability: tests assert pagination ran
+
+    # -- key arithmetic ----------------------------------------------------
+    @staticmethod
+    def _bk(p: str) -> tuple[str, str]:
+        """``s3://bucket/a/b`` -> ``("bucket", "a/b")``."""
+        u = urlparse(p)
+        if not u.scheme or not u.netloc:
+            raise ValueError(
+                f"S3LogStore paths must be s3://bucket/key URIs, got {p!r}"
+            )
+        return u.netloc, unquote(u.path).lstrip("/")
+
+    def _is_412(self, exc) -> bool:
+        err = getattr(exc, "response", {}).get("Error", {})
+        return err.get("Code") in ("PreconditionFailed", "412") or (
+            getattr(exc, "response", {})
+            .get("ResponseMetadata", {})
+            .get("HTTPStatusCode")
+            == 412
+        )
+
+    def _pages(self, bucket: str, prefix: str, delimiter: str = ""):
+        kwargs = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": self._page}
+        if delimiter:
+            kwargs["Delimiter"] = delimiter
+        while True:
+            page = self._s3.list_objects_v2(**kwargs)
+            self.pages_served += 1
+            yield page
+            if not page.get("IsTruncated"):
+                return
+            kwargs["ContinuationToken"] = page["NextContinuationToken"]
+
+    # -- log plane -----------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        bucket, key = self._bk(path)
+        try:
+            obj = self._s3.get_object(Bucket=bucket, Key=key)
+        except self._s3.exceptions.NoSuchKey:
+            raise FileNotFoundError(path) from None
+        return obj["Body"].read().decode("utf-8")
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        bucket, key = self._bk(path)
+        try:
+            self._s3.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=text.encode("utf-8"),
+                IfNoneMatch="*",  # the atomic put-if-absent
+            )
+        except self._s3.exceptions.ClientError as exc:
+            if self._is_412(exc):
+                raise FileExistsError(path) from None
+            raise
+
+    def list_dir(self, dirpath: str) -> list[str]:
+        bucket, key = self._bk(dirpath)
+        prefix = key.rstrip("/") + "/" if key else ""
+        names: set[str] = set()
+        for page in self._pages(bucket, prefix, delimiter="/"):
+            for c in page.get("Contents", []):
+                names.add(c["Key"][len(prefix):])
+            for p in page.get("CommonPrefixes", []):
+                names.add(p["Prefix"][len(prefix):].rstrip("/"))
+        names.discard("")
+        return sorted(names)
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._bk(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except self._s3.exceptions.ClientError:
+            pass
+        # prefix "directory": any object underneath counts
+        for page in self._pages(bucket, key.rstrip("/") + "/"):
+            if page.get("KeyCount"):
+                return True
+        return False
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+        except self._s3.exceptions.ClientError:
+            # match LocalLogStore's unlink(2) contract
+            raise FileNotFoundError(path) from None
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    # -- data plane ----------------------------------------------------------
+    def list_subdirs(self, dirpath: str) -> list[str]:
+        bucket, key = self._bk(dirpath)
+        prefix = key.rstrip("/") + "/" if key else ""
+        out: set[str] = set()
+        for page in self._pages(bucket, prefix, delimiter="/"):
+            for p in page.get("CommonPrefixes", []):
+                out.add(p["Prefix"][len(prefix):].rstrip("/"))
+        return sorted(out)
+
+    def list_files(self, dirpath: str) -> list[str]:
+        bucket, key = self._bk(dirpath)
+        prefix = key.rstrip("/") + "/" if key else ""
+        out: set[str] = set()
+        for page in self._pages(bucket, prefix, delimiter="/"):
+            for c in page.get("Contents", []):
+                name = c["Key"][len(prefix):]
+                if name:
+                    out.add(name)
+        return sorted(out)
+
+    def delete_tree(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        prefix = key.rstrip("/") + "/"
+        batch: list[dict] = []
+        for page in self._pages(bucket, prefix):
+            for c in page.get("Contents", []):
+                batch.append({"Key": c["Key"]})
+                if len(batch) == _DELETE_BATCH:
+                    self._s3.delete_objects(
+                        Bucket=bucket, Delete={"Objects": batch}
+                    )
+                    batch = []
+        if batch:
+            self._s3.delete_objects(Bucket=bucket, Delete={"Objects": batch})
+
+    def mtime(self, path: str) -> float:
+        bucket, key = self._bk(path)
+        try:
+            head = self._s3.head_object(Bucket=bucket, Key=key)
+            return head["LastModified"].timestamp()
+        except self._s3.exceptions.ClientError:
+            pass
+        newest = None
+        for page in self._pages(bucket, key.rstrip("/") + "/"):
+            for c in page.get("Contents", []):
+                t = c["LastModified"].timestamp()
+                newest = t if newest is None else max(newest, t)
+        if newest is None:
+            raise FileNotFoundError(path)
+        return newest
