@@ -3405,15 +3405,14 @@ _BM25_QUERIES = [
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 
 
-@query(
-    "bm25_topk",
-    tier="local",
-    # Exact: BM25 with Lucene's non-negative idf is pure arithmetic
-    # over (tf, df, dl, N, avgdl) — DuckDB re-derives every quantity
-    # and the final ranking from the same token stream; scores are
-    # rounded to 6 dp BEFORE ranking on both sides so summation order
-    # cannot flip a boundary rank (ties break on doc_id).
-    oracle=f"""
+# Exact: BM25 with Lucene's non-negative idf is pure arithmetic over
+# (tf, df, dl, N, avgdl) — DuckDB re-derives every quantity and the
+# final ranking from the same token stream; scores are rounded to 6 dp
+# BEFORE ranking on both sides so summation order cannot flip a
+# boundary rank (ties break on doc_id). Shared by the direct query AND
+# the persisted-index probe: the index stores the same non-empty-token
+# event space, so both paths must hash-match this one oracle.
+_BM25_ORACLE = f"""
     WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
     t2 AS (
       SELECT doc_id, tok FROM (
@@ -3454,7 +3453,13 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     )
     SELECT query_id, doc_id, score, rank FROM rk
     WHERE rank <= 10 ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "bm25_topk",
+    tier="local",
+    oracle=_BM25_ORACLE,
     description="BM25 top-k retrieval (Robertson-Zaragoza; Lucene idf): "
     "query terms broadcast as the token filter so the only corpus-sized "
     "shuffle carries matched (doc, term, tf) rows; document lengths are a "
@@ -3469,6 +3474,52 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
     return _bm25(docs, queries, k=10).orderBy("query_id", "rank")
+
+
+@query(
+    "bm25_indexed_probe",
+    tier="local",
+    # The SAME oracle as bm25_topk: the persisted index stores the
+    # identical non-empty-token event space, so the manifest-resolved
+    # probe must hash-match the direct path's SQL — this row verifies
+    # the whole snapshot-atomic index lifecycle (build -> manifest
+    # commit -> bucket-pruned probe) against an INDEPENDENT engine that
+    # never reads the index files.
+    oracle=_BM25_ORACLE,
+    description="BM25 top-k over the PERSISTED posting index "
+    "(snapshot-atomic manifest publish, VERDICT r9 #2): build-if-missing "
+    "with a staleness fingerprint against meta's (n, sum_dl), then a "
+    "probe that resolves the committed manifest and reads ONLY the "
+    "posting dirs the query terms hash to — scores equal the direct "
+    "bm25_topk exactly because df/idf/avgdl re-derive from the posting "
+    "sliver at probe time",
+)
+def bm25_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval as R
+
+    idx = _index_dir(sf_dir, "bm25u1")
+    docs = load_table(spark, sf_dir, "documents")
+    if R.read_index_manifest(idx) is None:
+        R.build_bm25_index(docs, idx, n_buckets=8, n_files=4)
+    elif idx not in _FRESH_INDEXES:
+        # staleness guard (the ann_ivf pattern): the committed index
+        # must describe the CURRENT documents table. meta's (n, sum_dl)
+        # is an exact fingerprint of the indexed token stream; recompute
+        # it from docs in one map pass and rebuild on mismatch (a new
+        # manifest version — probes in flight keep their snapshot).
+        units = F.filter(X.tokens("text"), lambda t: t != "")
+        a = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size(units)), F.lit(0)).alias("s"),
+        ).first()
+        m = R._Bm25Snapshot(spark, idx).meta_df().first()
+        if (int(a["n"]), int(a["s"])) != (int(m["n"]), int(m["sum_dl"])):
+            R.build_bm25_index(docs, idx, n_buckets=8, n_files=4)
+    _FRESH_INDEXES.add(idx)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return R.bm25_topk_indexed(spark, idx, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
