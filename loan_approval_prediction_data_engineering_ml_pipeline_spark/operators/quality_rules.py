@@ -116,11 +116,18 @@ def top_2gram_frac(text: Column | str) -> Column:
     fold tracks the longest equal-run — so a 100k-token document costs
     its own sort, never an O(n^2) self-comparison. The fold is a
     Catalyst higher-order function: JVM-side (no Python), interpreted
-    rather than codegen'd — fine for a once-per-doc array pass."""
+    rather than codegen'd — fine for a once-per-doc array pass.
+
+    The sorted array is referenced EXACTLY ONCE (inside the fold):
+    higher-order functions sit outside codegen's runtime subexpression
+    elimination, so a second reference (e.g. ``size(g)``) would re-sort
+    the array per row. The denominator |2-grams| = max(|tokens|-1, 0)
+    is computed from the token count instead — same value, O(1) given
+    the split."""
     c = F.col(text) if isinstance(text, str) else text
-    g = F.array_sort(X.word_ngrams(c, 2))
+    n2 = F.greatest(F.size(X.tokens(c)) - F.lit(1), F.lit(0))
     best_run = F.aggregate(
-        g,
+        F.array_sort(X.word_ngrams(c, 2)),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -138,7 +145,7 @@ def top_2gram_frac(text: Column | str) -> Column:
         ),
         lambda acc: acc["best"],
     )
-    return F.when(F.size(g) > 0, best_run / F.size(g)).otherwise(F.lit(0.0))
+    return F.when(n2 > 0, best_run / n2).otherwise(F.lit(0.0))
 
 
 def _base_flags(text: Column | str) -> list[Column]:
