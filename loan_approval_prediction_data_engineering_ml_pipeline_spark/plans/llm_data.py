@@ -2019,7 +2019,7 @@ def _funnel_oracle() -> str:
              {_pii_redact_sql(f"({_FUNNEL_AUG_SQL})")} AS text
       FROM hs
     ),
-    pool AS (
+    pool AS MATERIALIZED (
       SELECT *, string_split(trim(text), ' ') AS toks,
              {_FUNNEL_CHK} AS chk
       FROM base WHERE doc_id % 97 != 0
@@ -2027,7 +2027,7 @@ def _funnel_oracle() -> str:
     pg AS (
       SELECT doc_id, unnest({_ngrams_sql(2)}) AS gram FROM pool
     ),
-    ptg AS (
+    ptg AS MATERIALIZED (
       SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS tgf
       FROM (SELECT doc_id, gram, count(*) AS cnt FROM pg GROUP BY 1, 2)
       GROUP BY 1
@@ -2058,11 +2058,11 @@ def _funnel_oracle() -> str:
         SELECT doc_id, unnest({_shingles_sql(3)}) AS g FROM pool
       ) p JOIN esh USING (g)
     ),
-    f4 AS (
+    f4 AS MATERIALIZED (
       SELECT f3.*, (c.doc_id IS NOT NULL) AS contaminated
       FROM f3 LEFT JOIN contam c ON f3.doc_id = c.doc_id
     ),
-    surv AS (
+    surv AS MATERIALIZED (
       SELECT * FROM f4
       WHERE q_pass AND g_pass AND exact_keep AND near_keep
         AND NOT contaminated
@@ -2075,7 +2075,7 @@ def _funnel_oracle() -> str:
       FROM (SELECT source, count(*) * 1.0 / sum(count(*)) OVER () AS p
             FROM surv GROUP BY source)
     ),
-    mkept AS (
+    mkept AS MATERIALIZED (
       SELECT surv.* FROM surv JOIN mrate USING (source)
       WHERE {_TM_U} < mrate.rate
     ),
@@ -2095,7 +2095,7 @@ def _funnel_oracle() -> str:
       SELECT a.doc_id, a.source, a.g || '_' || b.g
       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
     ),
-    feat AS (
+    feat AS MATERIALIZED (
       SELECT doc_id, source,
              CAST((CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
                    % 2147483647) % 1024 AS INT) AS bucket,

@@ -79,3 +79,46 @@ def test_temperature_mixture_upweights_rare_sources(spark, tmp_path):
     assert out["big"]["n_total"] == 90
     assert 0 < out["big"]["n_kept"] < 90           # thresholded subset
     assert out["small"]["n_kept"] == 10            # rate 1 keeps all
+
+
+def test_gopher_pass_subset_and_unknown_rule(spark):
+    """gopher_pass composes an arbitrary rule subset into one gate; an
+    unknown rule name errors instead of silently gating on nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.quality_rules import (
+        FUNNEL_RULES,
+        RULE_NAMES,
+        gopher_pass,
+    )
+
+    # ~8 tokens: fails word_count (floor 50) but passes the funnel's
+    # content-shape subset
+    docs = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and cat",)],
+        "text string",
+    )
+    row = docs.select(
+        gopher_pass("text").alias("full"),
+        gopher_pass("text", FUNNEL_RULES).alias("subset"),
+    ).first()
+    assert row["full"] is False  # word_count floor trips the full table
+    assert row["subset"] is True  # content-shape rules all pass
+    with pytest.raises(ValueError, match="unknown gopher rules"):
+        gopher_pass("text", ("word_count", "nope"))
+    assert set(FUNNEL_RULES) < set(RULE_NAMES)
+
+
+def test_rule_sql_predicates_cover_rule_names():
+    """The oracle-side predicate table is keyed exactly by RULE_NAMES —
+    the r10 drift (rules added Spark-side only) is now impossible to
+    reintroduce silently."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.quality_rules import (
+        RULE_NAMES,
+        rule_sql_predicates,
+    )
+
+    preds = rule_sql_predicates()
+    assert set(preds) == set(RULE_NAMES)
+    assert all(p.strip() for p in preds.values())
