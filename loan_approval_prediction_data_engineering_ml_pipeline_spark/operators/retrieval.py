@@ -28,89 +28,28 @@ Everything is built-in DataFrame ops — zero Python in the plan.
 
 from __future__ import annotations
 
-import json
-import re
-import uuid
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as X
-from ..sources.versioned import CommitConflict, _join, log_store_for
+from ..sources.versioned import _join, log_store_for
+from .index_commit import (
+    bucket_map as _bucket_map,
+    commit_index_manifest as _commit_index_manifest,
+    index_versions as _index_versions,
+    new_object_rel as _new_object_rel,
+    read_index_manifest,
+    vacuum_index,
+)
 
 K1 = 1.2  #: BM25 term-frequency saturation
 B = 0.75  #: BM25 length normalization
 
 
-# ---------------------------------------------------------------------------
-# Snapshot-atomic index publishes (VERDICT r9 #2): every index mutation
-# writes IMMUTABLE object directories first, then publishes a manifest
-# that maps each posting/length bucket to its current object dir with
-# ONE atomic put-if-absent through the same LogStore the lakehouse
-# commit protocol uses. A probe resolves the manifest once and reads
-# only dirs that manifest references — it sees the old index or the new
-# index in full, never new postings with old meta; a crash mid-mutation
-# leaves orphan object dirs (reclaimable by vacuum_bm25_index) and an
-# unchanged manifest. Cold buckets carry over BY REFERENCE (no copy),
-# so an upsert's write cost stays O(touched buckets) — at 100 TB this
-# is the Iceberg/Delta manifest-pointer pattern applied to a posting
-# index.
-# ---------------------------------------------------------------------------
-
-_IMANIFEST_RE = re.compile(r"^v(\d+)\.json$")
-
-
-def _ilog_dir(path: str) -> str:
-    return _join(path, "_index_log")
-
-
-def _index_versions(path: str) -> list[int]:
-    out = []
-    for name in log_store_for(path).list_dir(_ilog_dir(path)):
-        m = _IMANIFEST_RE.match(name)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def read_index_manifest(path: str, version: int | None = None) -> dict | None:
-    """The committed index snapshot (latest by default), or None when
-    ``path`` holds no manifest (uninitialized, or a legacy flat-layout
-    index from before the atomic-publish protocol)."""
-    versions = _index_versions(path)
-    if not versions:
-        return None
-    v = versions[-1] if version is None else version
-    return json.loads(
-        log_store_for(path).read_text(_join(_ilog_dir(path), f"v{v}.json"))
-    )
-
-
-def _commit_index_manifest(path: str, version: int, doc: dict) -> None:
-    try:
-        log_store_for(path).write_exclusive(
-            _join(_ilog_dir(path), f"v{version}.json"),
-            json.dumps({**doc, "version": version}, sort_keys=True),
-        )
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"index version {version} at {path} was committed by another "
-            "writer — re-resolve the manifest and retry the mutation"
-        ) from exc
-
-
-def _new_object_rel() -> str:
-    return f"objects/{uuid.uuid4().hex[:12]}"
-
-
-def _bucket_map(path: str, obj_rel: str, component: str, key: str) -> dict[str, str]:
-    """{bucket value -> manifest-relative dir} for the hive dirs a
-    write just produced under ``objects/<id>/<component>``."""
-    root = _join(path, obj_rel, component)
-    out = {}
-    for d in log_store_for(path).list_subdirs(root):
-        if d.startswith(f"{key}="):
-            out[d.split("=", 1)[1]] = f"{obj_rel}/{component}/{d}"
-    return out
+# Snapshot-atomic index publishes (VERDICT r9 #2): the shared
+# manifest-pointer protocol lives in operators/index_commit.py — every
+# mutation here writes immutable objects/<id>/ dirs and publishes them
+# with one atomic manifest commit; probes resolve the manifest once.
+# See that module's docstring for the full guarantees.
 
 
 class _Bm25Snapshot:
@@ -586,35 +525,10 @@ def upsert_bm25_index(
 
 
 def vacuum_bm25_index(path: str, keep_last: int = 1) -> int:
-    """Reclaim object dirs unreferenced by the ``keep_last`` most recent
-    manifests (crash orphans and rolled-off versions), then drop the
-    older manifests. Object dirs are shared across versions (cold-bucket
-    carry-over), so retention is by OBJECT reference, not by version
-    directory. Returns the number of object dirs removed."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    store = log_store_for(path)
-    versions = _index_versions(path)
-    if not versions:
-        return 0
-    kept = versions[-keep_last:]
-    referenced: set[str] = set()
-    for v in kept:
-        m = read_index_manifest(path, v)
-        rels = [m["meta"], *m["postings"].values(), *m["lengths"].values()]
-        for rel in rels:
-            parts = rel.split("/")
-            if parts[0] == "objects":
-                referenced.add(parts[1])
-    removed = 0
-    for d in store.list_subdirs(_join(path, "objects")):
-        if d not in referenced:
-            store.delete_tree(_join(path, "objects", d))
-            removed += 1
-    for v in versions[: -keep_last or None]:
-        if v not in kept:
-            store.delete(_join(_ilog_dir(path), f"v{v}.json"))
-    return removed
+    """:func:`~.index_commit.vacuum_index` for a BM25 index — retention
+    is by OBJECT reference across the retained manifests (cold-bucket
+    carry-over shares dirs between versions)."""
+    return vacuum_index(path, keep_last=keep_last)
 
 
 def _empty_topk(spark, id_col: str, id_type: str = "string") -> DataFrame:

@@ -23,6 +23,92 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import vectors as V
+from ..sources.versioned import _join, log_store_for
+from .index_commit import (
+    bucket_map,
+    commit_index_manifest,
+    new_object_rel,
+    next_index_version,
+    read_index_manifest,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF snapshot resolution (VERDICT r9 #2, the ANN half): builds write the
+# flat hive layout (cells/cell=K + centroids — the committed-fixture
+# format the DuckDB oracles glob directly), and MUTATIONS overlay it with
+# the shared manifest-pointer protocol (operators/index_commit.py): an
+# upsert rewrites only the touched cells into an immutable objects/<id>/
+# dir and commits a manifest whose cold-cell entries reference the
+# EXISTING dirs in place — one atomic pointer swap makes (touched cells,
+# cold cells, centroids) visible together. Probes resolve manifest-first
+# and fall back to the flat layout, so a probe mid-upsert sees the old
+# or the new index in full, and a crash before the commit changes
+# nothing a reader can observe.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_manifest_from_flat(path: str) -> dict:
+    """Synthesize the version-0 view of a flat-layout index: every cell
+    dir and the centroid table referenced IN PLACE."""
+    cells = {}
+    for d in log_store_for(path).list_subdirs(_join(path, "cells")):
+        if d.startswith("cell="):
+            cells[d.split("=", 1)[1]] = f"cells/{d}"
+    return {"version": 0, "centroids": "centroids", "cells": cells}
+
+
+def _ivf_snapshot(path: str) -> dict:
+    """The current committed view: latest manifest, else the flat
+    layout synthesized as version 0."""
+    return read_index_manifest(path) or _ivf_manifest_from_flat(path)
+
+
+def _ivf_centroids(spark, path: str) -> DataFrame:
+    return spark.read.parquet(_join(path, _ivf_snapshot(path)["centroids"]))
+
+
+def _ivf_cells(spark, path: str, probe_cells: list[int] | None = None) -> DataFrame:
+    """The cells relation (id, arr, cell) under the current snapshot,
+    pruned to ``probe_cells`` when given. Manifest dirs are read grouped
+    by their parent root with ``basePath`` so hive parsing restores the
+    ``cell`` partition column even when cold and hot cells live in
+    different object dirs."""
+    snap = _ivf_snapshot(path)
+    if snap["version"] == 0:
+        # flat layout: one plain hive read; cell IN (...) pruning stays
+        # a PartitionFilters entry (plan-asserted on fresh builds)
+        df = spark.read.parquet(_join(path, "cells"))
+        if probe_cells is not None:
+            df = df.where(F.col("cell").isin(list(probe_cells)))
+        return df
+    cm = snap["cells"]
+    keys = (
+        sorted(cm, key=int)
+        if probe_cells is None
+        else [str(c) for c in probe_cells if str(c) in cm]
+    )
+    if not keys:
+        any_rel = next(iter(cm.values()))
+        return (
+            spark.read.option("basePath", _join(path, any_rel.rsplit("/", 1)[0]))
+            .parquet(_join(path, any_rel))
+            .where(F.lit(False))
+        )
+    groups: dict[str, list[str]] = {}
+    for k in keys:
+        rel = cm[k]
+        groups.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
+    parts = [
+        spark.read.option("basePath", _join(path, base)).parquet(
+            *[_join(path, r) for r in rels]
+        )
+        for base, rels in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def brute_force_topk(
@@ -416,8 +502,12 @@ def ivf_query(
     parquet and verify the restricted top-k exactly.
 
     ``include_cell=True`` adds each hit's cell id to the output, making
-    the probe restriction externally auditable."""
-    centers = spark.read.parquet(path + "/centroids").collect()
+    the probe restriction externally auditable.
+
+    The probe resolves the index SNAPSHOT once (manifest overlay after
+    upserts, flat layout for fresh builds) — see the module's IVF
+    snapshot note."""
+    centers = _ivf_centroids(spark, path).collect()
     order = sorted(
         centers,
         key=lambda r: (
@@ -426,7 +516,7 @@ def ivf_query(
         ),
     )
     probe = [r["cell"] for r in order[:n_probe]]
-    cells = spark.read.parquet(path + "/cells").where(F.col("cell").isin(probe))
+    cells = _ivf_cells(spark, path, probe)
     if exclude_id is not None:
         cells = cells.where(F.col(id_col) != exclude_id)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -768,7 +858,7 @@ def ivf_batch_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
     )
-    cent = spark.read.parquet(path + "/centroids").select(
+    cent = _ivf_centroids(spark, path).select(
         F.col("cell").alias("__cell"), F.col("centroid")
     )
     dist = F.aggregate(
@@ -793,7 +883,7 @@ def ivf_batch_topk(
         .where(F.col("__rk") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    cells = spark.read.parquet(path + "/cells").select(
+    cells = _ivf_cells(spark, path).select(
         F.col(id_col), F.col("arr"), F.col("cell")
     )
     if salt > 1:
@@ -1086,9 +1176,18 @@ def ivf_upsert(
     """Incremental IVF maintenance: fold a batch of new/updated vectors
     into an EXISTING index without re-clustering — assign each vector to
     its nearest persisted centroid (same deterministic argmin the probe
-    side ranks with), then partition-granular REPLACE INTO the touched
-    cell partitions. Cold cells keep byte-identical files; probes see
-    the new vectors immediately (no rebuild, no staleness window).
+    side ranks with), then per-id REPLACE of the touched cells. Cold
+    cells are never rewritten; probes see the new vectors immediately
+    (no rebuild, no staleness window).
+
+    The mutation is SNAPSHOT-ATOMIC (VERDICT r9 #2): survivors of the
+    touched cells union the delta into a fresh immutable object dir,
+    and one manifest commit makes (touched cells, cold cells,
+    centroids) visible together — cold-cell entries reference their
+    EXISTING dirs (flat hive dirs on the first upsert, prior object
+    dirs after) with zero copy. A probe mid-upsert keeps its resolved
+    snapshot; a crash before the commit changes nothing a reader can
+    observe; a lost race raises CommitConflict.
 
     This is the daily-ingest shape at 100 TB: a rebuild re-scans the
     corpus and re-fits KMeans; an upsert costs one map-only assignment
@@ -1096,25 +1195,44 @@ def ivf_upsert(
     corpus grows — schedule full ``build_ivf_index`` refits on drift
     (e.g. when mean assigned distance degrades), like any IVF system.
 
-    Same constraint as ``upsert_parquet_partitioned``: a re-ingested id
-    whose NEW embedding assigns to a different cell would leave its old
-    version in the old cell — delete the ids first if embeddings mutate.
+    Same constraint as before: a re-ingested id whose NEW embedding
+    assigns to a different cell would leave its old version in the old
+    cell — delete the ids first if embeddings mutate.
 
     Returns the number of cell partitions touched."""
-    from ..sources.loaders import upsert_parquet_partitioned
     from .clustering import assign_cells
 
-    centers = spark.read.parquet(path + "/centroids").collect()
+    snap = _ivf_snapshot(path)
+    centers = _ivf_centroids(spark, path).collect()
     cents = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers]
     vecs = new_vecs.select(F.col(id_col), V.as_double(vec_col).alias("arr"))
     assigned = (
         vecs.join(assign_cells(new_vecs, cents, id_col=id_col, vec_col=vec_col), id_col)
         .withColumn("cell", F.col("cell").cast("int"))
-        # evaluated 3x otherwise (this count, the upsert's touched-
-        # partition collect, the staged write) — cut the lineage so the
-        # Arrow assignment pass over the batch runs once
+        # evaluated 3x otherwise (the touched-cell collect, the replace
+        # anti-join, the write) — cut the lineage so the Arrow
+        # assignment pass over the batch runs once
         .localCheckpoint(eager=True)
     )
-    n_cells = assigned.select("cell").distinct().count()
-    upsert_parquet_partitioned(assigned, path + "/cells", [id_col], "cell")
-    return n_cells
+    touched = sorted(r[0] for r in assigned.select("cell").distinct().collect())
+    old_hot = _ivf_cells(spark, path, touched).select(id_col, "arr", "cell")
+    new_hot = old_hot.join(
+        assigned.select(id_col), id_col, "left_anti"
+    ).unionByName(assigned.select(id_col, "arr", "cell"))
+    obj = new_object_rel()
+    (
+        new_hot.repartition(max(len(touched), 1), "cell")
+        .sortWithinPartitions("cell")  # writer required ordering, no re-sort
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_join(path, obj, "cells"))
+    )
+    commit_index_manifest(
+        path,
+        int(snap["version"]) + 1,
+        {
+            "centroids": snap["centroids"],
+            "cells": {**snap["cells"], **bucket_map(path, obj, "cells", "cell")},
+        },
+    )
+    return len(touched)

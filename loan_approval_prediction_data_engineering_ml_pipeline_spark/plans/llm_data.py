@@ -510,7 +510,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # process; a stale index is rebuilt in place so the probe and the
         # DuckDB oracle keep reading the same (new) files.
         emb = load_table(spark, sf_dir, "embeddings")
-        cells = spark.read.parquet(os.path.join(idx, "cells"))
+        cells = S._ivf_cells(spark, idx)  # snapshot-resolved (r11)
         a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
         b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
         if (a["n"], a["s"]) != (b["n"], b["s"]):

@@ -559,19 +559,24 @@ def test_export_training_shards_deterministic_and_complete(spark, tmp_path):
 
 def test_ivf_upsert_incremental_index_maintenance(spark, tmp_path):
     """ivf_upsert folds new vectors into a built index: nearest-centroid
-    assignment (no refit), REPLACE INTO only the touched cell
-    partitions — cold cells byte-identical, probes see the new vector
-    immediately, and re-upserting an existing id replaces instead of
-    duplicating."""
+    assignment (no refit), per-id REPLACE of only the touched cells
+    committed as a manifest overlay — the FLAT build dirs are never
+    touched at all (cold cells carry into the manifest by reference),
+    probes see the new vector immediately, and re-upserting an existing
+    id replaces instead of duplicating."""
     import glob
     import hashlib
     import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        read_index_manifest,
+    )
 
     emb = load_table(spark, SF, "embeddings")
     idx = str(tmp_path / "ivf")
     S.build_ivf_index(emb, idx, n_lists=8)
 
-    def cell_digests():
+    def flat_digests():
         out = {}
         for f in glob.glob(f"{idx}/cells/cell=*/*.parquet"):
             cell = os.path.basename(os.path.dirname(f))
@@ -580,8 +585,9 @@ def test_ivf_upsert_incremental_index_maintenance(spark, tmp_path):
             )
         return {c: sorted(v) for c, v in out.items()}
 
-    before = cell_digests()
-    n_before = spark.read.parquet(idx + "/cells").count()
+    before = flat_digests()
+    n_before = S._ivf_cells(spark, idx).count()
+    assert read_index_manifest(idx) is None  # fresh build = flat layout
 
     # new vector = clone of vec 7 with a fresh id: lands in 7's cell,
     # and a probe AT vec 7 must now return it with cosine ~1
@@ -590,17 +596,26 @@ def test_ivf_upsert_incremental_index_maintenance(spark, tmp_path):
     touched = S.ivf_upsert(spark, idx, new)
     assert touched == 1
 
-    after = cell_digests()
-    changed = {c for c in before if before[c] != after.get(c)}
-    assert len(changed) == 1  # exactly one cell rewritten, rest untouched
-    assert spark.read.parquet(idx + "/cells").count() == n_before + 1
+    # snapshot-atomic overlay: flat build files ALL byte-identical (the
+    # hot cell was rewritten into objects/, not in place), manifest v1
+    # points exactly one cell into objects/ and the rest at the flat dirs
+    assert flat_digests() == before
+    m = read_index_manifest(idx)
+    assert m["version"] == 1
+    hot = [c for c, rel in m["cells"].items() if rel.startswith("objects/")]
+    assert len(hot) == 1
+    assert all(
+        rel.startswith("cells/") for c, rel in m["cells"].items() if c not in hot
+    )
+    assert S._ivf_cells(spark, idx).count() == n_before + 1
 
     hits = S.ivf_query(spark, idx, probe_vec, k=3, exclude_id=7).collect()
     assert hits[0]["vec_id"] == 90001 and hits[0]["cosine"] >= 0.999999
 
-    # replace semantics: same id again -> no duplicate row
+    # replace semantics: same id again -> no duplicate row, next version
     S.ivf_upsert(spark, idx, new)
-    assert spark.read.parquet(idx + "/cells").count() == n_before + 1
+    assert read_index_manifest(idx)["version"] == 2
+    assert S._ivf_cells(spark, idx).count() == n_before + 1
 
 
 def test_bloom_prefiltered_dedup_matches_exact_operator(spark):
@@ -883,3 +898,70 @@ def test_max_cosine_zero_norm_corpus_rows_null_on_both_paths(spark):
             .collect()
         }
         assert flagged == {1, 3}, (method, flagged)  # 2 (zero-norm) excluded
+
+
+def test_ivf_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #2, ANN half: (a) a crash AFTER the object write but
+    BEFORE the manifest commit leaves the index exactly at the previous
+    snapshot; (b) a probe resolved before the upsert keeps ranking
+    against its snapshot (immutable dirs); (c) a lost manifest race is
+    a CommitConflict with the committed manifest untouched."""
+    import pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        index_commit as IC,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        similarity as SIM,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        CommitConflict,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_atomic")
+    SIM.build_ivf_index(emb, idx, n_lists=8)
+    probe_vec = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    before = sorted(
+        map(tuple, SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect())
+    )
+    stale_probe = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7)
+
+    new = spark.createDataFrame(
+        [(90001, probe_vec)], "vec_id long, embedding array<double>"
+    )
+    real_commit = SIM.commit_index_manifest
+
+    def boom(path, version, doc):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(SIM, "commit_index_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        SIM.ivf_upsert(spark, idx, new)
+    monkeypatch.setattr(SIM, "commit_index_manifest", real_commit)
+
+    # (a) nothing visible changed
+    assert IC.read_index_manifest(idx) is None
+    mid = sorted(
+        map(tuple, SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect())
+    )
+    assert mid == before, "torn state visible after crashed ivf upsert"
+
+    SIM.ivf_upsert(spark, idx, new)
+    assert IC.read_index_manifest(idx)["version"] == 1
+    now = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert now[0]["vec_id"] == 90001
+    # (b) the pre-upsert probe still ranks against the flat snapshot
+    assert sorted(map(tuple, stale_probe.collect())) == before
+
+    # (c) lost race
+    with pytest.raises(CommitConflict):
+        IC.commit_index_manifest(idx, 1, {"centroids": "x", "cells": {}})
+    assert IC.read_index_manifest(idx)["version"] == 1
+    assert IC.read_index_manifest(idx)["centroids"] != "x"
+
+    # vacuum reclaims the crash orphan, keeps everything referenced
+    removed = IC.vacuum_index(idx, keep_last=1)
+    assert removed >= 1
+    again = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert again[0]["vec_id"] == 90001
