@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_merges",  # BPE tokenizer training: 1 corpus pass + O(vocab) merge rounds (r9)
     "bm25_phrase_topk",  # exact phrase retrieval via n-gram BM25, broadcast-first (r9)
     "bm25_indexed_probe",  # manifest-resolved posting-index probe (build amortized at first run, r11)
+    "hybrid_rrf_topk",  # BM25 + IVF-ANN reciprocal-rank fusion (r11)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as X
-from ..sources.versioned import _join, log_store_for
+from ..sources.versioned import CommitConflict, _join, log_store_for
 from .index_commit import (
     bucket_map as _bucket_map,
     commit_index_manifest as _commit_index_manifest,
@@ -326,6 +326,7 @@ def upsert_bm25_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    retries: int = 0,
 ) -> int:
     """Incremental BM25 maintenance (the ``ivf_upsert`` pattern): fold a
     batch of NEW documents into an existing index without re-tokenizing
@@ -506,21 +507,37 @@ def upsert_bm25_index(
             F.lit(gram).alias("gram"),
         )
     meta_df.coalesce(1).write.mode("overwrite").parquet(_join(path, obj, "meta"))
-    _commit_index_manifest(
-        path,
-        int(snap.manifest["version"]) + 1,
-        {
-            "n_buckets": n_buckets,
-            "n_files": n_files,
-            "gram": gram,
-            "meta": f"{obj}/meta",
-            "postings": {
-                **snap.manifest["postings"],
-                **_bucket_map(path, obj, "postings", "bucket"),
+    try:
+        _commit_index_manifest(
+            path,
+            int(snap.manifest["version"]) + 1,
+            {
+                "n_buckets": n_buckets,
+                "n_files": n_files,
+                "gram": gram,
+                "meta": f"{obj}/meta",
+                "postings": {
+                    **snap.manifest["postings"],
+                    **_bucket_map(path, obj, "postings", "bucket"),
+                },
+                "lengths": lengths_map,
             },
-            "lengths": lengths_map,
-        },
-    )
+        )
+    except CommitConflict:
+        # another writer won this version: the whole mutation must
+        # recompute against the NEW snapshot (its cold map changed) —
+        # a textbook OCC rebase. Our written object dir becomes a
+        # vacuumable orphan; nothing is partially visible.
+        if retries > 0:
+            return upsert_bm25_index(
+                spark,
+                delta_docs,
+                path,
+                text_col=text_col,
+                id_col=id_col,
+                retries=retries - 1,
+            )
+        raise
     return len(touched_buckets)
 
 
@@ -823,6 +840,55 @@ def bm25_phrase_topk_catalog(
         b=b,
         k=k,
         decimals=decimals,
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    ``fused(q, d) = Σ_systems 1 / (c + rank_system(q, d))`` — the
+    standard hybrid-retrieval combiner for lexical (BM25) + semantic
+    (ANN) rankings, robust to incomparable score scales because only
+    RANKS enter the sum. Each input carries (query_id, ``id_col``,
+    rank); a document absent from a system simply contributes nothing.
+
+    Scale shape: inputs are top-N rankings — (queries × N) rows, never
+    corpus-sized — so the fusion is a union + one small groupBy + one
+    per-query window. The fused score is rounded before ranking (ties
+    on doc id) so cross-engine float noise cannot flip a boundary
+    rank; with ≤ a handful of systems the sum is order-insensitive in
+    IEEE anyway."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("query_id", "id").agg(
+        F.round(F.sum("contrib"), decimals).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
 
 

@@ -23,12 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import vectors as V
-from ..sources.versioned import _join, log_store_for
+from ..sources.versioned import CommitConflict, _join, log_store_for
 from .index_commit import (
     bucket_map,
     commit_index_manifest,
     new_object_rel,
-    next_index_version,
     read_index_manifest,
 )
 
@@ -1172,6 +1171,7 @@ def ivf_upsert(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    retries: int = 0,
 ) -> int:
     """Incremental IVF maintenance: fold a batch of new/updated vectors
     into an EXISTING index without re-clustering — assign each vector to
@@ -1227,12 +1227,28 @@ def ivf_upsert(
         .partitionBy("cell")
         .parquet(_join(path, obj, "cells"))
     )
-    commit_index_manifest(
-        path,
-        int(snap["version"]) + 1,
-        {
-            "centroids": snap["centroids"],
-            "cells": {**snap["cells"], **bucket_map(path, obj, "cells", "cell")},
-        },
-    )
+    try:
+        commit_index_manifest(
+            path,
+            int(snap["version"]) + 1,
+            {
+                "centroids": snap["centroids"],
+                "cells": {**snap["cells"], **bucket_map(path, obj, "cells", "cell")},
+            },
+        )
+    except CommitConflict:
+        # OCC rebase: another writer won this version, so the cold-cell
+        # map changed under us — recompute against the new snapshot.
+        # The written object dir is a vacuumable orphan; nothing is
+        # partially visible.
+        if retries > 0:
+            return ivf_upsert(
+                spark,
+                path,
+                new_vecs,
+                id_col=id_col,
+                vec_col=vec_col,
+                retries=retries - 1,
+            )
+        raise
     return len(touched)

@@ -453,6 +453,33 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     return list(row["v"])
 
 
+def _ensure_ivf8(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded ivf8 index path for
+    ``sf_dir`` — shared by every query probing the committed IVF
+    fixture (ann_ivf, ann_ivf_batch, hybrid_rrf_topk)."""
+    import os
+
+    idx = _index_dir(sf_dir, "ivf8")
+    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, n_lists=8, seed=42
+        )
+    elif idx not in _FRESH_INDEXES:
+        # staleness guard: the committed index must describe the CURRENT
+        # embeddings table (the fixture can be regenerated out from under
+        # a committed index). Cheap id-set fingerprint, checked once per
+        # process; a stale index is rebuilt in place so the probe and the
+        # DuckDB oracle keep reading the same (new) files.
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = S._ivf_cells(spark, idx)  # snapshot-resolved (r11)
+        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        if (a["n"], a["s"]) != (b["n"], b["s"]):
+            S.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    _FRESH_INDEXES.add(idx)
+    return idx
+
+
 @query(
     "ann_ivf",
     # The result is approximate vs brute force, but it is EXACT given the
@@ -496,26 +523,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     "oracle-verified against the committed index",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    idx = _index_dir(sf_dir, "ivf8")
-    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
-        S.build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), idx, n_lists=8, seed=42
-        )
-    elif idx not in _FRESH_INDEXES:
-        # staleness guard: the committed index must describe the CURRENT
-        # embeddings table (the fixture can be regenerated out from under
-        # a committed index). Cheap id-set fingerprint, checked once per
-        # process; a stale index is rebuilt in place so the probe and the
-        # DuckDB oracle keep reading the same (new) files.
-        emb = load_table(spark, sf_dir, "embeddings")
-        cells = S._ivf_cells(spark, idx)  # snapshot-resolved (r11)
-        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
-        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
-        if (a["n"], a["s"]) != (b["n"], b["s"]):
-            S.build_ivf_index(emb, idx, n_lists=8, seed=42)
-    _FRESH_INDEXES.add(idx)
+    idx = _ensure_ivf8(spark, sf_dir)
     return S.ivf_query(
         spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_probe=3, exclude_id=0,
         include_cell=True,
@@ -797,12 +805,8 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "million-query retrieval shape a driver-side probe loop cannot scale to",
 )
 def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    idx = _index_dir(sf_dir, "ivf8")
+    idx = _ensure_ivf8(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
-        S.build_ivf_index(emb, idx, n_lists=8, seed=42)
     return S.ivf_batch_topk(
         spark, idx, emb.where(F.col("vec_id") < 16), k=5, n_probe=3
     )
@@ -3409,11 +3413,11 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 # (tf, df, dl, N, avgdl) — DuckDB re-derives every quantity and the
 # final ranking from the same token stream; scores are rounded to 6 dp
 # BEFORE ranking on both sides so summation order cannot flip a
-# boundary rank (ties break on doc_id). Shared by the direct query AND
-# the persisted-index probe: the index stores the same non-empty-token
-# event space, so both paths must hash-match this one oracle.
-_BM25_ORACLE = f"""
-    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+# boundary rank (ties break on doc_id). Shared by the direct query, the
+# persisted-index probe (the index stores the same non-empty-token
+# event space), and the hybrid-RRF fusion (which consumes the rk CTE's
+# full ranking): all three paths must hash-match this one derivation.
+_BM25_RK_CTES = f"""q(query_id, term) AS (VALUES {_BM25_VALUES}),
     t2 AS (
       SELECT doc_id, tok FROM (
         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
@@ -3450,7 +3454,10 @@ _BM25_ORACLE = f"""
                PARTITION BY query_id ORDER BY round(s, 6) DESC, doc_id
              ) AS rank
       FROM sc
-    )
+    )"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_RK_CTES}
     SELECT query_id, doc_id, score, rank FROM rk
     WHERE rank <= 10 ORDER BY query_id, rank
     """
@@ -3520,6 +3527,126 @@ def bm25_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk_indexed(spark, idx, queries, k=10).orderBy(
         "query_id", "rank"
     )
+
+
+def _hybrid_oracle() -> str:
+    # lexical side: the shared BM25 rk derivation (top 20 per query);
+    # semantic side: the ann_ivf_batch probe re-derivation over the SAME
+    # committed ivf8 index (3 query vectors = embeddings 0..2, mapped to
+    # q1..q3), cosine rounded BEFORE ranking; fusion: RRF with c=60,
+    # fused score rounded before the final ranking (ties on doc_id).
+    return f"""
+    WITH {_BM25_RK_CTES},
+    hq AS (
+      SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
+    ),
+    cranked AS (
+      SELECT hq.qvid, cent.cell,
+             row_number() OVER (
+               PARTITION BY hq.qvid
+               ORDER BY list_distance(cent.centroid, hq.qv), cent.cell
+             ) AS crk
+      FROM cent, hq
+    ),
+    probe AS (SELECT qvid, cell FROM cranked WHERE crk <= 3),
+    cand AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(arr AS DOUBLE[]) AS arr,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVF_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    sscored AS (
+      SELECT p.qvid, c.vec_id,
+             round(list_cosine_similarity(c.arr, h.qv), 6) AS cosine
+      FROM probe p
+      JOIN cand c ON c.cell = p.cell
+      JOIN hq h ON h.qvid = p.qvid
+      WHERE c.vec_id != p.qvid
+    ),
+    srk AS (
+      SELECT qvid, vec_id,
+             row_number() OVER (
+               PARTITION BY qvid ORDER BY cosine DESC, vec_id
+             ) AS rank
+      FROM sscored
+    ),
+    sem AS (
+      SELECT 'q' || CAST(qvid + 1 AS VARCHAR) AS query_id,
+             vec_id AS doc_id, rank
+      FROM srk WHERE rank <= 20
+    ),
+    lex AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+    allc AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM sem
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+      FROM allc GROUP BY 1, 2
+    ),
+    frk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, score, rank FROM frk
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query(
+    "hybrid_rrf_topk",
+    tier="local",
+    oracle=_hybrid_oracle,
+    description="Hybrid retrieval: BM25 lexical top-20 and IVF-ANN "
+    "semantic top-20 per query, fused by Reciprocal Rank Fusion "
+    "(Cormack 2009; score = sum 1/(60+rank)) — the standard combiner "
+    "RAG stacks run because ranks fuse robustly where score scales "
+    "don't. Per query: q1..q3 pair the _BM25_QUERIES term sets with "
+    "embeddings 0..2 as query vectors over the aligned doc/vec id "
+    "space. Both sides are top-N relations (queries x N rows, never "
+    "corpus-sized), the ANN side probes the committed partition-pruned "
+    "ivf8 index, and the fusion is one union + tiny groupBy + one "
+    "window; the oracle re-derives BOTH rankings and the fused scores "
+    "from the same token stream and committed index parquet",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    lex = R.bm25_topk(docs, queries, k=20).select("query_id", "doc_id", "rank")
+
+    idx = _ensure_ivf8(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_hits = S.ivf_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 3), k=20, n_probe=3
+    )
+    sem = sem_hits.select(
+        F.concat(F.lit("q"), (F.col("query_id") + 1).cast("string")).alias(
+            "query_id"
+        ),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    return R.rrf_fuse([lex, sem], k=10).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -706,3 +706,61 @@ def test_bm25_catalog_lifecycle_property(spark, tmp_path, base, delta, phrases):
     probe2 = R.bm25_phrase_topk_catalog(spark, cat, pq_, k=10).collect()
     direct2 = R.bm25_phrase_topk(a.unionByName(b), pq_, k=10).collect()
     assert sorted(map(tuple, probe2)) == sorted(map(tuple, direct2))
+
+
+def test_upsert_conflict_retry_rebases_on_new_snapshot(spark, tmp_path, monkeypatch):
+    """retries=N turns a lost manifest race into an OCC rebase: the
+    upsert re-resolves the WINNER's snapshot and recomputes, so the
+    final index equals a sequential application of both writers."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1000, "beta tok1 fresh")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2000, "beta tok2 fresher")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "occ")
+    R.build_bm25_index(a, idx, n_buckets=4, n_files=2)
+
+    # simulate: writer B commits v2 between writer A's snapshot resolve
+    # and commit — A's first commit loses, the retry rebases on v2
+    real_commit = R._commit_index_manifest
+    state = {"injected": False}
+
+    def race(path, version, doc):
+        if not state["injected"]:
+            state["injected"] = True
+            R.upsert_bm25_index(spark, b2, path)  # writer B wins v2
+        return real_commit(path, version, doc)
+
+    monkeypatch.setattr(R, "_commit_index_manifest", race)
+    R.upsert_bm25_index(spark, b1, idx, retries=1)
+    monkeypatch.setattr(R, "_commit_index_manifest", real_commit)
+
+    assert R.read_index_manifest(idx)["version"] == 3  # build, B, A-rebased
+    q = spark.createDataFrame(
+        [("q", "tok1"), ("q", "tok2"), ("q", "beta")],
+        "query_id string, term string",
+    )
+    fresh = R.bm25_topk(a.unionByName(b1).unionByName(b2), q, k=12).collect()
+    probed = R.bm25_topk_indexed(spark, idx, q, k=12).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, fresh))
+
+    # retries=0 (default): the conflict surfaces
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        CommitConflict,
+    )
+
+    state["injected"] = False
+    monkeypatch.setattr(R, "_commit_index_manifest", race)
+    with _pytest.raises(CommitConflict):
+        R.upsert_bm25_index(spark, b1, idx)
