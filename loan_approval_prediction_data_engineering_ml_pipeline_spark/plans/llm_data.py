@@ -3529,6 +3529,52 @@ def bm25_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_stream_indexed_probe",
+    tier="local",
+    # The FULL streaming maintenance path verified against SQL: the
+    # corpus arrives as three micro-batches, each folded into the
+    # persisted index by the snapshot-atomic upsert (one manifest
+    # version per batch), and the final probe must hash-match the same
+    # BM25 derivation DuckDB runs over the whole token stream — if any
+    # batch boundary leaked into df/idf/avgdl or a replace double-
+    # counted, this row diverges.
+    oracle=_BM25_ORACLE,
+    description="BM25 top-k over a STREAM-MAINTAINED posting index: the "
+    "documents table replays as three micro-batches through "
+    "stream_bm25_index_ingest (genesis build + snapshot-atomic upsert "
+    "per batch, availableNow trigger), then the manifest-resolved probe "
+    "ranks the standing index — the RAG index-freshness path, "
+    "oracle-verified end to end because probe scores must equal the "
+    "batch BM25 over the concatenated feed exactly",
+)
+def bm25_stream_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import retrieval as R
+    from ..streaming import stream_bm25_index_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bm25_stream_")
+    for n in range(3):
+        docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == n).coalesce(1).write.parquet(
+            f"{work}/feed/b{n}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed/*")
+    )
+    idx = f"{work}/idx"
+    stream_bm25_index_ingest(
+        stream, idx, n_buckets=8, n_files=4, checkpoint=f"{work}/ckpt"
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return R.bm25_topk_indexed(spark, idx, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _hybrid_oracle() -> str:
     # lexical side: the shared BM25 rk derivation (top 20 per query);
     # semantic side: the ann_ivf_batch probe re-derivation over the SAME

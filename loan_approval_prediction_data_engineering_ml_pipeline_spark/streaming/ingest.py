@@ -303,3 +303,78 @@ def stream_corpus_ingest_neardup(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def stream_bm25_index_ingest(
+    docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+    n_buckets: int = 8,
+    gram: int = 1,
+    checkpoint: str | None = None,
+) -> None:
+    """Maintain a STANDING BM25 posting index from a document stream —
+    the index-freshness path a production RAG/retrieval stack needs:
+    each micro-batch folds into the persisted index through the
+    snapshot-atomic upsert, so the index advances one committed
+    manifest version per batch and concurrent probes always rank
+    against a consistent snapshot while the stream runs. The genesis
+    batch builds the index (also an atomic publish).
+
+    Exactly-once WITHOUT a ledger: re-applying the same batch is a
+    value-level no-op by construction — postings and lengths are
+    per-key REPLACE, and the incremental (n, sum_dl) maintenance
+    subtracts exactly what the re-applied ids already contributed — so
+    Spark's foreachBatch at-least-once redelivery (crash between sink
+    and checkpoint commit) converges to the same index values, just at
+    a later version number. A concurrent external writer is handled by
+    the upsert's OCC rebase (``retries``).
+
+    Contract carried over from the upsert: each batch must be per-id
+    unique (duplicate ids raise loudly) and re-ingested MUTATED texts
+    need delete-first semantics.
+
+    ``availableNow`` trigger: drain-everything-then-stop (the
+    replay-to-parity mode the tests use); production would use a
+    processing-time trigger plus a durable ``checkpoint``."""
+    from ..operators.retrieval import (
+        build_bm25_index,
+        read_index_manifest,
+        upsert_bm25_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if read_index_manifest(index_path) is None:
+                build_bm25_index(
+                    batch_df,
+                    index_path,
+                    text_col=text_col,
+                    id_col=id_col,
+                    n_files=n_files,
+                    n_buckets=n_buckets,
+                    gram=gram,
+                )
+            else:
+                upsert_bm25_index(
+                    batch_df.sparkSession,
+                    batch_df,
+                    index_path,
+                    text_col=text_col,
+                    id_col=id_col,
+                    retries=2,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

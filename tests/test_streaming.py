@@ -585,3 +585,77 @@ def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
     # full redelivery: every batch replays against its own landed state
     assert ingest("store", "cp2") == want
     assert read_corpus(spark, str(tmp_path / "store")).count() == len(want)
+
+
+def test_stream_bm25_index_ingest_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The stream-maintained BM25 index must rank EXACTLY like the
+    direct batch path over the full concatenated feed (one atomic
+    manifest version per micro-batch), and a full replay from a fresh
+    checkpoint must converge to the same VALUES (later version, no
+    drift) — the no-ledger exactly-once argument, exercised end to
+    end."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        read_index_manifest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        stream_bm25_index_ingest,
+    )
+
+    feed = str(tmp_path / "feed")
+    batches = [
+        [(i, f"alpha tok{i % 7} beta") for i in range(40)],
+        [(100 + i, f"gamma tok{i % 5} beta fresh") for i in range(30)],
+        [(200 + i, "delta tok3 epsilon beta") for i in range(20)],
+    ]
+    for n, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{feed}/b{n}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    idx = str(tmp_path / "idx")
+    stream_bm25_index_ingest(
+        stream,
+        idx,
+        n_buckets=4,
+        n_files=2,
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    v1 = read_index_manifest(idx)["version"]
+    assert v1 >= 3  # genesis build + >=2 upsert commits
+
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [("q1", "tok3"), ("q1", "beta"), ("q2", "fresh")],
+        "query_id string, term string",
+    )
+    direct = sorted(map(tuple, bm25_topk(all_docs, q, k=9).collect()))
+    probed = sorted(map(tuple, bm25_topk_indexed(spark, idx, q, k=9).collect()))
+    assert probed == direct
+
+    # full redelivery (fresh checkpoint): values converge, version moves
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    stream_bm25_index_ingest(
+        stream2,
+        idx,
+        n_buckets=4,
+        n_files=2,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert read_index_manifest(idx)["version"] > v1
+    again = sorted(map(tuple, bm25_topk_indexed(spark, idx, q, k=9).collect()))
+    assert again == direct
