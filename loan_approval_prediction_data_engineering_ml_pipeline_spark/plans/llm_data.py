@@ -384,6 +384,103 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "canonical_keep_best",
+    tier="local",
+    # Exact: the same recursive-CTE transitive closure as
+    # near_dup_components picks the clusters, the shared _QUALITY_SQL
+    # scores every member (rounded 6 dp BEFORE the argmax on both
+    # sides), and the keeper is the per-cluster quality argmax with
+    # min-id ties — deterministic end to end.
+    oracle=lambda: f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ),
+    edges AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT r.a, ed.d FROM reach r JOIN edges ed ON r.b = ed.s
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a),
+    q AS (
+        SELECT doc_id AS vec_id, {_QUALITY_SQL} AS q
+        FROM (SELECT *, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    m AS (SELECT comp.component, comp.vec_id, q.q FROM comp JOIN q USING (vec_id)),
+    keeper AS (
+        SELECT component, vec_id AS kept_id, q AS kept_q,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY q DESC, vec_id
+               ) AS rk
+        FROM m
+    )
+    SELECT m.component, CAST(count(*) AS BIGINT) AS n_members,
+           k.kept_id, k.kept_q
+    FROM m
+    JOIN (SELECT component, kept_id, kept_q FROM keeper WHERE rk = 1) k
+      USING (component)
+    GROUP BY m.component, k.kept_id, k.kept_q
+    ORDER BY component
+    """,
+    description="Quality-aware canonical selection: near-dup clusters "
+    "(the near_dup_components closure) each keep their HIGHEST-QUALITY "
+    "member instead of the minimum id — the keeper rule production "
+    "dedup actually wants (FineWeb/RefinedWeb keep the best-scoring "
+    "representative, not an arbitrary one). Per cluster: size, kept id, "
+    "kept score. Scale shape: clusters come from the bounded pair set "
+    "(never all-pairs), quality is the map-only composite, and the "
+    "argmax is one window over (component) — cluster-cardinality rows "
+    "shuffle, never text",
+)
+def canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=None)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    membership = (
+        emb.select("vec_id")
+        .join(comps, emb["vec_id"] == comps["vertex"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+    )
+    quality = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.round(X.quality_score("text"), 6).alias("q"),
+    )
+    m = membership.join(quality, "vec_id")
+    keeper = (
+        m.withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(F.desc("q"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col("vec_id").alias("kept_id"),
+            F.col("q").alias("kept_q"),
+        )
+    )
+    counts = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        counts.join(keeper, "component")
+        .select("component", "n_members", "kept_id", "kept_q")
+        .orderBy("component")
+    )
+
+
+@query(
     "embedding_centroids",
     oracle="""
     WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

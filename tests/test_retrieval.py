@@ -764,3 +764,58 @@ def test_upsert_conflict_retry_rebases_on_new_snapshot(spark, tmp_path, monkeypa
     monkeypatch.setattr(R, "_commit_index_manifest", race)
     with _pytest.raises(CommitConflict):
         R.upsert_bm25_index(spark, b1, idx)
+
+
+def test_upsert_four_writer_race_serializes_via_occ(spark, tmp_path):
+    """Four concurrent writers, each upserting a DISJOINT delta with
+    OCC retries: the manifest log must serialize them (versions
+    2..5, one per writer), and the final index must rank exactly like
+    a fresh direct run over base + all four deltas — the
+    blind-append-race standard the lakehouse commit protocol meets,
+    applied to the posting index."""
+    import threading
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta") for i in range(80)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "race")
+    R.build_bm25_index(a, idx, n_buckets=4, n_files=2)
+
+    deltas = [
+        spark.createDataFrame(
+            [(1000 * (w + 1) + i, f"writer{w} tok{i % 3} beta") for i in range(10)],
+            "doc_id long, text string",
+        )
+        for w in range(4)
+    ]
+    errors: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait()
+            R.upsert_bm25_index(spark, deltas[w], idx, retries=8)
+        except Exception as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors
+    assert R.read_index_manifest(idx)["version"] == 5  # build + 4 serialized
+
+    union = a
+    for d in deltas:
+        union = union.unionByName(d)
+    q = spark.createDataFrame(
+        [("q", "beta"), ("q", "tok1"), ("q2", "writer2")],
+        "query_id string, term string",
+    )
+    fresh = sorted(map(tuple, R.bm25_topk(union, q, k=15).collect()))
+    probed = sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=15).collect()))
+    assert probed == fresh
