@@ -65,10 +65,6 @@ class _Bm25Snapshot:
         rel = self.manifest["meta"] if self.manifest else "meta"
         return self.spark.read.parquet(_join(self.path, rel))
 
-    def _id_dl_schema(self) -> str:
-        sch = self.lengths().schema
-        return f"id {sch['id'].dataType.simpleString()}, dl {sch['dl'].dataType.simpleString()}"
-
     def id_type(self) -> str:
         return self.lengths().schema["id"].dataType.simpleString()
 
