@@ -872,3 +872,55 @@ def bloom_prefiltered_dedup(
         .alias("status"),
         "fingerprint",
     )
+
+
+def keep_best_representative(
+    membership_quality: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    component_col: str = "component",
+    quality_col: str = "q",
+) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters: each
+    component keeps its HIGHEST-quality member (FineWeb/RefinedWeb keep
+    the best-scoring representative, not an arbitrary one). Input is one
+    row per document — ``(id, component, quality)``, with singletons
+    being their own component — and the output is one row per component:
+    ``(component, n_members, kept_id, kept_q)``.
+
+    Ties are deterministic: equal quality breaks on ASCENDING id, so
+    the keeper is a pure function of the input under any partitioning
+    (re-runs, oracle comparison, and resumed pipelines all agree).
+
+    Scale shape: the argmax is one window over (component) and the size
+    is one groupBy — cluster-cardinality rows shuffle, never text, and
+    both consume the SAME exchange on the component key."""
+    from pyspark.sql import Window as W
+
+    m = membership_quality.select(
+        F.col(id_col).alias("__id"),
+        F.col(component_col).alias("component"),
+        F.col(quality_col).alias("__q"),
+    )
+    keeper = (
+        m.withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(
+                    F.desc("__q"), F.asc("__id")
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col("__id").alias("kept_id"),
+            F.col("__q").alias("kept_q"),
+        )
+    )
+    counts = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return counts.join(keeper, "component").select(
+        "component", "n_members", "kept_id", "kept_q"
+    )

@@ -118,12 +118,26 @@ def _referenced_objects(doc: dict) -> set[str]:
     return refs
 
 
-def vacuum_index(path: str, keep_last: int = 1) -> int:
+def vacuum_index(
+    path: str, keep_last: int = 1, *, grace_seconds: float = 3600.0
+) -> int:
     """Reclaim object dirs unreferenced by the ``keep_last`` most recent
     manifests (crash orphans and rolled-off versions), then drop the
     older manifests. Object dirs are shared across versions (cold-bucket
     carry-over), so retention is by OBJECT reference, not by version.
-    Returns the number of object dirs removed."""
+    Returns the number of object dirs removed.
+
+    ``grace_seconds`` is the Delta-VACUUM-style retention window
+    (VERDICT r12 #2): an IN-FLIGHT writer has written its object dir
+    but not yet committed the manifest that references it, so to a
+    reference-only walk it is indistinguishable from a crash orphan.
+    Unreferenced dirs younger than the grace window (by
+    ``store.mtime``) are therefore skipped — they are either a live
+    write about to commit or a fresh orphan the next vacuum reclaims.
+    Pass ``grace_seconds=0`` only when all writers are known quiesced
+    (tests, single-writer maintenance windows)."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     store = log_store_for(path)
@@ -134,11 +148,20 @@ def vacuum_index(path: str, keep_last: int = 1) -> int:
     referenced: set[str] = set()
     for v in kept:
         referenced |= _referenced_objects(read_index_manifest(path, v))
+    now = time.time()
     removed = 0
     for d in store.list_subdirs(_join(path, "objects")):
-        if d not in referenced:
-            store.delete_tree(_join(path, "objects", d))
-            removed += 1
+        if d in referenced:
+            continue
+        if grace_seconds > 0:
+            try:
+                age = now - store.mtime(_join(path, "objects", d))
+            except FileNotFoundError:
+                age = 0.0  # listed but not stat-able: treat as in-flight
+            if age < grace_seconds:
+                continue
+        store.delete_tree(_join(path, "objects", d))
+        removed += 1
     for v in versions[:-keep_last]:
         store.delete(_join(_ilog_dir(path), f"v{v}.json"))
     return removed

@@ -407,19 +407,30 @@ def upsert_bm25_index(
             "before upsert_bm25_index; REPLACE semantics are per-id"
         )
 
+    # ADVICE r11 guard, hardened per VERDICT r12 #3: a delta id TYPE
+    # that differs from the build's is never safe — xxhash64 buckets by
+    # binary representation, so the delta's ids would land in lb dirs a
+    # probe of the original type never reads, the per-id REPLACE
+    # anti-join would silently match nothing, and the write would leave
+    # mixed-schema lengths dirs behind. The old behavior (fall back to
+    # full-rescan meta) still wrote those dirs; reject loudly instead.
+    built_id_type = snap.lengths().schema["id"].dataType
+    delta_id_type = dlen.schema["id"].dataType
+    if delta_id_type != built_id_type:
+        raise ValueError(
+            f"delta id type {delta_id_type.simpleString()} does not match "
+            f"the index's built id type {built_id_type.simpleString()} at "
+            f"{path} — cast the delta's {id_col!r} to the built type before "
+            "upsert_bm25_index (id-bucket hashing and per-id REPLACE are "
+            "type-sensitive; a widened id would silently miss its bucket)"
+        )
+
     # incremental meta (VERDICT r9 #8): replaced ids' old lengths read
     # from ONLY the touched lb dirs the manifest references — O(delta
-    # buckets), never O(corpus). ADVICE r10 guard: a delta id type whose
-    # xxhash64 differs from the build's would miss its lb dir in this
-    # lookup and silently skew avgdl — incremental meta only when the
-    # types agree; otherwise the full re-scan fallback below.
+    # buckets), never O(corpus).
     meta_d = meta.asDict()
     old_touched_len = snap.lengths_for(touched_lbs)
-    if (
-        "sum_dl" in meta_d
-        and meta_d["sum_dl"] is not None
-        and dlen.schema["id"].dataType == snap.lengths().schema["id"].dataType
-    ):
+    if "sum_dl" in meta_d and meta_d["sum_dl"] is not None:
         if old_touched_len is None:
             rc, rs = 0, 0
         else:
@@ -537,11 +548,14 @@ def upsert_bm25_index(
     return len(touched_buckets)
 
 
-def vacuum_bm25_index(path: str, keep_last: int = 1) -> int:
+def vacuum_bm25_index(
+    path: str, keep_last: int = 1, *, grace_seconds: float = 3600.0
+) -> int:
     """:func:`~.index_commit.vacuum_index` for a BM25 index — retention
     is by OBJECT reference across the retained manifests (cold-bucket
-    carry-over shares dirs between versions)."""
-    return vacuum_index(path, keep_last=keep_last)
+    carry-over shares dirs between versions), with a ``grace_seconds``
+    age window protecting in-flight writers' not-yet-committed dirs."""
+    return vacuum_index(path, keep_last=keep_last, grace_seconds=grace_seconds)
 
 
 def _empty_topk(spark, id_col: str, id_type: str = "string") -> DataFrame:

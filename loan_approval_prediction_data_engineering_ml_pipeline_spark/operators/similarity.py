@@ -67,6 +67,39 @@ def _ivf_centroids(spark, path: str) -> DataFrame:
     return spark.read.parquet(_join(path, _ivf_snapshot(path)["centroids"]))
 
 
+def _hive_base(rel: str) -> str:
+    """The manifest-relative dir ABOVE a referenced dir's hive
+    components — ``objects/x/banded/table_id=0/bucket=3`` ->
+    ``objects/x/banded``; a flat two-level dir like
+    ``table_id=0/bucket=3`` -> ``""`` (the index root itself)."""
+    parts = rel.split("/")
+    while parts and "=" in parts[-1]:
+        parts.pop()
+    return "/".join(parts)
+
+
+def _read_manifest_dirs(spark, path: str, rels: list[str]) -> DataFrame:
+    """Read manifest-referenced dirs grouped by their hive base with
+    ``basePath``, so partition columns restore even when hot and cold
+    entries live in different immutable object dirs (the `_ivf_cells`
+    pattern, shared by the LSH/PQ/IVF-PQ snapshot resolvers)."""
+    groups: dict[str, list[str]] = {}
+    for rel in rels:
+        groups.setdefault(_hive_base(rel), []).append(rel)
+    parts = []
+    for base, rs in sorted(groups.items()):
+        bp = _join(path, base) if base else path
+        parts.append(
+            spark.read.option("basePath", bp).parquet(
+                *[_join(path, r) for r in sorted(rs)]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _ivf_cells(spark, path: str, probe_cells: list[int] | None = None) -> DataFrame:
     """The cells relation (id, arr, cell) under the current snapshot,
     pruned to ``probe_cells`` when given. Manifest dirs are read grouped
@@ -462,7 +495,21 @@ def build_ivf_index(
     expensive clustering+assignment runs once at ingest, and because
     cells are physical partitions, a probe query's ``cell IN (...)``
     filter becomes partition PRUNING — the scan never opens non-probed
-    cells' files. Queries go through :func:`ivf_query`."""
+    cells' files. Queries go through :func:`ivf_query`.
+
+    Rebuild semantics (VERDICT r12 #1 — the torn-rebuild fix): probes
+    resolve the index MANIFEST-first (:func:`_ivf_snapshot`), so once a
+    path has been ``ivf_upsert``-ed a flat in-place rewrite would be
+    invisible — probes would stay pinned to a manifest whose flat
+    entries point at rebuilt data and whose ``objects/`` entries point
+    at pre-rebuild data. So: at a manifest-less path the build writes
+    the flat hive layout (the committed-fixture format the DuckDB
+    oracles glob directly); at a MANIFESTED path it writes the fresh
+    build into a new immutable ``objects/<id>/`` dir and commits the
+    next-version manifest referencing only it (mirroring
+    ``build_bm25_index``) — readers of the prior snapshot keep their
+    immutable dirs, and :func:`~.index_commit.vacuum_index` reclaims
+    the rolled-off objects later."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -471,12 +518,28 @@ def build_ivf_index(
     ).withColumn("feat", array_to_vector(F.col("arr")))
     model = KMeans(k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell").fit(vecs)
     assigned = model.transform(vecs).select(id_col, "arr", "cell")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
     cent = embeddings.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    prior = read_index_manifest(path)
+    if prior is None:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+        cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        return
+    obj = new_object_rel()
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        _join(path, obj, "cells")
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(_join(path, obj, "centroids"))
+    commit_index_manifest(
+        path,
+        int(prior["version"]) + 1,
+        {
+            "centroids": f"{obj}/centroids",
+            "cells": bucket_map(path, obj, "cells", "cell"),
+        },
+    )
 
 
 def ivf_query(
@@ -543,7 +606,49 @@ def build_lsh_index(
     """Build-once half of the hyperplane-LSH lifecycle: explode each
     vector to its (table_id, bucket) signatures and write parquet
     PARTITIONED BY (table_id, bucket), so a query's bucket lookups are
-    partition pruning instead of a bucket join."""
+    partition pruning instead of a bucket join.
+
+    Same rebuild semantics as :func:`build_ivf_index` (VERDICT r12 #4):
+    a manifest-less path gets the flat hive layout (the oracle-fixture
+    format); a MANIFESTED path (one that has been ``lsh_upsert``-ed)
+    writes into a fresh immutable object dir and commits the
+    next-version manifest, so probes see the rebuilt index and prior
+    snapshots stay readable."""
+    banded = _lsh_banded_rows(
+        embeddings, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
+    )
+    prior = read_index_manifest(path)
+    if prior is None:
+        banded.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+        return
+    obj = new_object_rel()
+    banded.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(
+        _join(path, obj, "banded")
+    )
+    commit_index_manifest(
+        path,
+        int(prior["version"]) + 1,
+        {
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "dim": dim,
+            "banded": _lsh_bucket_map(path, obj),
+        },
+    )
+
+
+def _lsh_banded_rows(
+    embeddings: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, v, table_id, bucket) — each vector's signature in every
+    table; the write/probe unit both the build and the upsert produce."""
     v = V.as_double(vec_col)
     tables = F.array(
         *[
@@ -554,11 +659,138 @@ def build_lsh_index(
             for t in range(n_tables)
         ]
     )
-    banded = (
+    return (
         embeddings.select(F.col(id_col), v.alias("v"), F.explode(tables).alias("b"))
         .select(id_col, "v", F.col("b.table_id"), F.col("b.bucket"))
     )
-    banded.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+
+
+def _lsh_bucket_map(path: str, obj_rel: str) -> dict[str, str]:
+    """Two-level ``"table/bucket" -> dir`` map for the hive dirs a
+    banded write just produced under ``objects/<id>/banded``."""
+    store = log_store_for(path)
+    root = _join(path, obj_rel, "banded")
+    out: dict[str, str] = {}
+    for td in store.list_subdirs(root):
+        if not td.startswith("table_id="):
+            continue
+        t = td.split("=", 1)[1]
+        for bd in store.list_subdirs(_join(root, td)):
+            if bd.startswith("bucket="):
+                out[f"{t}/{bd.split('=', 1)[1]}"] = f"{obj_rel}/banded/{td}/{bd}"
+    return out
+
+
+def _lsh_manifest_from_flat(
+    path: str, *, n_planes: int, n_tables: int, dim: int
+) -> dict:
+    """Version-0 view of a flat-layout LSH index: every
+    (table_id, bucket) dir referenced in place. The hyperplane params
+    are the CALLER's (the flat layout does not persist them — the same
+    contract the probe always had); once a manifest exists they are
+    recorded and authoritative."""
+    store = log_store_for(path)
+    banded: dict[str, str] = {}
+    for td in store.list_subdirs(path):
+        if not td.startswith("table_id="):
+            continue
+        t = td.split("=", 1)[1]
+        for bd in store.list_subdirs(_join(path, td)):
+            if bd.startswith("bucket="):
+                banded[f"{t}/{bd.split('=', 1)[1]}"] = f"{td}/{bd}"
+    return {
+        "version": 0,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "dim": dim,
+        "banded": banded,
+    }
+
+
+def lsh_upsert(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    retries: int = 0,
+) -> int:
+    """Incremental LSH maintenance (VERDICT r12 #4 — the ``ivf_upsert``
+    pattern for the hyperplane index): signature-assign the delta with
+    the SAME deterministic hyperplanes the build used, then per-id
+    REPLACE of only the touched (table_id, bucket) partitions. Cold
+    buckets carry into the next manifest BY REFERENCE; one manifest
+    commit makes all touched buckets visible together; a crash before
+    the commit changes nothing a reader can observe; a lost race
+    raises :class:`CommitConflict` (OCC rebase via ``retries``).
+
+    The hyperplane params are taken from the committed manifest when
+    one exists; for the FIRST upsert on a flat index the caller must
+    pass the build's params (the flat layout does not persist them —
+    same contract as :func:`lsh_index_query`).
+
+    Same constraint as ``ivf_upsert``: a re-ingested id whose NEW
+    vector lands in different buckets leaves its old rows in buckets
+    the delta does not touch — delete the ids first if embeddings
+    mutate. New-id appends are exact. Returns touched bucket count."""
+    snap = read_index_manifest(path) or _lsh_manifest_from_flat(
+        path, n_planes=n_planes, n_tables=n_tables, dim=dim
+    )
+    n_planes, n_tables, dim = (
+        int(snap["n_planes"]), int(snap["n_tables"]), int(snap["dim"])
+    )
+    delta = _lsh_banded_rows(
+        new_vecs, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
+    ).localCheckpoint(eager=True)  # assignment pass runs once, not 3x
+    touched = sorted(
+        (int(r["table_id"]), int(r["bucket"]))
+        for r in delta.select("table_id", "bucket").distinct().collect()
+    )
+    bm = snap["banded"]
+    old_rels = [bm[f"{t}/{b}"] for t, b in touched if f"{t}/{b}" in bm]
+    if old_rels:
+        old_hot = _read_manifest_dirs(spark, path, old_rels).select(
+            id_col, "v", "table_id", "bucket"
+        )
+        new_rows = old_hot.join(
+            delta.select(id_col).distinct(), id_col, "left_anti"
+        ).unionByName(delta.select(id_col, "v", "table_id", "bucket"))
+    else:
+        new_rows = delta
+    obj = new_object_rel()
+    (
+        new_rows.repartition(max(len(touched), 1), "table_id", "bucket")
+        .sortWithinPartitions("table_id", "bucket", id_col)
+        .write.mode("overwrite")
+        .partitionBy("table_id", "bucket")
+        .parquet(_join(path, obj, "banded"))
+    )
+    try:
+        commit_index_manifest(
+            path,
+            int(snap["version"]) + 1,
+            {
+                "n_planes": n_planes,
+                "n_tables": n_tables,
+                "dim": dim,
+                "banded": {**bm, **_lsh_bucket_map(path, obj)},
+            },
+        )
+    except CommitConflict:
+        if retries > 0:
+            return lsh_upsert(
+                spark, path, new_vecs,
+                id_col=id_col, vec_col=vec_col,
+                n_planes=n_planes, n_tables=n_tables, dim=dim,
+                retries=retries - 1,
+            )
+        raise
+    return len(touched)
 
 
 def _py_bucket(query_vec: list[float], n_planes: int, dim: int, seed: int) -> int:
@@ -585,16 +817,36 @@ def lsh_index_query(
 ) -> DataFrame:
     """Probe half of the hyperplane-LSH lifecycle: compute the query's
     per-table bucket driver-side (n_tables tiny dot products), scan only
-    those (table_id, bucket) partitions, dedupe candidates, score."""
+    those (table_id, bucket) partitions, dedupe candidates, score.
+
+    Resolves the index SNAPSHOT once (manifest overlay after upserts —
+    whose recorded hyperplane params are then authoritative — or the
+    flat layout for fresh builds, where pruning is hive partition
+    pruning)."""
+    snap = read_index_manifest(path) or _lsh_manifest_from_flat(
+        path, n_planes=n_planes, n_tables=n_tables, dim=dim
+    )
+    # the snapshot's recorded params are authoritative once a manifest
+    # exists; for the flat layout they are the caller's (unpersisted)
+    n_planes, n_tables, dim = (
+        int(snap["n_planes"]), int(snap["n_tables"]), int(snap["dim"])
+    )
     probes = [
         (t, _py_bucket(query_vec, n_planes, dim, seed=42 + 1000 * t))
         for t in range(n_tables)
     ]
-    cond = None
-    for t, b in probes:
-        this = (F.col("table_id") == t) & (F.col("bucket") == b)
-        cond = this if cond is None else (cond | this)
-    cands = spark.read.parquet(path).where(cond)
+    # read ONLY the probed (table, bucket) dirs the snapshot references —
+    # directory-level pruning on both layouts, and the flat root is
+    # never scanned wholesale (a crashed upsert's orphan objects/ dir
+    # lives beside the flat table_id= dirs and must stay invisible)
+    rels = [
+        snap["banded"][f"{t}/{b}"]
+        for t, b in probes
+        if f"{t}/{b}" in snap["banded"]
+    ]
+    if not rels:
+        return spark.createDataFrame([], f"{id_col} long, cosine double")
+    cands = _read_manifest_dirs(spark, path, rels)
     if exclude_id is not None:
         cands = cands.where(F.col(id_col) != exclude_id)
     cands = cands.dropDuplicates([id_col])
@@ -634,8 +886,26 @@ def build_pq_index(
     df = embeddings.select(F.col(id_col), norm.alias("arr"))
     books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
     codes = df.select(F.col(id_col), _pq_codes_expr(books, sub).alias("codes"))
-    codes.write.mode("overwrite").parquet(path + "/codes")
-    _write_pq_codebooks(embeddings.sparkSession, path, books)
+    prior = read_index_manifest(path)
+    if prior is None:
+        codes.write.mode("overwrite").parquet(path + "/codes")
+        _write_pq_codebooks(embeddings.sparkSession, path, books)
+        return
+    # manifested path (upserted): rebuild into a fresh immutable object
+    # dir + next-version manifest, like build_ivf_index (VERDICT r12)
+    obj = new_object_rel()
+    codes.write.mode("overwrite").parquet(_join(path, obj, "codes"))
+    _write_pq_codebooks(
+        embeddings.sparkSession, path, books, rel=f"{obj}/codebooks"
+    )
+    commit_index_manifest(
+        path,
+        int(prior["version"]) + 1,
+        {
+            "codebooks": f"{obj}/codebooks",
+            "codes": {"all": f"{obj}/codes"},
+        },
+    )
 
 
 def _fit_pq_codebooks(
@@ -685,30 +955,44 @@ def _pq_codes_expr(
     return F.array(*code_cols)
 
 
-def _write_pq_codebooks(spark, path: str, books: list[list[list[float]]]) -> None:
+def _write_pq_codebooks(
+    spark, path: str, books: list[list[list[float]]], rel: str = "codebooks"
+) -> None:
     spark.createDataFrame(
         [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
         "subspace int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(_join(path, rel))
     # a rebuild invalidates any memoized codebook for this path
     for key in [key for key in _CODEBOOK_CACHE if key[1] == path]:
         del _CODEBOOK_CACHE[key]
 
 
-# per-(session, path) memo of the collected codebook: the probe path is
-# the hot one, and the codebook is immutable per index — repeated probes
-# should pay zero parquet jobs for it (VERDICT r3 #8, same rationale as
-# loaders._HANDLE_CACHE)
-_CODEBOOK_CACHE: dict[tuple[str, str], tuple[int, int, int, list]] = {}
+# per-(session, path, resolved codebook dir) memo of the collected
+# codebook: the probe path is the hot one, and a codebook dir is
+# immutable once a manifest references it — repeated probes pay zero
+# parquet jobs for it (VERDICT r3 #8, same rationale as
+# loaders._HANDLE_CACHE). Keying on the RESOLVED dir means a new
+# manifest version (fresh object dir) misses naturally; an in-place
+# flat rebuild is invalidated by _write_pq_codebooks.
+_CODEBOOK_CACHE: dict[tuple[str, str, str], tuple[int, int, int, list]] = {}
+
+
+def _codebook_rel(path: str) -> str:
+    """The current snapshot's codebook dir (manifest-resolved after a
+    mutation; the flat ``codebooks`` dir otherwise). Shared by the
+    flat-PQ and IVF-PQ probes — both manifests carry ``codebooks``."""
+    snap = read_index_manifest(path)
+    return snap["codebooks"] if snap is not None else "codebooks"
 
 
 def _load_codebook(spark, path: str) -> tuple[int, int, int, list]:
     app_id = spark.sparkContext.applicationId
-    key = (app_id, path)
+    rel = _codebook_rel(path)
+    key = (app_id, path, rel)
     hit = _CODEBOOK_CACHE.get(key)
     if hit is not None:
         return hit
-    rows = spark.read.parquet(path + "/codebooks").collect()
+    rows = spark.read.parquet(_join(path, rel)).collect()
     m = 1 + max(r["subspace"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
     sub = len(rows[0]["centroid"])
@@ -747,6 +1031,27 @@ def _adc_score(spark, path: str, query_vec: list[float]):
     )
 
 
+def _pq_snapshot(path: str) -> dict:
+    """The flat-PQ index's committed view: latest manifest, else the
+    flat layout synthesized as version 0 — codes referenced as one
+    unbucketed blob under key ``"all"`` (probes always scan every code
+    dir anyway; the id-bucketed layout exists for UPSERT granularity
+    and appears from the first mutation on)."""
+    return read_index_manifest(path) or {
+        "version": 0,
+        "codebooks": "codebooks",
+        "codes": {"all": "codes"},
+    }
+
+
+def _pq_codes_df(spark, path: str) -> DataFrame:
+    """The (id, codes) relation under the current snapshot. May carry
+    an extra ``lb`` partition column after upserts — probes project the
+    columns they need."""
+    snap = _pq_snapshot(path)
+    return _read_manifest_dirs(spark, path, sorted(snap["codes"].values()))
+
+
 def pq_query(
     spark,
     path: str,
@@ -763,8 +1068,10 @@ def pq_query(
     whole-stage-codegen aggregate over the code array. No shuffle, no
     Python; top-k is TakeOrderedAndProject. Approximate score ≈ cosine
     (corpus l2-normalized at build). The codebook is memoized per
-    (session, path), so repeated probes skip its parquet read."""
-    codes = spark.read.parquet(path + "/codes")
+    (session, path, resolved dir), so repeated probes skip its parquet
+    read. The code relation resolves the committed SNAPSHOT (manifest
+    overlay after upserts, flat ``codes`` for fresh builds)."""
+    codes = _pq_codes_df(spark, path)
     if exclude_id is not None:
         codes = codes.where(F.col(id_col) != exclude_id)
     score = _adc_score(spark, path, query_vec)
@@ -805,6 +1112,94 @@ def pq_query_rerank(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k_results)
     )
+
+
+def pq_upsert(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int = 8,
+    retries: int = 0,
+) -> int:
+    """Incremental PQ maintenance (VERDICT r12 #4): encode the delta
+    with the PERSISTED codebooks (no refit — the code recipe is frozen
+    per index version, like IVF centroids), then per-id REPLACE into
+    id-bucketed code dirs and commit the next manifest.
+
+    The flat build writes one unbucketed ``codes`` blob (the
+    oracle-fixture format), so the FIRST upsert migrates it: all
+    surviving codes rewrite once into ``n_files`` xxhash64 id buckets
+    inside the new object dir — a one-time O(corpus-codes) cost over
+    the 32×-compressed representation, after which every upsert
+    touches only the delta's buckets (the ``lengths`` pattern from the
+    BM25 index). Cold buckets carry over BY REFERENCE.
+
+    Codebooks drift as the corpus grows — schedule ``build_pq_index``
+    refits like any PQ system; a refit at a manifested path commits
+    the next version atomically. Returns touched bucket count."""
+    snap = _pq_snapshot(path)
+    bucketed = "n_files" in snap
+    if bucketed:
+        n_files = int(snap["n_files"])  # the committed bucket modulus wins
+    m, k, sub, cents = _load_codebook(spark, path)
+    books = [[cents[j * k + c] for c in range(k)] for j in range(m)]
+    norm = V.l2_normalize(V.as_double(vec_col))
+    delta = (
+        new_vecs.select(F.col(id_col), norm.alias("arr"))
+        .select(F.col(id_col), _pq_codes_expr(books, sub).alias("codes"))
+        .withColumn("lb", F.pmod(F.xxhash64(id_col), F.lit(n_files)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    if bucketed:
+        touched = sorted(int(r[0]) for r in delta.select("lb").distinct().collect())
+        old_rels = [snap["codes"][str(b)] for b in touched if str(b) in snap["codes"]]
+        cold = {
+            key: rel for key, rel in snap["codes"].items()
+            if key not in {str(b) for b in touched}
+        }
+    else:
+        # first mutation on a flat/rebuilt blob: migrate everything
+        touched = list(range(n_files))
+        old_rels = sorted(snap["codes"].values())
+        cold = {}
+    if old_rels:
+        old_hot = _read_manifest_dirs(spark, path, old_rels).select(id_col, "codes")
+        surv = old_hot.join(delta.select(id_col), id_col, "left_anti").withColumn(
+            "lb", F.pmod(F.xxhash64(id_col), F.lit(n_files)).cast("int")
+        )
+        new_rows = surv.unionByName(delta)
+    else:
+        new_rows = delta
+    obj = new_object_rel()
+    (
+        new_rows.repartition(max(len(touched), 1), "lb")
+        .sortWithinPartitions("lb", id_col)
+        .write.mode("overwrite")
+        .partitionBy("lb")
+        .parquet(_join(path, obj, "codes"))
+    )
+    try:
+        commit_index_manifest(
+            path,
+            int(snap["version"]) + 1,
+            {
+                "codebooks": snap["codebooks"],
+                "n_files": n_files,
+                "codes": {**cold, **bucket_map(path, obj, "codes", "lb")},
+            },
+        )
+    except CommitConflict:
+        if retries > 0:
+            return pq_upsert(
+                spark, path, new_vecs,
+                id_col=id_col, vec_col=vec_col,
+                n_files=n_files, retries=retries - 1,
+            )
+        raise
+    return len(touched)
 
 
 def ivf_batch_topk(
@@ -960,13 +1355,34 @@ def build_ivfpq_index(
     codes = assigned.select(
         F.col(id_col), _pq_codes_expr(books, sub).alias("codes"), "cell"
     )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
     spark = embeddings.sparkSession
-    spark.createDataFrame(
+    cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    _write_pq_codebooks(spark, path, books)
+    )
+    prior = read_index_manifest(path)
+    if prior is None:
+        codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+        cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        _write_pq_codebooks(spark, path, books)
+        return
+    # manifested path (upserted): rebuild into a fresh immutable object
+    # dir + next-version manifest, like build_ivf_index (VERDICT r12)
+    obj = new_object_rel()
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        _join(path, obj, "codes")
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(_join(path, obj, "centroids"))
+    _write_pq_codebooks(spark, path, books, rel=f"{obj}/codebooks")
+    commit_index_manifest(
+        path,
+        int(prior["version"]) + 1,
+        {
+            "centroids": f"{obj}/centroids",
+            "codebooks": f"{obj}/codebooks",
+            "cells": bucket_map(path, obj, "codes", "cell"),
+        },
+    )
 
 
 def ivfpq_query_rerank(
@@ -990,12 +1406,17 @@ def ivfpq_query_rerank(
     the result equals :func:`pq_query_rerank` exactly (asserted in
     tests) — cell pruning is the only approximation added on top of
     PQ, and the whole pipeline is deterministic given the persisted
-    index, which is what lets the DuckDB oracle re-derive it."""
+    index, which is what lets the DuckDB oracle re-derive it.
+
+    Resolves the index SNAPSHOT once: manifest overlay after
+    :func:`ivfpq_upsert` / a manifested rebuild, flat layout for fresh
+    builds — a probe mid-mutation sees the old or new index in full."""
     import math
 
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
-    centers = spark.read.parquet(path + "/centroids").collect()
+    snap = _ivfpq_snapshot(path)
+    centers = spark.read.parquet(_join(path, snap["centroids"])).collect()
     order = sorted(
         centers,
         key=lambda r: (
@@ -1004,7 +1425,13 @@ def ivfpq_query_rerank(
         ),
     )
     probe = [r["cell"] for r in order[:n_probe]]
-    codes = spark.read.parquet(path + "/codes").where(F.col("cell").isin(probe))
+    if snap["version"] == 0:
+        codes = spark.read.parquet(path + "/codes").where(F.col("cell").isin(probe))
+    else:
+        rels = [snap["cells"][str(c)] for c in probe if str(c) in snap["cells"]]
+        if not rels:
+            return spark.createDataFrame([], f"{id_col} long, cosine double")
+        codes = _read_manifest_dirs(spark, path, rels)
     if exclude_id is not None:
         codes = codes.where(F.col(id_col) != exclude_id)
     cands = (
@@ -1027,6 +1454,107 @@ def ivfpq_query_rerank(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k_results)
     )
+
+
+def _ivfpq_snapshot(path: str) -> dict:
+    """The IVF-PQ index's committed view: latest manifest, else the
+    flat layout synthesized as version 0 (every cell's code dir, the
+    centroid table, and the codebooks referenced in place)."""
+    snap = read_index_manifest(path)
+    if snap is not None:
+        return snap
+    cells = {}
+    for d in log_store_for(path).list_subdirs(_join(path, "codes")):
+        if d.startswith("cell="):
+            cells[d.split("=", 1)[1]] = f"codes/{d}"
+    return {
+        "version": 0,
+        "centroids": "centroids",
+        "codebooks": "codebooks",
+        "cells": cells,
+    }
+
+
+def ivfpq_upsert(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retries: int = 0,
+) -> int:
+    """Incremental IVF-PQ maintenance (VERDICT r12 #4 — ``ivf_upsert``
+    over the compressed representation): l2-normalize the delta, assign
+    each vector to its nearest PERSISTED coarse centroid (deterministic
+    argmin, ties to the smallest cell — the probe's own ranking rule),
+    encode with the PERSISTED codebooks, then per-id REPLACE of only
+    the touched cell partitions; cold cells carry into the next
+    manifest by reference and one commit makes everything visible
+    together. Coarse centroids and codebooks drift as the corpus grows —
+    schedule ``build_ivfpq_index`` refits, which commit atomically at a
+    manifested path. Same re-ingestion constraint as ``ivf_upsert``.
+    Returns touched cell count."""
+    from .clustering import assign_cells
+
+    snap = _ivfpq_snapshot(path)
+    centers = spark.read.parquet(_join(path, snap["centroids"])).collect()
+    cents_list = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers
+    ]
+    m, k, sub, cents = _load_codebook(spark, path)
+    books = [[cents[j * k + c] for c in range(k)] for j in range(m)]
+    normed = new_vecs.select(
+        F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("arr")
+    )
+    delta = (
+        normed.join(
+            assign_cells(normed, cents_list, id_col=id_col, vec_col="arr"), id_col
+        )
+        .select(
+            F.col(id_col),
+            _pq_codes_expr(books, sub).alias("codes"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(int(r[0]) for r in delta.select("cell").distinct().collect())
+    old_rels = [snap["cells"][str(c)] for c in touched if str(c) in snap["cells"]]
+    if old_rels:
+        old_hot = _read_manifest_dirs(spark, path, old_rels).select(
+            id_col, "codes", F.col("cell").cast("int").alias("cell")
+        )
+        new_rows = old_hot.join(
+            delta.select(id_col), id_col, "left_anti"
+        ).unionByName(delta)
+    else:
+        new_rows = delta
+    obj = new_object_rel()
+    (
+        new_rows.repartition(max(len(touched), 1), "cell")
+        .sortWithinPartitions("cell", id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_join(path, obj, "codes"))
+    )
+    try:
+        commit_index_manifest(
+            path,
+            int(snap["version"]) + 1,
+            {
+                "centroids": snap["centroids"],
+                "codebooks": snap["codebooks"],
+                "cells": {**snap["cells"], **bucket_map(path, obj, "codes", "cell")},
+            },
+        )
+    except CommitConflict:
+        if retries > 0:
+            return ivfpq_upsert(
+                spark, path, new_vecs,
+                id_col=id_col, vec_col=vec_col, retries=retries - 1,
+            )
+        raise
+    return len(touched)
 
 
 def mllib_brp_topk(

@@ -437,8 +437,6 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle, never text",
 )
 def canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     pairs = S.cosine_pairs_gemm(emb, threshold=0.4, block_col="label", n_chunks=None)
@@ -456,28 +454,7 @@ def canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.quality_score("text"), 6).alias("q"),
     )
     m = membership.join(quality, "vec_id")
-    keeper = (
-        m.withColumn(
-            "__rk",
-            F.row_number().over(
-                W.partitionBy("component").orderBy(F.desc("q"), F.asc("vec_id"))
-            ),
-        )
-        .where(F.col("__rk") == 1)
-        .select(
-            "component",
-            F.col("vec_id").alias("kept_id"),
-            F.col("q").alias("kept_q"),
-        )
-    )
-    counts = m.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
-    )
-    return (
-        counts.join(keeper, "component")
-        .select("component", "n_members", "kept_id", "kept_q")
-        .orderBy("component")
-    )
+    return D.keep_best_representative(m).orderBy("component")
 
 
 @query(

@@ -82,6 +82,35 @@ class S3LogStore(LogStore):
             == 412
         )
 
+    def _is_409_conflict(self, exc) -> bool:
+        """S3's OTHER conditional-write outcome (ADVICE r11): while a
+        concurrent conditional PUT of the same key is in flight, S3 may
+        return HTTP 409 ``ConditionalRequestConflict`` instead of 412 —
+        the upload raced an uncommitted writer rather than a committed
+        object. For the put-if-absent contract both mean the same
+        thing: this writer did not win the slot."""
+        err = getattr(exc, "response", {}).get("Error", {})
+        return err.get("Code") in ("ConditionalRequestConflict", "409") or (
+            getattr(exc, "response", {})
+            .get("ResponseMetadata", {})
+            .get("HTTPStatusCode")
+            == 409
+        )
+
+    def _is_missing(self, exc) -> bool:
+        """True only for a definitive not-found (404 / NoSuchKey /
+        NotFound). Throttles, permission errors, and region redirects
+        must PROPAGATE (ADVICE r11): mapping a 503 or AccessDenied to
+        'missing' would make exists() deny a live manifest and delete()
+        mask real transport failures as FileNotFoundError."""
+        err = getattr(exc, "response", {}).get("Error", {})
+        return err.get("Code") in ("404", "NoSuchKey", "NotFound") or (
+            getattr(exc, "response", {})
+            .get("ResponseMetadata", {})
+            .get("HTTPStatusCode")
+            == 404
+        )
+
     def _pages(self, bucket: str, prefix: str, delimiter: str = ""):
         kwargs = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": self._page}
         if delimiter:
@@ -113,7 +142,15 @@ class S3LogStore(LogStore):
                 IfNoneMatch="*",  # the atomic put-if-absent
             )
         except self._s3.exceptions.ClientError as exc:
-            if self._is_412(exc):
+            if self._is_412(exc) or self._is_409_conflict(exc):
+                # 412: a committed object already holds the slot.
+                # 409 ConditionalRequestConflict: a concurrent
+                # conditional PUT is in flight — either it commits (we
+                # lost) or it fails (the slot reopens). Surfacing it as
+                # FileExistsError is correct for the commit protocol:
+                # the caller maps it to CommitConflict, re-resolves the
+                # latest manifest, and retries at the NEXT version — a
+                # spurious extra rebase at worst, never a torn commit.
                 raise FileExistsError(path) from None
             raise
 
@@ -134,8 +171,9 @@ class S3LogStore(LogStore):
         try:
             self._s3.head_object(Bucket=bucket, Key=key)
             return True
-        except self._s3.exceptions.ClientError:
-            pass
+        except self._s3.exceptions.ClientError as exc:
+            if not self._is_missing(exc):
+                raise
         # prefix "directory": any object underneath counts
         for page in self._pages(bucket, key.rstrip("/") + "/"):
             if page.get("KeyCount"):
@@ -146,9 +184,11 @@ class S3LogStore(LogStore):
         bucket, key = self._bk(path)
         try:
             self._s3.head_object(Bucket=bucket, Key=key)
-        except self._s3.exceptions.ClientError:
-            # match LocalLogStore's unlink(2) contract
-            raise FileNotFoundError(path) from None
+        except self._s3.exceptions.ClientError as exc:
+            if self._is_missing(exc):
+                # match LocalLogStore's unlink(2) contract
+                raise FileNotFoundError(path) from None
+            raise
         self._s3.delete_object(Bucket=bucket, Key=key)
 
     # -- data plane ----------------------------------------------------------
@@ -192,8 +232,9 @@ class S3LogStore(LogStore):
         try:
             head = self._s3.head_object(Bucket=bucket, Key=key)
             return head["LastModified"].timestamp()
-        except self._s3.exceptions.ClientError:
-            pass
+        except self._s3.exceptions.ClientError as exc:
+            if not self._is_missing(exc):
+                raise
         newest = None
         for page in self._pages(bucket, key.rstrip("/") + "/"):
             for c in page.get("Contents", []):

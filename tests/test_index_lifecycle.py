@@ -1,0 +1,209 @@
+"""Snapshot-atomic lifecycle tests for the LSH / PQ / IVF-PQ persisted
+indexes (VERDICT r12 #4) — the same protocol guarantees the BM25 and
+IVF families already prove: (a) a crash after the object write but
+before the manifest commit changes nothing a reader can observe; (b) a
+probe resolved before a mutation keeps ranking against its immutable
+snapshot; (c) a lost manifest race raises CommitConflict with the
+committed manifest untouched; (d) a REBUILD at a manifested path
+commits the next version (the r12 torn-rebuild class); (e) vacuum
+reclaims orphans/rolled-off objects by reference without breaking the
+retained snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+    index_commit as IC,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+    similarity as SIM,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+    load_table,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+    CommitConflict,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def probe_vec(spark, emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+
+
+def _new_vec(spark, probe_vec, vid=90001):
+    return spark.createDataFrame(
+        [(vid, probe_vec)], "vec_id long, embedding array<double>"
+    )
+
+
+def _lifecycle(
+    spark, tmp_path, monkeypatch, probe_vec, *, name, build, probe, upsert
+):
+    """The shared 5-property proof: build -> probe -> crash-injected
+    upsert (nothing changes) -> real upsert (visible; stale probe
+    isolated; conflict raises) -> rebuild (next version, upsert gone)
+    -> vacuum (reclaims, retained snapshot intact)."""
+    idx = str(tmp_path / name)
+    build(idx)
+    before = sorted(map(tuple, probe(idx).collect()))
+    stale_probe = probe(idx)
+
+    new = _new_vec(spark, probe_vec)
+    real_commit = SIM.commit_index_manifest
+
+    def boom(path, version, doc):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(SIM, "commit_index_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert(idx, new)
+    monkeypatch.setattr(SIM, "commit_index_manifest", real_commit)
+
+    # (a) crash: nothing visible changed
+    assert IC.read_index_manifest(idx) is None
+    assert sorted(map(tuple, probe(idx).collect())) == before, (
+        f"{name}: torn state visible after crashed upsert"
+    )
+
+    upsert(idx, new)
+    man = IC.read_index_manifest(idx)
+    assert man["version"] == 1
+    got = probe(idx).collect()
+    assert got[0]["vec_id"] == 90001, f"{name}: upsert not visible"
+    # (b) the pre-upsert probe still ranks against the flat snapshot
+    assert sorted(map(tuple, stale_probe.collect())) == before
+
+    # (c) lost race: the committed manifest is untouched
+    with pytest.raises(CommitConflict):
+        IC.commit_index_manifest(idx, 1, {"bogus": "x"})
+    assert IC.read_index_manifest(idx) == man
+
+    # (d) rebuild at the manifested path commits v2; the upserted
+    # vector (not in the rebuild corpus) disappears; results equal the
+    # original fresh-build probe
+    held = probe(idx)  # resolved against v1 (manifest read at plan build)
+    build(idx)
+    man2 = IC.read_index_manifest(idx)
+    assert man2["version"] == 2, f"{name}: rebuild must commit the next manifest"
+    after = probe(idx).collect()
+    assert all(r["vec_id"] != 90001 for r in after), (
+        f"{name}: probe pinned to stale manifest after rebuild (r12 bug class)"
+    )
+    assert sorted(map(tuple, after)) == before
+    # the v1-pinned probe still sees the upserted vector (isolation)
+    assert held.collect()[0]["vec_id"] == 90001
+
+    # (e) vacuum: rolled-off v1 objects reclaim once quiesced; the
+    # retained snapshot still probes identically
+    assert IC.vacuum_index(idx, keep_last=1, grace_seconds=0.0) >= 1
+    assert sorted(map(tuple, probe(idx).collect())) == before
+    assert IC.index_versions(idx) == [2]
+
+
+def test_lsh_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
+    _lifecycle(
+        spark, tmp_path, monkeypatch, probe_vec,
+        name="lsh",
+        build=lambda idx: SIM.build_lsh_index(
+            emb, idx, n_planes=4, n_tables=4, dim=64
+        ),
+        probe=lambda idx: SIM.lsh_index_query(
+            spark, idx, probe_vec, k=5, n_planes=4, n_tables=4, dim=64, exclude_id=7
+        ),
+        upsert=lambda idx, new: SIM.lsh_upsert(
+            spark, idx, new, n_planes=4, n_tables=4, dim=64
+        ),
+    )
+
+
+def test_pq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
+    _lifecycle(
+        spark, tmp_path, monkeypatch, probe_vec,
+        name="pq",
+        build=lambda idx: SIM.build_pq_index(emb, idx, m=8, k=16),
+        probe=lambda idx: SIM.pq_query(spark, idx, probe_vec, 5, exclude_id=7),
+        upsert=lambda idx, new: SIM.pq_upsert(spark, idx, new),
+    )
+
+
+def test_ivfpq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
+    _lifecycle(
+        spark, tmp_path, monkeypatch, probe_vec,
+        name="ivfpq",
+        build=lambda idx: SIM.build_ivfpq_index(emb, idx, n_lists=8, m=8, k=16),
+        probe=lambda idx: SIM.ivfpq_query_rerank(
+            spark, idx,
+            emb.select("vec_id", "embedding").unionByName(
+                _new_vec(spark, probe_vec)
+            ),
+            probe_vec, 5, exclude_id=7,
+        ),
+        upsert=lambda idx, new: SIM.ivfpq_upsert(spark, idx, new),
+    )
+
+
+def test_pq_upsert_migrates_flat_blob_then_touches_buckets_only(
+    spark, tmp_path, emb, probe_vec
+):
+    """The first PQ upsert migrates the unbucketed flat blob into
+    n_files id buckets (one-time); the SECOND touches only the delta's
+    buckets and cold buckets carry over by reference (zero copy)."""
+    idx = str(tmp_path / "pq_mig")
+    SIM.build_pq_index(emb, idx, m=8, k=16)
+    t1 = SIM.pq_upsert(spark, idx, _new_vec(spark, probe_vec, 90001), n_files=8)
+    assert t1 == 8  # full migration
+    man1 = IC.read_index_manifest(idx)
+    assert man1["n_files"] == 8 and len(man1["codes"]) == 8
+    t2 = SIM.pq_upsert(spark, idx, _new_vec(spark, probe_vec, 90002))
+    assert t2 == 1  # one id -> one touched bucket
+    man2 = IC.read_index_manifest(idx)
+    carried = sum(1 for k, v in man2["codes"].items() if man1["codes"][k] == v)
+    assert carried == 7, "cold buckets must carry over by reference"
+    got = SIM.pq_query(spark, idx, probe_vec, 5, exclude_id=7).collect()
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {90001, 90002}
+    # re-applying a delta (retried ingest) is a per-id REPLACE no-op
+    SIM.pq_upsert(spark, idx, _new_vec(spark, probe_vec, 90002))
+    again = SIM.pq_query(spark, idx, probe_vec, 5, exclude_id=7).collect()
+    assert {again[0]["vec_id"], again[1]["vec_id"]} == {90001, 90002}
+    n = SIM._pq_codes_df(spark, idx).where(F.col("vec_id") == 90002).count()
+    assert n == 1
+
+
+def test_lsh_upsert_uses_committed_params_and_matches_fresh_build(
+    spark, tmp_path, emb, probe_vec
+):
+    """After an upsert, a probe equals a FRESH build over the union
+    corpus (same hyperplanes, same candidates), and the manifest's
+    recorded params override whatever the caller passes."""
+    idx = str(tmp_path / "lsh_eq")
+    SIM.build_lsh_index(emb, idx, n_planes=4, n_tables=4, dim=64)
+    new = _new_vec(spark, probe_vec)
+    SIM.lsh_upsert(spark, idx, new, n_planes=4, n_tables=4, dim=64)
+
+    fresh = str(tmp_path / "lsh_fresh")
+    SIM.build_lsh_index(
+        emb.select("vec_id", "embedding").unionByName(new),
+        fresh, n_planes=4, n_tables=4, dim=64,
+    )
+    a = sorted(map(tuple, SIM.lsh_index_query(
+        spark, idx, probe_vec, k=10, n_planes=4, n_tables=4, dim=64, exclude_id=7
+    ).collect()))
+    b = sorted(map(tuple, SIM.lsh_index_query(
+        spark, fresh, probe_vec, k=10, n_planes=4, n_tables=4, dim=64, exclude_id=7
+    ).collect()))
+    assert a == b
+    # manifest params are authoritative: wrong caller params, same result
+    c = sorted(map(tuple, SIM.lsh_index_query(
+        spark, idx, probe_vec, k=10, n_planes=2, n_tables=1, dim=64, exclude_id=7
+    ).collect()))
+    assert c == a

@@ -961,7 +961,129 @@ def test_ivf_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
     assert IC.read_index_manifest(idx)["centroids"] != "x"
 
     # vacuum reclaims the crash orphan, keeps everything referenced
-    removed = IC.vacuum_index(idx, keep_last=1)
+    removed = IC.vacuum_index(idx, keep_last=1, grace_seconds=0.0)
     assert removed >= 1
     again = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
     assert again[0]["vec_id"] == 90001
+
+
+def test_ivf_rebuild_after_upsert_commits_manifest(spark, tmp_path):
+    """VERDICT r12 #1 (the torn-rebuild fix): probes resolve the index
+    manifest-first, so a rebuild at a path that has been upserted must
+    COMMIT the next-version manifest referencing the fresh build —
+    previously it rewrote only the flat layout and probes stayed pinned
+    to the stale manifest (flat entries -> rebuilt data, objects/
+    entries -> pre-rebuild data)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        index_commit as IC,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_rebuild")
+    SIM.build_ivf_index(emb, idx, n_lists=8)
+    probe_vec = [
+        float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    new = spark.createDataFrame(
+        [(90001, probe_vec)], "vec_id long, embedding array<double>"
+    )
+    SIM.ivf_upsert(spark, idx, new)
+    assert IC.read_index_manifest(idx)["version"] == 1
+    got = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert got[0]["vec_id"] == 90001  # the upsert is visible
+
+    # a probe resolved against the upserted snapshot, held across the
+    # rebuild: its dirs are immutable, it must keep ranking against v1
+    stale_probe = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7)
+
+    # rebuild WITHOUT the upserted vector (a refit over the base corpus)
+    SIM.build_ivf_index(emb, idx, n_lists=8)
+    man = IC.read_index_manifest(idx)
+    assert man["version"] == 2, "rebuild must commit the next manifest"
+    assert all(rel.startswith("objects/") for rel in man["cells"].values()), (
+        "a rebuild at a manifested path writes an immutable object dir, "
+        "never the flat layout old snapshots still reference"
+    )
+    after = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert all(r["vec_id"] != 90001 for r in after), (
+        "probe still sees pre-rebuild data: the rebuild manifest "
+        "was not committed (the r12 torn-rebuild bug)"
+    )
+    # full isolation: the v1-pinned probe still sees the upserted vector
+    assert stale_probe.collect()[0]["vec_id"] == 90001
+
+    # and the rolled-off v1 objects reclaim by reference once quiesced
+    removed = IC.vacuum_index(idx, keep_last=1, grace_seconds=0.0)
+    assert removed >= 1
+    again = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in after]
+
+
+def test_vacuum_grace_window_protects_inflight_writer(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #2: a vacuum racing an in-flight upsert (object dir
+    written, manifest not yet committed) must NOT reclaim the writer's
+    uncommitted dir — the retention grace window treats young
+    unreferenced dirs as live writes. The interleaving is forced by
+    running the vacuum inside the writer's commit hook; the writer then
+    commits and the index is consistent. With the window disabled the
+    same dir IS a reclaim candidate (the quiesced-maintenance mode)."""
+    import os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        index_commit as IC,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_vacuum_race")
+    SIM.build_ivf_index(emb, idx, n_lists=8)
+    probe_vec = [
+        float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    # first upsert: creates manifest v1 (vacuum needs >=1 version to walk)
+    SIM.ivf_upsert(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(90001, probe_vec)], "vec_id long, embedding array<double>"
+        ),
+    )
+
+    real_commit = SIM.commit_index_manifest
+    raced = {}
+
+    def vacuum_then_commit(path, version, doc):
+        # the maintenance vacuum fires BETWEEN the second writer's
+        # object write and its manifest commit
+        raced["removed"] = IC.vacuum_index(path, keep_last=1)
+        return real_commit(path, version, doc)
+
+    monkeypatch.setattr(SIM, "commit_index_manifest", vacuum_then_commit)
+    SIM.ivf_upsert(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(90002, probe_vec)], "vec_id long, embedding array<double>"
+        ),
+    )
+    monkeypatch.setattr(SIM, "commit_index_manifest", real_commit)
+    assert raced["removed"] == 0, (
+        "vacuum reclaimed the in-flight writer's uncommitted object dir"
+    )
+    assert IC.read_index_manifest(idx)["version"] == 2
+    got = SIM.ivf_query(spark, idx, probe_vec, k=5, exclude_id=7).collect()
+    assert got[0]["vec_id"] in (90001, 90002)  # index consistent post-race
+
+    # quiesced mode: a true crash orphan reclaims once the window is off
+    orphan = os.path.join(idx, "objects", "deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0"), "w") as fh:
+        fh.write("x")
+    assert IC.vacuum_index(idx, keep_last=1) == 0  # still inside grace
+    assert IC.vacuum_index(idx, keep_last=1, grace_seconds=0.0) >= 1
+    assert not os.path.exists(orphan)

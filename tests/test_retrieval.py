@@ -608,7 +608,7 @@ def test_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
 
     # (d) vacuum: keep only v2; crash orphan + v1-only objects reclaimed
     n_objects_before = len(os.listdir(os.path.join(idx, "objects")))
-    removed = R.vacuum_bm25_index(idx, keep_last=1)
+    removed = R.vacuum_bm25_index(idx, keep_last=1, grace_seconds=0.0)
     assert removed >= 1  # at least the crash orphan
     assert len(os.listdir(os.path.join(idx, "objects"))) == n_objects_before - removed
     assert R._index_versions(idx) == [2]
@@ -819,3 +819,47 @@ def test_upsert_four_writer_race_serializes_via_occ(spark, tmp_path):
     fresh = sorted(map(tuple, R.bm25_topk(union, q, k=15).collect()))
     probed = sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=15).collect()))
     assert probed == fresh
+
+
+def test_upsert_rejects_mismatched_delta_id_type(spark, tmp_path):
+    """ADVICE r11 / VERDICT r12 #3: a delta whose id TYPE differs from
+    the build's must be rejected loudly. xxhash64 buckets by binary
+    representation, so a widened (e.g. string) id would hash to lb dirs
+    a probe of the built type never reads, the per-id REPLACE anti-join
+    would silently match nothing, and the write would leave
+    mixed-schema lengths dirs. The old behavior 'fell back' to
+    full-rescan meta but still wrote the poisoned dirs."""
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 5} beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idtype")
+    R.build_bm25_index(docs, idx, n_buckets=4, n_files=2)
+
+    bad = spark.createDataFrame(
+        [("900", "beta tok3 fresh")], "doc_id string, text string"
+    )
+    with _pytest.raises(ValueError, match="id type"):
+        R.upsert_bm25_index(spark, bad, idx)
+    # nothing committed, nothing poisoned: the index is still v1 and a
+    # probe over it matches the pre-upsert corpus exactly
+    assert R.read_index_manifest(idx)["version"] == 1
+    q = spark.createDataFrame([("q1", "tok3")], "query_id string, term string")
+    assert sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=5).collect())) == sorted(
+        map(tuple, R.bm25_topk(docs, q, k=5).collect())
+    )
+
+    # the same delta with the id CAST to the built type is accepted
+    good = bad.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    assert R.upsert_bm25_index(spark, good, idx) >= 1
+    assert R.read_index_manifest(idx)["version"] == 2
+    fresh = R.bm25_topk(docs.unionByName(good), q, k=5)
+    assert sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=5).collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

@@ -154,3 +154,76 @@ def test_index_manifest_protocol_runs_on_s3_transport(store):
         assert R.read_index_manifest(idx, version=1)["meta"] == "objects/aaa/meta"
     finally:
         unregister_log_store(idx)
+
+
+class _Failing:
+    """Delegating wrapper that makes ONE client method raise a crafted
+    ClientError — real botocore error shapes, moto underneath."""
+
+    def __init__(self, inner, method: str, code: str, status: int):
+        from botocore.exceptions import ClientError
+
+        self._inner = inner
+        self._method = method
+        self._err = ClientError(
+            {
+                "Error": {"Code": code, "Message": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            },
+            method,
+        )
+
+    def __getattr__(self, name):
+        if name == self._method:
+            def boom(**kwargs):
+                raise self._err
+            return boom
+        return getattr(self._inner, name)
+
+
+def test_write_exclusive_409_conditional_conflict_is_a_conflict(store):
+    """ADVICE r11: while a concurrent conditional PUT of the same key is
+    in flight, S3 returns 409 ConditionalRequestConflict instead of 412.
+    Both mean 'you did not win the slot' — the store must surface
+    FileExistsError (-> CommitConflict -> OCC rebase), not crash the
+    writer with an unmapped ClientError."""
+    racing = S3LogStore(
+        _Failing(store._s3, "put_object", "ConditionalRequestConflict", 409),
+        page_size=2,
+    )
+    with pytest.raises(FileExistsError):
+        racing.write_exclusive(f"{ROOT}/_manifests/v7.json", "loser")
+
+
+def test_only_404_maps_to_missing_elsewhere_errors_propagate(store):
+    """ADVICE r11: exists()/delete()/mtime() must treat ONLY a
+    definitive 404/NoSuchKey as 'missing'. An AccessDenied or throttle
+    mapped to not-found would make exists() deny a live manifest and
+    delete() mask transport failures as FileNotFoundError."""
+    from botocore.exceptions import ClientError
+
+    p = f"{ROOT}/_manifests/v0.json"
+    store.write_exclusive(p, "{}")
+
+    denied = S3LogStore(
+        _Failing(store._s3, "head_object", "AccessDenied", 403), page_size=2
+    )
+    with pytest.raises(ClientError):
+        denied.exists(p)
+    with pytest.raises(ClientError):
+        denied.delete(p)
+    with pytest.raises(ClientError):
+        denied.mtime(p)
+
+    throttled = S3LogStore(
+        _Failing(store._s3, "head_object", "SlowDown", 503), page_size=2
+    )
+    with pytest.raises(ClientError):
+        throttled.exists(p)
+
+    # the definitive-404 contract still holds
+    assert not store.exists(f"{ROOT}/_manifests/v99.json")
+    with pytest.raises(FileNotFoundError):
+        store.delete(f"{ROOT}/_manifests/v99.json")
+    with pytest.raises(FileNotFoundError):
+        store.mtime(f"{ROOT}/nope")
