@@ -92,6 +92,11 @@ HEADLINE = [
     "bm25_phrase_topk",  # exact phrase retrieval via n-gram BM25, broadcast-first (r9)
     "bm25_indexed_probe",  # manifest-resolved posting-index probe (build amortized at first run, r11)
     "hybrid_rrf_topk",  # BM25 + IVF-ANN reciprocal-rank fusion (r11)
+    "canonical_keep_best",  # quality-aware keeper per near-dup cluster (r11, benched r13)
+    "retrieval_quality_bm25",  # recall/MRR/nDCG evaluation aggregates (r13)
+    "image_near_dup_pairs",  # perceptual-hash hamming banding, multimodal near-dup (r13)
+    "bm25_stream_indexed_probe",  # stream-maintained posting index: 3-batch ingest + probe (r11, benched r13)
+    "ann_ivf_stream_indexed",  # stream-maintained IVF index: 3-batch ingest + probe (r13)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in

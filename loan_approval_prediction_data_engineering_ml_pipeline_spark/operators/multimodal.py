@@ -382,3 +382,138 @@ def sample_frames(df: DataFrame, *, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
+
+
+def perceptual_hash(df: DataFrame, *, method: str = "ahash") -> DataFrame:
+    """Perceptual image hash (VERDICT r12 #7 — the multimodal near-dup
+    fingerprint): decode frame 0 → luminance → nearest-neighbor
+    downscale to the canonical hash grid → 64-bit signature, as one
+    Arrow-batched mapInPandas pass (the same decode dispatch as
+    :func:`extract_image_features`, so PNG/JPEG and the fake format
+    hash through one operator).
+
+    - ``ahash`` (average hash): 8×8 grid, bit i = pixel i > grid mean.
+    - ``dhash`` (difference hash): 9×8 grid, bit = left pixel < right
+      neighbor — the gradient-based variant, robust to global
+      brightness shifts.
+
+    Bits pack LSB-first in row-major pixel order into ONE signed int64
+    (the two's-complement reinterpretation of the uint64 signature), so
+    downstream banding is pure codegen bit arithmetic and the SQL
+    oracle can re-derive the identical integer. Near-identical images
+    (re-encodes, small edits, resizes) land within a few bits of each
+    other; exact pairing happens in :func:`hamming_near_dup_pairs`."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual hash method: {method!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    gw = 9 if method == "dhash" else 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                grid = _decode_any(r["media"], r["media_meta"])[0].astype(np.float64)
+                yi = np.arange(8) * grid.shape[0] // 8
+                xi = np.arange(gw) * grid.shape[1] // gw
+                small = grid[yi][:, xi]
+                if method == "ahash":
+                    bits = (small > small.mean()).reshape(-1)
+                else:
+                    bits = (small[:, :-1] < small[:, 1:]).reshape(-1)
+                h = np.uint64(np.sum(weights[bits[:64]]))
+                rows.append((int(r["doc_id"]), int(np.int64(h))))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    hash_bits: int = 64,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over a 64-bit signature
+    column — the simhash chunk-banding argument applied to perceptual
+    hashes: split the signature into ``n_bands`` equal chunks; two
+    signatures within Hamming distance ``max_hamming < n_bands`` MUST
+    agree on at least one whole chunk (pigeonhole), so candidates are
+    exactly the pairs sharing any (band, chunk) bucket — a bucket
+    equi-join over (id, chunk) rows, never an all-pairs comparison.
+    Candidates then filter on the exact distance
+    ``bit_count(a XOR b) <= max_hamming`` in codegen.
+
+    100 TB shape: signatures are 8 bytes/doc; the shuffle carries
+    (id, band, chunk) rows; bucket sizes follow the signature
+    distribution (near-uniform for hash-like inputs), and the exact
+    filter runs only on candidate pairs. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(pigeonhole recall guarantee); got n_bands={n_bands}"
+        )
+    if hash_bits % n_bands:
+        raise ValueError(f"hash_bits {hash_bits} not divisible by n_bands {n_bands}")
+    w = hash_bits // n_bands
+    mask = (1 << w) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col(hash_col), b * w).bitwiseAND(
+                        F.lit(mask)
+                    )
+                ).alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("ph"), F.explode(chunks).alias("c")
+    ).select("id", "ph", "c.band", "c.chunk")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("ph").alias("pa"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("ph").alias("pb"), "band", "chunk"
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.expr("pa ^ pb"))
+    return (
+        pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_dups(
+    media_df: DataFrame,
+    *,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Multimodal near-dedup end to end: perceptual-hash every image
+    (one Arrow decode pass) and band-bucket the 64-bit signatures into
+    exact-Hamming near-dup pairs — the image-side twin of the text
+    family's simhash path. Returns (id_a, id_b, hamming)."""
+    return hamming_near_dup_pairs(
+        perceptual_hash(media_df, method=method),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

@@ -1008,3 +1008,91 @@ def bm25_phrase_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def retrieval_quality_metrics(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """IR quality metrics per query over a top-k ranking and a binary
+    relevance table (VERDICT r12 #8): recall@k, precision@k, MRR, and
+    nDCG@k — the standard retrieval-evaluation aggregates, expressed as
+    pure relational algebra so a SQL oracle re-derives every value.
+
+    - ``ranking``: (query_id, id, rank) — ranks 1-based, rows beyond
+      ``k`` are ignored (so a top-20 ranking evaluates at k=10).
+    - ``relevance``: (query_id, id) — binary relevant set, deduped here.
+
+    Definitions (binary relevance, Järvelin & Kekäläinen TOIS 2002 for
+    DCG): recall@k = |retrieved∩relevant| / |relevant|; precision@k =
+    |retrieved∩relevant| / k; MRR = 1/rank of the first relevant hit
+    (0 when no hit); nDCG@k = Σ_hits 1/log2(rank+1) divided by the
+    ideal Σ_{i=1..min(|relevant|,k)} 1/log2(i+1).
+
+    Scale shape: one join of the (queries × k)-row ranking against the
+    relevance dim, one groupBy per side, and the ideal-DCG is a codegen
+    ``sequence``/``aggregate`` over min(|relevant|, k) terms — no
+    corpus scan, no window over the corpus. Queries present in either
+    input appear in the output (missing side → zero metrics)."""
+    r = ranking.where(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("id"), "rank"
+    )
+    rel = relevance.select(
+        "query_id", F.col(id_col).alias("id")
+    ).distinct()
+    hits = r.join(rel.withColumn("__rel", F.lit(1)), ["query_id", "id"], "left")
+    agg = hits.groupBy("query_id").agg(
+        F.coalesce(F.sum("__rel"), F.lit(0)).cast("long").alias("n_hit"),
+        F.max(
+            F.when(F.col("__rel") == 1, F.lit(1.0) / F.col("rank"))
+        ).alias("__mrr"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__rel") == 1,
+                    F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0)),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("__dcg"),
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    joined = agg.join(nrel, "query_id", "full_outer").select(
+        "query_id",
+        F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.coalesce(F.col("__mrr"), F.lit(0.0)).alias("__mrr"),
+        F.coalesce(F.col("__dcg"), F.lit(0.0)).alias("__dcg"),
+    )
+    idcg = F.when(
+        F.col("n_relevant") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k)).cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+        ),
+    )
+    return joined.select(
+        "query_id",
+        "n_relevant",
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0, F.col("n_hit") / F.col("n_relevant")
+            ).otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("recall_at_k"),
+        F.round(F.col("n_hit") / F.lit(float(k)), decimals).alias("precision_at_k"),
+        F.round(F.col("__mrr"), decimals).alias("mrr"),
+        F.round(
+            F.when(F.col("n_relevant") > 0, F.col("__dcg") / idcg).otherwise(
+                F.lit(0.0)
+            ),
+            decimals,
+        ).alias("ndcg_at_k"),
+    )

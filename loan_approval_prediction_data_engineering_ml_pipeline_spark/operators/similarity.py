@@ -1743,10 +1743,16 @@ def ivf_upsert(
         .localCheckpoint(eager=True)
     )
     touched = sorted(r[0] for r in assigned.select("cell").distinct().collect())
-    old_hot = _ivf_cells(spark, path, touched).select(id_col, "arr", "cell")
-    new_hot = old_hot.join(
-        assigned.select(id_col), id_col, "left_anti"
-    ).unionByName(assigned.select(id_col, "arr", "cell"))
+    if snap["cells"]:
+        old_hot = _ivf_cells(spark, path, touched).select(id_col, "arr", "cell")
+        new_hot = old_hot.join(
+            assigned.select(id_col), id_col, "left_anti"
+        ).unionByName(assigned.select(id_col, "arr", "cell"))
+    else:
+        # genesis upsert: a seeded index holds only the frozen centroid
+        # table (stream_ivf_index_ingest's first batch) — nothing to
+        # replace, the delta IS the first cells object
+        new_hot = assigned.select(id_col, "arr", "cell")
     obj = new_object_rel()
     (
         new_hot.repartition(max(len(touched), 1), "cell")

@@ -3426,6 +3426,100 @@ def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "image_near_dup_pairs",
+    tier="local",
+    # Multimodal near-dedup, oracle-verified end to end: the corpus is
+    # 100 image "families" x 3 variants (variant 0 = the original
+    # md5-derived 8x8 payload, variants 1-2 bump ONE pixel by +25 at a
+    # family-dependent position), so each family's variants are true
+    # near-duplicates a perceptual hash must catch. The Spark side runs
+    # the REAL pipeline — binary media column -> Arrow mapInPandas
+    # decode -> 64-bit aHash -> 4x16-bit chunk banding (pigeonhole:
+    # hamming<=3 guarantees a shared chunk) -> bucket join -> exact
+    # bit_count(xor) filter; DuckDB re-derives pixels, mean-threshold
+    # bits, chunks, candidates, and Hamming distances from md5()
+    # directly. No all-pairs comparison on either side.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 AS family, doc_id // 100 AS variant
+      FROM documents WHERE doc_id < 300
+    ),
+    px AS (
+      SELECT d.doc_id, g.i,
+             ascii(substr(md5(CAST(d.family AS VARCHAR))
+                          || md5(CAST(d.family AS VARCHAR)), g.i, 1))
+             + CASE WHEN d.variant > 0
+                     AND g.i = 1 + (d.variant * 7 + d.family) % 64
+                    THEN 25 ELSE 0 END AS p
+      FROM d CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    mu AS (SELECT doc_id, avg(p) AS m FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, px.i - 1 AS bit,
+             CASE WHEN px.p > mu.m THEN 1 ELSE 0 END AS b
+      FROM px JOIN mu USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, bit // 16 AS band,
+             sum(b * (1 << (bit % 16))) AS chunk
+      FROM bits GROUP BY doc_id, bit // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a
+      JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b, CAST(sum(abs(x.b - y.b)) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.id_a
+      JOIN bits y ON y.doc_id = c.id_b AND y.bit = x.bit
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="Multimodal near-dedup: 64-bit perceptual aHash per image "
+    "(one Arrow-batched decode pass over the binary media column), then "
+    "Hamming near-dup pairs via 4x16-bit chunk banding — two hashes "
+    "within distance 3 must share a whole chunk (pigeonhole), so "
+    "candidates are a bucket equi-join, never all-pairs, and the exact "
+    "bit_count(xor) filter runs in codegen on candidates only; the "
+    "image-side twin of the text simhash path, with planted "
+    "one-pixel-perturbed variants the oracle re-derives bit for bit",
+)
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .selectExpr(
+            "doc_id",
+            "doc_id % 100 AS family",
+            "CAST(doc_id DIV 100 AS INT) AS variant",
+        )
+    )
+    s = "concat(md5(cast(family as string)), md5(cast(family as string)))"
+    pos = "cast(1 + (variant * 7 + family) % 64 as int)"
+    media_df = base.selectExpr(
+        "doc_id",
+        f"""encode(
+              CASE WHEN variant = 0 THEN {s}
+                   ELSE concat(substring({s}, 1, {pos} - 1),
+                               char(ascii(substring({s}, {pos}, 1)) + 25),
+                               substring({s}, {pos} + 1, 64 - {pos}))
+              END, 'utf-8') AS media""",
+        "named_struct('format', 'fake-gray8', 'width', 8, 'height', 8,"
+        " 'n_frames', 1) AS media_meta",
+    )
+    return MM.image_near_dups(
+        media_df, method="ahash", max_hamming=3, n_bands=4
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (privacy scrub — Dolma §2.3 / CCNet / C4 class)
 # ---------------------------------------------------------------------------
@@ -3649,14 +3743,100 @@ def bm25_stream_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_oracle() -> str:
+@query(
+    "ann_ivf_stream_indexed",
+    tier="local",
+    # The streaming IVF maintenance path verified against SQL end to
+    # end: centroids are FROZEN (seeded from the committed ivf8
+    # quantizer), so the stream-built index's content is a pure
+    # function of (seed centroids, feed) — every vector in the cell
+    # whose centroid is L2-nearest, ties to the smallest cell id (the
+    # assign_cells contract). The oracle re-derives assignment, probe
+    # set, and restricted top-k from the same committed centroid
+    # parquet; if a batch boundary leaked into the index (lost cell,
+    # double-ingested id, torn manifest) this row diverges.
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT cell FROM cent, q
+      ORDER BY list_distance(centroid, qv), cell
+      LIMIT 3
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cent.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(cent.centroid, e.v), cent.cell
+               ) AS rk
+        FROM e, cent
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine,
+           CAST(cell AS INT) AS cell
+    FROM assigned, q
+    WHERE cell IN (SELECT cell FROM probe) AND vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="IVF ANN top-k over a STREAM-MAINTAINED index: the "
+    "embeddings table replays as three micro-batches through "
+    "stream_ivf_index_ingest (frozen quantizer seeded from the committed "
+    "ivf8 centroids, snapshot-atomic ivf_upsert per batch, one manifest "
+    "version each), then the manifest-resolved probe prunes to the 3 "
+    "nearest cells — the ANN index-freshness path, oracle-verified "
+    "because frozen centroids make the final index content exactly "
+    "re-derivable in SQL",
+)
+def ann_ivf_stream_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming import stream_ivf_index_ingest
+
+    seed_idx = _ensure_ivf8(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ivf_stream_")
+    for n in range(3):
+        emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == n).coalesce(1).write.parquet(
+            f"{work}/feed/b{n}"
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed/*")
+    )
+    idx = f"{work}/idx"
+    stream_ivf_index_ingest(
+        stream,
+        idx,
+        seed_centroids=os.path.join(
+            seed_idx, S._ivf_snapshot(seed_idx)["centroids"]
+        ),
+        checkpoint=f"{work}/ckpt",
+    )
+    return S.ivf_query(
+        spark, idx, _query_vec(spark, sf_dir, 0), k=10, n_probe=3,
+        exclude_id=0, include_cell=True,
+    )
+
+
+def _hybrid_frk_ctes() -> str:
     # lexical side: the shared BM25 rk derivation (top 20 per query);
     # semantic side: the ann_ivf_batch probe re-derivation over the SAME
     # committed ivf8 index (3 query vectors = embeddings 0..2, mapped to
     # q1..q3), cosine rounded BEFORE ranking; fusion: RRF with c=60,
     # fused score rounded before the final ranking (ties on doc_id).
-    return f"""
-    WITH {_BM25_RK_CTES},
+    # Shared (through ``frk``) by hybrid_rrf_topk's oracle and the
+    # retrieval_quality_hybrid metrics oracle.
+    return f"""{_BM25_RK_CTES},
     hq AS (
       SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 3
@@ -3717,7 +3897,12 @@ def _hybrid_oracle() -> str:
                PARTITION BY query_id ORDER BY score DESC, doc_id
              ) AS rank
       FROM fused
-    )
+    )"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+    WITH {_hybrid_frk_ctes()}
     SELECT query_id, doc_id, score, rank FROM frk
     WHERE rank <= 10 ORDER BY query_id, rank
     """
@@ -3767,6 +3952,124 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return R.rrf_fuse([lex, sem], k=10).orderBy("query_id", "rank")
+
+
+# Binary relevance + IR metric derivation shared by the retrieval
+# quality oracles: a doc is RELEVANT to a query iff it contains EVERY
+# one of the query's terms (derivable from the same token stream the
+# BM25 CTEs already build), and the metrics are pure arithmetic over
+# the rank positions of relevant hits — both sides round to 6 dp.
+# Expects CTEs ``q`` and ``t2`` (from _BM25_RK_CTES) and a ranking CTE
+# ``rr(query_id, doc_id, rank)`` with rank <= 10.
+_IR_METRIC_TAIL = """
+    nt AS (SELECT query_id, count(DISTINCT term) AS nt FROM q GROUP BY 1),
+    hitc AS (
+      SELECT q.query_id, t2.doc_id, count(DISTINCT t2.tok) AS hit
+      FROM q JOIN t2 ON t2.tok = q.term GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT hitc.query_id, hitc.doc_id
+      FROM hitc JOIN nt ON nt.query_id = hitc.query_id AND hitc.hit = nt.nt
+    ),
+    hits AS (
+      SELECT rr.query_id, rr.rank,
+             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM rr LEFT JOIN rel
+        ON rel.query_id = rr.query_id AND rel.doc_id = rr.doc_id
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1),
+    aggm AS (
+      SELECT query_id,
+             sum(is_rel) AS n_hit,
+             coalesce(max(CASE WHEN is_rel = 1 THEN 1.0 / rank END), 0.0) AS mrr0,
+             sum(CASE WHEN is_rel = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0 END) AS dcg
+      FROM hits GROUP BY 1
+    ),
+    idcg AS (
+      SELECT n.query_id, sum(1.0 / log2(g.i + 1.0)) AS idcg
+      FROM nrel n JOIN generate_series(1, 10) g(i) ON g.i <= least(n.n_relevant, 10)
+      GROUP BY 1
+    )
+    SELECT a.query_id,
+           CAST(n.n_relevant AS BIGINT) AS n_relevant,
+           round(a.n_hit * 1.0 / n.n_relevant, 6) AS recall_at_k,
+           round(a.n_hit / 10.0, 6) AS precision_at_k,
+           round(a.mrr0, 6) AS mrr,
+           round(a.dcg / i.idcg, 6) AS ndcg_at_k
+    FROM aggm a JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    ORDER BY a.query_id
+"""
+
+
+def _relevance_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id) binary relevance: the doc contains every one
+    of the query's terms — the Spark twin of the oracle's rel CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    ne = F.filter(X.tokens("text"), lambda t: t != "")
+    toks = docs.select("doc_id", F.explode(ne).alias("tok"))
+    hit = (
+        toks.join(F.broadcast(qdf), toks["tok"] == qdf["term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("tok").alias("hit"))
+    )
+    nt = qdf.groupBy("query_id").agg(F.count_distinct("term").alias("nt"))
+    return (
+        hit.join(F.broadcast(nt), "query_id")
+        .where(F.col("hit") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+
+
+@query(
+    "retrieval_quality_bm25",
+    tier="local",
+    oracle=lambda: f"""
+    WITH {_BM25_RK_CTES},
+    rr AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+    {_IR_METRIC_TAIL}
+    """,
+    description="Retrieval quality evaluation of the BM25 lexical "
+    "ranking: recall@10, precision@10, MRR, and nDCG@10 per query "
+    "against a binary relevance set (docs containing every query term), "
+    "as pure relational aggregates — one join of the (queries x k) "
+    "ranking against the relevance dim, no corpus window; the oracle "
+    "re-derives ranking, relevance, and every metric from the same "
+    "token stream",
+)
+def retrieval_quality_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    ranking = R.bm25_topk(docs, qdf, k=10)
+    return R.retrieval_quality_metrics(
+        ranking, _relevance_all_terms(spark, sf_dir), k=10
+    ).orderBy("query_id")
+
+
+@query(
+    "retrieval_quality_hybrid",
+    tier="local",
+    oracle=lambda: f"""
+    WITH {_hybrid_frk_ctes()},
+    rr AS (SELECT query_id, doc_id, rank FROM frk WHERE rank <= 10),
+    {_IR_METRIC_TAIL}
+    """,
+    description="Retrieval quality evaluation of the HYBRID "
+    "(BM25 + IVF-ANN, RRF-fused) ranking with the same binary relevance "
+    "and metric definitions as retrieval_quality_bm25 — the paired "
+    "measurement that quantifies what semantic fusion adds over "
+    "lexical-only ranking; the oracle re-derives both rankings, the "
+    "fusion, and the metrics end to end",
+)
+def retrieval_quality_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval as R
+
+    ranking = hybrid_rrf_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    return R.retrieval_quality_metrics(
+        ranking, _relevance_all_terms(spark, sf_dir), k=10
+    ).orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from .events import (  # noqa: F401
 from .ingest import (  # noqa: F401
     read_corpus,
     stream_bm25_index_ingest,
+    stream_ivf_index_ingest,
     stream_corpus_ingest_dedup,
     stream_corpus_ingest_neardup,
 )

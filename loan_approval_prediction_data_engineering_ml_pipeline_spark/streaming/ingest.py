@@ -378,3 +378,73 @@ def stream_bm25_index_ingest(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
+
+
+def stream_ivf_index_ingest(
+    vecs: DataFrame,
+    index_path: str,
+    *,
+    seed_centroids: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+) -> None:
+    """Maintain a STANDING IVF ANN index from an embedding stream
+    (VERDICT r12 #9 — the ``stream_bm25_index_ingest`` pattern for the
+    vector side): each micro-batch assigns its vectors to their nearest
+    FROZEN centroid and folds into the persisted index through the
+    snapshot-atomic ``ivf_upsert``, so the index advances one committed
+    manifest version per batch and concurrent probes always rank
+    against a consistent snapshot while the stream runs.
+
+    Centroids are SEEDED from ``seed_centroids`` (a persisted
+    ``(cell, centroid)`` table — a prior ``build_ivf_index``'s output)
+    and stay frozen across batches: this is how production streaming
+    IVF maintenance actually works (FAISS add-with-ids against a
+    trained quantizer) — assignment must be a pure function of the
+    frozen quantizer or earlier batches would land in different cells
+    than later ones. Centroid drift is handled by SCHEDULED
+    ``build_ivf_index`` refits, which commit the next manifest version
+    atomically (the r12 rebuild fix). Freezing is also what makes the
+    final index state exactly re-derivable by the SQL oracle: every
+    ingested vector sits in the cell whose seeded centroid is L2-nearest
+    (ties to the smallest cell id).
+
+    Exactly-once WITHOUT a ledger, like the BM25 twin: cells are per-id
+    REPLACE, so Spark's foreachBatch at-least-once redelivery converges
+    to the same index values at a later version number. A concurrent
+    external writer is handled by the upsert's OCC rebase.
+
+    The genesis batch copies the seed centroid table into the index
+    root (idempotent overwrite), then upserts like every other batch."""
+    from ..operators.similarity import ivf_upsert
+    from ..sources.versioned import log_store_for, _join
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            if not log_store_for(index_path).exists(_join(index_path, "centroids")):
+                # genesis: install the frozen quantizer (overwrite mode —
+                # a redelivered genesis batch rewrites the same table)
+                spark.read.parquet(seed_centroids).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(_join(index_path, "centroids"))
+            ivf_upsert(
+                spark,
+                index_path,
+                batch_df,
+                id_col=id_col,
+                vec_col=vec_col,
+                retries=2,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = vecs.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()

@@ -39,6 +39,52 @@ def _jitter(*cols, scale: float) -> F.Column:
     return (F.pmod(F.xxhash64(*cols), F.lit(10000)) / 10000.0 - 0.5) * scale
 
 
+def _documents_copy(df: DataFrame, c: int, doc_off: int) -> DataFrame:
+    """One upsample copy of the documents table, with the r12 #5 fix:
+    the curation queries split eval/train on ``doc_id % 97 == 0``, and
+    on the plain near-dup upsample EVERY stage-4 keeper ended up
+    sharing a 3-shingle with the 10x eval split, so the funnel's
+    decontamination stage zeroed all survivors and stages 6-8 verified
+    trivially at sf1 (BASELINE r11 footnote). Fix: DECOUPLE most of the
+    eval split from the near-dup cliques — eval-id docs get fully
+    synthetic per-doc-unique token streams (md5-derived, digits mapped
+    to letters so every token is alphabetic and unique to the doc: no
+    3-gram can be shared with any pool doc). A small slice of the eval ids
+    (doc_id DIV 97 divisible by 64, ~8 docs at sf1) KEEP their natural
+    upsampled text,
+    so decontamination still flags a real, bounded contaminated stratum
+    — stages 5-8 are all non-trivial and both engines re-derive the
+    same split from the written table alone."""
+    new_id = F.col("doc_id") + c * doc_off
+    nat = F.col("text") if c == 0 else F.concat(F.col("text"), F.lit(f" copytoken{c}"))
+    uniq_seed = [
+        F.translate(
+            F.md5(F.concat(new_id.cast("string"), F.lit(f"#{j}"))),
+            "0123456789",
+            "ghijklmnop",
+        )
+        for j in range(3)
+    ]
+    # 3 md5 blocks x 4 tokens of 8 alpha chars = 12 doc-unique tokens
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.substring(s, 1 + 8 * p, 8)
+            for s in uniq_seed
+            for p in range(4)
+        ],
+    )
+    is_eval = new_id % 97 == F.lit(0)
+    keep_natural = (new_id / 97).cast("long") % 64 == F.lit(0)
+    text = F.when(is_eval & ~keep_natural, uniq).otherwise(nat)
+    return df.select(
+        new_id.alias("doc_id"),
+        text.alias("text"),
+        "lang", "source",
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def _upsample(df: DataFrame, transform) -> DataFrame:
     out = None
     for c in range(N_COPIES):
@@ -121,13 +167,7 @@ def main() -> None:
         )
 
     def documents(df, c):
-        text = F.col("text") if c == 0 else F.concat(F.col("text"), F.lit(f" copytoken{c}"))
-        return df.select(
-            (F.col("doc_id") + c * offs["doc"]).alias("doc_id"),
-            text.alias("text"),
-            "lang", "source",
-            F.length(text).cast("long").alias("n_chars"),
-        )
+        return _documents_copy(df, c, offs["doc"])
 
     def embeddings(df, c):
         emb = F.col("embedding") if c == 0 else F.transform(

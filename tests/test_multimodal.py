@@ -316,3 +316,99 @@ def test_extract_audio_features(spark):
     # deterministic: same media -> same features
     again = {r["doc_id"]: r["rms"] for r in extract_audio_features(media).collect()}
     assert {r["doc_id"]: r["rms"] for r in rows} == again
+
+
+def _png_media_df(spark, rows):
+    """(doc_id, pixels) -> a real-PNG media frame via the stdlib encoder."""
+    data = [
+        (
+            did,
+            M.encode_png(px),
+            {"format": "png", "width": px.shape[1], "height": px.shape[0], "n_frames": 1},
+        )
+        for did, px in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+                T.StructField("media_meta", M.MEDIA_META),
+            ]
+        ),
+    )
+
+
+def test_perceptual_hash_recall_identical_and_perturbed_pngs(spark):
+    """The multimodal near-dup pipeline over REAL PNG bytes: an exact
+    re-encode hashes identically (hamming 0), a lightly-perturbed copy
+    (a few pixels nudged) lands within the hamming threshold, and a
+    structurally different image does NOT pair — for both aHash and
+    dHash, end to end through decode -> hash -> banding -> pairs."""
+    import numpy as np
+
+    base = (
+        (np.arange(64)[:, None] * 29 + np.arange(64)[None, :] * 113) % 241
+    ).astype(np.uint8)
+    identical = base.copy()
+    perturbed = base.copy()
+    perturbed[0:8, 0:8] = 255  # one saturated 8x8 corner patch
+    different = (
+        (np.add.outer(np.arange(64), np.arange(64)) // 8) % 2 * 200
+    ).astype(np.uint8)  # checkerboard: ~30+ bits from base on both hashes
+
+    df = _png_media_df(
+        spark, [(1, base), (2, identical), (3, perturbed), (4, different)]
+    )
+    for method in ("ahash", "dhash"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in M.image_near_dups(
+                df, method=method, max_hamming=3, n_bands=4
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 0, (method, pairs)  # identical re-encode
+        # the patch edit moves the hash but stays within the threshold
+        assert 1 <= pairs[(1, 3)] <= 3, (method, pairs)
+        assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs, (
+            method, pairs,
+        )  # structural difference never pairs
+
+
+def test_hamming_banding_guarantee_and_guards(spark):
+    """Pigeonhole recall: ANY pair within max_hamming shares a band, so
+    the bucket join loses nothing vs brute force on a synthetic hash
+    set; max_hamming >= n_bands is rejected (the guarantee would not
+    hold)."""
+    import itertools
+
+    hashes = [0, 1, 3, 7, 1 << 40, (1 << 40) | (1 << 20), -1, -2, 123456789]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hashes)], "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.hamming_near_dup_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.hamming_near_dup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_image_near_dup_plan_no_cartesian(spark):
+    import contextlib
+    import io
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    df = QUERIES["image_near_dup_pairs"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()

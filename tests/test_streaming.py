@@ -659,3 +659,84 @@ def test_stream_bm25_index_ingest_matches_batch_and_replays_idempotently(
     assert read_index_manifest(idx)["version"] > v1
     again = sorted(map(tuple, bm25_topk_indexed(spark, idx, q, k=9).collect()))
     assert again == direct
+
+
+def test_stream_ivf_index_ingest_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The stream-maintained IVF index (frozen seeded quantizer, one
+    atomic manifest version per micro-batch) must probe EXACTLY like a
+    single ivf_upsert of the full concatenated feed into the same
+    seeded index, and a full replay from a fresh checkpoint must
+    converge to the same VALUES (later version, no drift or
+    double-ingest) — per-id REPLACE exactly-once without a ledger."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        read_index_manifest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+        ivf_upsert,
+        _ivf_cells,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        stream_ivf_index_ingest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # frozen quantizer: a prior build's centroid table
+    seed = str(tmp_path / "seed")
+    build_ivf_index(emb, seed, n_lists=8)
+
+    feed = str(tmp_path / "feed")
+    for n in range(3):
+        emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == n).coalesce(1).write.parquet(
+            f"{feed}/b{n}"
+        )
+
+    def _stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed}/*")
+        )
+
+    idx = str(tmp_path / "idx")
+    stream_ivf_index_ingest(
+        _stream(), idx, seed_centroids=f"{seed}/centroids",
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    v1 = read_index_manifest(idx)["version"]
+    assert v1 == 3  # one committed manifest per micro-batch
+
+    # reference: ONE upsert of the whole feed into the same seeded index
+    ref = str(tmp_path / "ref")
+    spark.read.parquet(f"{seed}/centroids").coalesce(1).write.parquet(
+        f"{ref}/centroids"
+    )
+    ivf_upsert(spark, ref, emb)
+    pv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    direct = sorted(map(tuple, ivf_query(spark, ref, pv, k=10, exclude_id=7).collect()))
+    probed = sorted(map(tuple, ivf_query(spark, idx, pv, k=10, exclude_id=7).collect()))
+    assert probed == direct
+    # content identity, not just top-k: same (id, cell) assignment set
+    a = sorted(map(tuple, _ivf_cells(spark, idx).select("vec_id", "cell").collect()))
+    b = sorted(map(tuple, _ivf_cells(spark, ref).select("vec_id", "cell").collect()))
+    assert a == b
+    assert len(a) == emb.count()
+
+    # full redelivery (fresh checkpoint): values converge, version moves
+    stream_ivf_index_ingest(
+        _stream(), idx, seed_centroids=f"{seed}/centroids",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert read_index_manifest(idx)["version"] > v1
+    again = sorted(map(tuple, ivf_query(spark, idx, pv, k=10, exclude_id=7).collect()))
+    assert again == direct
+    c = sorted(map(tuple, _ivf_cells(spark, idx).select("vec_id", "cell").collect()))
+    assert c == a, "redelivery must be a per-id REPLACE no-op"
