@@ -3828,6 +3828,122 @@ def ann_ivf_stream_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_recall_report",
+    tier="local",
+    # ANN quality evaluation, fully SQL-re-derivable: EXACT top-10 by
+    # brute-force cosine (the ground truth) vs the IVF index's
+    # partition-pruned top-10, recall@10 = overlap/10 per query. Both
+    # rankings round cosine to 6 dp BEFORE ranking (ties on vec_id), so
+    # both engines derive identical sets; the index side reads the same
+    # committed parquet the probe scans.
+    oracle=f"""
+    WITH hq AS (
+      SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact AS (
+      SELECT qvid, vec_id FROM (
+        SELECT hq.qvid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY hq.qvid
+                 ORDER BY round(list_cosine_similarity(e.v, hq.qv), 6) DESC,
+                          e.vec_id
+               ) AS rk
+        FROM hq, e WHERE e.vec_id != hq.qvid
+      ) WHERE rk <= 10
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
+    ),
+    cranked AS (
+      SELECT hq.qvid, cent.cell,
+             row_number() OVER (
+               PARTITION BY hq.qvid
+               ORDER BY list_distance(cent.centroid, hq.qv), cent.cell
+             ) AS crk
+      FROM cent, hq
+    ),
+    probe AS (SELECT qvid, cell FROM cranked WHERE crk <= 3),
+    cand AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(arr AS DOUBLE[]) AS arr,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVF_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    approx AS (
+      SELECT qvid, vec_id FROM (
+        SELECT p.qvid, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qvid
+                 ORDER BY round(list_cosine_similarity(c.arr, h.qv), 6) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM probe p
+        JOIN cand c ON c.cell = p.cell
+        JOIN hq h ON h.qvid = p.qvid
+        WHERE c.vec_id != p.qvid
+      ) WHERE rk <= 10
+    )
+    SELECT exact.qvid AS query_id,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6)
+             AS recall_at_10
+    FROM exact LEFT JOIN approx a
+      ON a.qvid = exact.qvid AND a.vec_id = exact.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="ANN index quality report: recall@10 of the committed "
+    "IVF index's partition-pruned probe against the exact brute-force "
+    "cosine top-10, per query vector — the measurement that sizes "
+    "n_probe/n_lists trade-offs in production. Exact side is one "
+    "broadcast of 3 query vectors against the corpus + a per-query "
+    "window; approx side is the fused ivf_batch_topk plan; recall is "
+    "one join of two (queries x 10)-row sets — evaluation cost "
+    "independent of corpus size beyond the one exact scan",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = _ensure_ivf8(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    approx = S.ivf_batch_topk(spark, idx, q, k=10, n_probe=3)
+    qv = q.select(F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv"))
+    corpus = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    exact = (
+        corpus.join(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    return (
+        exact.join(
+            approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(10.0), 6
+            ).alias("recall_at_10")
+        )
+        .orderBy("query_id")
+    )
+
+
 def _hybrid_frk_ctes() -> str:
     # lexical side: the shared BM25 rk derivation (top 20 per query);
     # semantic side: the ann_ivf_batch probe re-derivation over the SAME

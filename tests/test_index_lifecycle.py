@@ -207,3 +207,52 @@ def test_lsh_upsert_uses_committed_params_and_matches_fresh_build(
         spark, idx, probe_vec, k=10, n_planes=2, n_tables=1, dim=64, exclude_id=7
     ).collect()))
     assert c == a
+
+
+def test_ivf_upsert_four_writer_race_serializes_via_occ(spark, tmp_path, emb, probe_vec):
+    """The BM25 4-writer OCC standard applied to the ANN side: four
+    concurrent ivf_upserts of DISJOINT deltas with retries must
+    serialize through the manifest log (one version each) and the final
+    index must equal one upsert of the concatenated delta — no lost
+    vector, no double ingest, no torn cell."""
+    import threading
+
+    idx = str(tmp_path / "ivf_race")
+    SIM.build_ivf_index(emb, idx, n_lists=8)
+    deltas = [
+        spark.createDataFrame(
+            [(90000 + 10 * w + i, probe_vec) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        for w in range(4)
+    ]
+    errors: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait()
+            SIM.ivf_upsert(spark, idx, deltas[w], retries=8)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors
+    assert IC.read_index_manifest(idx)["version"] == 4  # 4 serialized upserts
+
+    # reference: one upsert of the union delta into a fresh copy
+    ref = str(tmp_path / "ivf_ref")
+    SIM.build_ivf_index(emb, ref, n_lists=8)
+    union = deltas[0]
+    for d in deltas[1:]:
+        union = union.unionByName(d)
+    SIM.ivf_upsert(spark, ref, union)
+    got = sorted(map(tuple, SIM.ivf_query(spark, idx, probe_vec, k=15, exclude_id=7).collect()))
+    want = sorted(map(tuple, SIM.ivf_query(spark, ref, probe_vec, k=15, exclude_id=7).collect()))
+    assert got == want
+    # every delta id present exactly once
+    cells = SIM._ivf_cells(spark, idx).where(F.col("vec_id") >= 90000)
+    ids = [r[0] for r in cells.select("vec_id").collect()]
+    assert sorted(ids) == sorted(90000 + 10 * w + i for w in range(4) for i in range(3))

@@ -93,11 +93,23 @@ def test_ann_index_probes_prune_partitions(spark, tmp_path):
     lsh = str(tmp_path / "lsh")
     S.build_lsh_index(emb, lsh, n_planes=4, n_tables=4)
     df2 = S.lsh_index_query(spark, lsh, qv, k=10, exclude_id=0)
-    buf2 = io.StringIO()
-    with contextlib.redirect_stdout(buf2):
-        df2.explain("formatted")
-    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", buf2.getvalue())
-    assert m2 and "bucket" in m2.group(1) and "table_id" in m2.group(1)
+    # r13: the LSH probe prunes DRIVER-SIDE — only the probed
+    # (table_id, bucket) dirs are handed to the reader (cold dirs are
+    # never listed, stronger than hive PartitionFilters). Assert it
+    # semantically: every file the plan reads lives under a probed dir,
+    # and at most n_tables dirs are read at all.
+    probes = {
+        (t, S._py_bucket(qv, 4, 64, seed=42 + 1000 * t)) for t in range(4)
+    }
+    read_dirs = {
+        tuple(
+            int(seg.split("=", 1)[1])
+            for seg in f.split("/")
+            if seg.startswith(("table_id=", "bucket="))
+        )
+        for f in df2.inputFiles()
+    }
+    assert read_dirs and read_dirs <= probes, (read_dirs, probes)
 
     ivfpq = str(tmp_path / "ivfpq")
     S.build_ivfpq_index(emb, ivfpq, n_lists=8, m=8, k=16, seed=42)
