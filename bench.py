@@ -97,6 +97,7 @@ HEADLINE = [
     "image_near_dup_pairs",  # perceptual-hash hamming banding, multimodal near-dup (r13)
     "bm25_stream_indexed_probe",  # stream-maintained posting index: 3-batch ingest + probe (r11, benched r13)
     "ann_ivf_stream_indexed",  # stream-maintained IVF index: 3-batch ingest + probe (r13)
+    "ann_recall_report",  # IVF recall@10 vs exact brute force (r13)
 ]
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
