@@ -517,3 +517,68 @@ def image_near_dups(
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
+
+
+def audio_perceptual_hash(df: DataFrame, *, n_windows: int = 64) -> DataFrame:
+    """Perceptual AUDIO hash — the waveform twin of :func:`perceptual_hash`
+    (energy-envelope signature, the shape audio fingerprinters like
+    Chromaprint reduce to after the spectral stage): interpret the
+    binary payload as int16-LE PCM mono (the same stub decode contract
+    as :func:`extract_audio_features` — swap for libsndfile/ffmpeg in
+    production), split the clip into ``n_windows`` equal windows, and
+    set bit i iff window i's mean energy exceeds the clip's mean window
+    energy. Bits pack LSB-first into one signed int64, so
+    :func:`hamming_near_dup_pairs` band-buckets audio exactly like
+    images and the SQL oracle re-derives the integer bit for bit (all
+    arithmetic is dyadic-exact: samples are k/2^15, window means divide
+    by powers of two).
+
+    Robustness shape: re-encodes and small edits perturb a few window
+    energies -> a few bits; different recordings differ in ~half the
+    bits. One Arrow-batched mapInPandas pass; 8 bytes per clip."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = bytes(r["media"])
+                wave = np.frombuffer(
+                    buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                )
+                if len(wave) < n_windows:
+                    rows.append((int(r["doc_id"]), 0))
+                    continue
+                x = wave.astype(np.float64) / 32768.0
+                n = len(x) - (len(x) % n_windows)
+                e = (x[:n] ** 2).reshape(n_windows, -1).mean(axis=1)
+                bits = e > e.mean()
+                h = np.uint64(np.sum(weights[bits[:64]]))
+                rows.append((int(r["doc_id"]), int(np.int64(h))))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select("doc_id", "media").mapInPandas(batches, out_schema)
+
+
+def audio_near_dups(
+    media_df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_windows: int = 64,
+) -> DataFrame:
+    """Audio near-dedup end to end: energy-envelope hash per clip (one
+    Arrow decode pass) + Hamming chunk banding — re-encoded / lightly
+    edited clips pair, different recordings don't. Returns
+    (id_a, id_b, hamming)."""
+    return hamming_near_dup_pairs(
+        audio_perceptual_hash(media_df, n_windows=n_windows),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

@@ -3520,6 +3520,118 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "audio_near_dup_pairs",
+    tier="local",
+    # The audio twin of image_near_dup_pairs: 100 clip "families" x 3
+    # variants — variant 0 is the original 256-byte (128-sample int16-LE
+    # PCM) payload built from 8 DISTINCT md5 blocks (no periodicity, so
+    # all 64 energy windows are independent); variants 1-2 bump ONE byte
+    # by +25 at a family-dependent position (one sample -> one window
+    # energy -> a few signature bits). Spark runs the real pipeline:
+    # binary media -> Arrow mapInPandas energy-envelope hash -> 4x16-bit
+    # chunk banding -> bucket join -> exact bit_count(xor); DuckDB
+    # re-derives samples, window energies (dyadic-exact), bits, chunks,
+    # candidates, and Hamming distances from md5() alone.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 AS family, doc_id // 100 AS variant
+      FROM documents WHERE doc_id < 300
+    ),
+    pay AS (
+      SELECT doc_id, family, variant,
+             md5(CAST(family AS VARCHAR) || '#0')
+             || md5(CAST(family AS VARCHAR) || '#1')
+             || md5(CAST(family AS VARCHAR) || '#2')
+             || md5(CAST(family AS VARCHAR) || '#3')
+             || md5(CAST(family AS VARCHAR) || '#4')
+             || md5(CAST(family AS VARCHAR) || '#5')
+             || md5(CAST(family AS VARCHAR) || '#6')
+             || md5(CAST(family AS VARCHAR) || '#7') AS s
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id, g.i,
+             ascii(substr(s, g.i, 1))
+             + CASE WHEN variant > 0
+                     AND g.i = 1 + (variant * 31 + family) % 256
+                    THEN 25 ELSE 0 END AS b
+      FROM pay CROSS JOIN generate_series(1, 256) AS g(i)
+    ),
+    smp AS (
+      SELECT a.doc_id, (a.i + 1) // 2 AS j,
+             (a.b + 256 * c.b) / 32768.0 AS x
+      FROM ch a JOIN ch c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+      WHERE a.i % 2 = 1
+    ),
+    en AS (
+      SELECT doc_id, CAST((j - 1) // 2 AS INT) AS w, avg(x * x) AS e
+      FROM smp GROUP BY 1, 2
+    ),
+    mu AS (SELECT doc_id, avg(e) AS m FROM en GROUP BY 1),
+    bits AS (
+      SELECT en.doc_id, en.w AS bit,
+             CASE WHEN en.e > mu.m THEN 1 ELSE 0 END AS b
+      FROM en JOIN mu USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, bit // 16 AS band,
+             sum(b * (1 << (bit % 16))) AS chunk
+      FROM bits GROUP BY doc_id, bit // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a
+      JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b, CAST(sum(abs(x.b - y.b)) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.id_a
+      JOIN bits y ON y.doc_id = c.id_b AND y.bit = x.bit
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="Audio near-dedup: 64-bit energy-envelope perceptual hash "
+    "per clip (one Arrow-batched int16-PCM pass — the waveform twin of "
+    "the image aHash), then Hamming near-dup pairs via the same 4x16-bit "
+    "chunk banding (pigeonhole recall, bucket equi-join, exact "
+    "bit_count(xor) on candidates only); planted one-byte-perturbed "
+    "clip families the oracle re-derives sample by sample",
+)
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .selectExpr(
+            "doc_id",
+            "doc_id % 100 AS family",
+            "CAST(doc_id DIV 100 AS INT) AS variant",
+        )
+    )
+    s = " || ".join(
+        f"md5(concat(cast(family as string), '#{k}'))" for k in range(8)
+    )
+    pos = "cast(1 + (variant * 31 + family) % 256 as int)"
+    media_df = base.selectExpr(
+        "doc_id",
+        f"""encode(
+              CASE WHEN variant = 0 THEN {s}
+                   ELSE concat(substring({s}, 1, {pos} - 1),
+                               char(ascii(substring({s}, {pos}, 1)) + 25),
+                               substring({s}, {pos} + 1, 256 - {pos}))
+              END, 'utf-8') AS media""",
+    )
+    return MM.audio_near_dups(
+        media_df, max_hamming=3, n_bands=4, n_windows=64
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (privacy scrub — Dolma §2.3 / CCNet / C4 class)
 # ---------------------------------------------------------------------------

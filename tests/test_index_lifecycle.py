@@ -256,3 +256,54 @@ def test_ivf_upsert_four_writer_race_serializes_via_occ(spark, tmp_path, emb, pr
     cells = SIM._ivf_cells(spark, idx).where(F.col("vec_id") >= 90000)
     ids = [r[0] for r in cells.select("vec_id").collect()]
     assert sorted(ids) == sorted(90000 + 10 * w + i for w in range(4) for i in range(3))
+
+
+@pytest.mark.parametrize("family", ["pq", "lsh"])
+def test_pq_lsh_concurrent_upserts_serialize_via_occ(spark, tmp_path, emb, probe_vec, family):
+    """Two concurrent upserts of disjoint deltas with OCC retries must
+    serialize through the manifest log for the PQ and LSH families too.
+    The PQ case also races the one-time flat-blob MIGRATION: both
+    writers may decide to migrate simultaneously — the loser must
+    rebase onto the winner's bucketed layout, not re-migrate over it."""
+    import threading
+
+    idx = str(tmp_path / f"{family}_race")
+    if family == "pq":
+        SIM.build_pq_index(emb, idx, m=8, k=16)
+        upsert = lambda d: SIM.pq_upsert(spark, idx, d, retries=8)
+        probe = lambda: SIM.pq_query(spark, idx, probe_vec, 15, exclude_id=7)
+    else:
+        SIM.build_lsh_index(emb, idx, n_planes=4, n_tables=4, dim=64)
+        upsert = lambda d: SIM.lsh_upsert(
+            spark, idx, d, n_planes=4, n_tables=4, dim=64, retries=8
+        )
+        probe = lambda: SIM.lsh_index_query(
+            spark, idx, probe_vec, k=15, n_planes=4, n_tables=4, dim=64, exclude_id=7
+        )
+
+    deltas = [
+        spark.createDataFrame(
+            [(90000 + 10 * w + i, probe_vec) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        for w in range(2)
+    ]
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait()
+            upsert(deltas[w])
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(2)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors
+    assert IC.read_index_manifest(idx)["version"] == 2  # two serialized commits
+    got = probe().collect()
+    ids = {r["vec_id"] for r in got[:6]}
+    want = {90000 + 10 * w + i for w in range(2) for i in range(3)}
+    assert ids == want, (ids, got)

@@ -412,3 +412,55 @@ def test_image_near_dup_plan_no_cartesian(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_audio_perceptual_hash_recall_identical_and_perturbed_clips(spark):
+    """The audio near-dup pipeline over real int16 PCM: an exact copy
+    hashes identically, a lightly boosted 100-sample segment lands
+    within the hamming threshold, and a different waveform never pairs
+    — end to end through decode -> energy-envelope hash -> banding."""
+    import numpy as np
+
+    t = np.arange(16000)
+    base = (3000 * np.sin(t / 50.0) + 1500 * np.sin(t / 13.0)).astype(np.int16)
+    identical = base.copy()
+    perturbed = base.copy()
+    perturbed[2000:2100] = (
+        (perturbed[2000:2100].astype(float) * 1.5).clip(-32768, 32767).astype(np.int16)
+    )
+    different = (2500 * np.sin(t / 7.0) * np.exp(-t / 8000.0)).astype(np.int16)
+
+    df = spark.createDataFrame(
+        [
+            (1, base.tobytes()),
+            (2, identical.tobytes()),
+            (3, perturbed.tobytes()),
+            (4, different.tobytes()),
+        ],
+        "doc_id long, media binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.audio_near_dups(df, max_hamming=3, n_bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0, pairs
+    assert 1 <= pairs[(1, 3)] <= 3, pairs
+    assert all(4 not in p for p in pairs), pairs
+
+
+def test_audio_hash_short_and_odd_payloads(spark):
+    """Degenerate clips: shorter than n_windows hashes to 0 (never
+    pairs spuriously with real clips unless they are also silent);
+    odd-length byte payloads drop the trailing byte like the feature
+    extractor does."""
+    import numpy as np
+
+    short = np.arange(10, dtype=np.int16)
+    odd = np.arange(200, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, short.tobytes()), (2, odd.tobytes() + b"\x01")],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r["phash"] for r in M.audio_perceptual_hash(df).collect()}
+    assert rows[1] == 0
+    assert isinstance(rows[2], int)
