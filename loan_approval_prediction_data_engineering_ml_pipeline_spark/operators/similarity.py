@@ -78,6 +78,20 @@ def _hive_base(rel: str) -> str:
     return "/".join(parts)
 
 
+def _empty_topk(spark, path: str, rels: list[str], id_col: str) -> DataFrame:
+    """Empty ``(id, cosine)`` result whose id TYPE matches the index's
+    stored data (ADVICE r13): probes that hit zero snapshot dirs must
+    return the same schema as the non-empty path or downstream
+    unions/joins break only in the rare empty case. Schema-only parquet
+    footer read of one referenced dir; plain ``long`` when the index
+    itself holds nothing to derive from."""
+    id_type = "long"
+    if rels:
+        sample = _read_manifest_dirs(spark, path, [sorted(rels)[0]])
+        id_type = sample.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame([], f"{id_col} {id_type}, cosine double")
+
+
 def _read_manifest_dirs(spark, path: str, rels: list[str]) -> DataFrame:
     """Read manifest-referenced dirs grouped by their hive base with
     ``basePath``, so partition columns restore even when hot and cold
@@ -845,7 +859,7 @@ def lsh_index_query(
         if f"{t}/{b}" in snap["banded"]
     ]
     if not rels:
-        return spark.createDataFrame([], f"{id_col} long, cosine double")
+        return _empty_topk(spark, path, list(snap["banded"].values()), id_col)
     cands = _read_manifest_dirs(spark, path, rels)
     if exclude_id is not None:
         cands = cands.where(F.col(id_col) != exclude_id)
@@ -1144,6 +1158,27 @@ def pq_upsert(
     bucketed = "n_files" in snap
     if bucketed:
         n_files = int(snap["n_files"])  # the committed bucket modulus wins
+    # ADVICE r13 (medium), mirroring the upsert_bm25_index guard: a
+    # delta id TYPE that differs from the build's is never safe —
+    # xxhash64 buckets by binary representation, so a widened/mismatched
+    # id hashes to a different lb bucket, the per-id REPLACE anti-join
+    # silently matches nothing, and the stale row survives in its
+    # original bucket (duplicate id in the index). Reject loudly;
+    # schema-only parquet footer read of one committed codes dir.
+    built_id_type = (
+        _read_manifest_dirs(spark, path, [next(iter(sorted(snap["codes"].values())))])
+        .schema[id_col]
+        .dataType
+    )
+    delta_id_type = new_vecs.schema[id_col].dataType
+    if delta_id_type != built_id_type:
+        raise ValueError(
+            f"delta id type {delta_id_type.simpleString()} does not match "
+            f"the index's built id type {built_id_type.simpleString()} at "
+            f"{path} — cast the delta's {id_col!r} to the built type before "
+            "pq_upsert (id-bucket hashing and per-id REPLACE are "
+            "type-sensitive; a widened id would silently miss its bucket)"
+        )
     m, k, sub, cents = _load_codebook(spark, path)
     books = [[cents[j * k + c] for c in range(k)] for j in range(m)]
     norm = V.l2_normalize(V.as_double(vec_col))
@@ -1430,7 +1465,7 @@ def ivfpq_query_rerank(
     else:
         rels = [snap["cells"][str(c)] for c in probe if str(c) in snap["cells"]]
         if not rels:
-            return spark.createDataFrame([], f"{id_col} long, cosine double")
+            return _empty_topk(spark, path, list(snap["cells"].values()), id_col)
         codes = _read_manifest_dirs(spark, path, rels)
     if exclude_id is not None:
         codes = codes.where(F.col(id_col) != exclude_id)

@@ -4217,15 +4217,29 @@ _IR_METRIC_TAIL = """
       SELECT n.query_id, sum(1.0 / log2(g.i + 1.0)) AS idcg
       FROM nrel n JOIN generate_series(1, 10) g(i) ON g.i <= least(n.n_relevant, 10)
       GROUP BY 1
+    ),
+    qu AS (
+      -- query universe = ranked queries UNION relevant-set queries,
+      -- mirroring the Spark side's full_outer join (ADVICE r13): a
+      -- query with zero all-terms-relevant docs, or one absent from
+      -- the ranking, still emits a row with zero metrics instead of
+      -- being dropped by an inner join.
+      SELECT query_id FROM aggm UNION SELECT query_id FROM nrel
     )
-    SELECT a.query_id,
-           CAST(n.n_relevant AS BIGINT) AS n_relevant,
-           round(a.n_hit * 1.0 / n.n_relevant, 6) AS recall_at_k,
-           round(a.n_hit / 10.0, 6) AS precision_at_k,
-           round(a.mrr0, 6) AS mrr,
-           round(a.dcg / i.idcg, 6) AS ndcg_at_k
-    FROM aggm a JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
-    ORDER BY a.query_id
+    SELECT qu.query_id,
+           CAST(coalesce(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+           round(CASE WHEN coalesce(n.n_relevant, 0) > 0
+                 THEN coalesce(a.n_hit, 0) * 1.0 / n.n_relevant
+                 ELSE 0.0 END, 6) AS recall_at_k,
+           round(coalesce(a.n_hit, 0) / 10.0, 6) AS precision_at_k,
+           round(coalesce(a.mrr0, 0.0), 6) AS mrr,
+           round(CASE WHEN coalesce(n.n_relevant, 0) > 0
+                 THEN coalesce(a.dcg, 0) / i.idcg
+                 ELSE 0.0 END, 6) AS ndcg_at_k
+    FROM qu LEFT JOIN aggm a USING (query_id)
+            LEFT JOIN nrel n USING (query_id)
+            LEFT JOIN idcg i USING (query_id)
+    ORDER BY qu.query_id
 """
 
 

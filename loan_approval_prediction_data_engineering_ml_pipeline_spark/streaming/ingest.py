@@ -415,8 +415,21 @@ def stream_ivf_index_ingest(
     to the same index values at a later version number. A concurrent
     external writer is handled by the upsert's OCC rebase.
 
-    The genesis batch copies the seed centroid table into the index
-    root (idempotent overwrite), then upserts like every other batch."""
+    The genesis batch installs the seed centroid table MANIFEST-FIRST
+    (ADVICE r13): the quantizer writes into an immutable object dir and
+    one version-1 manifest commit makes it visible, exactly like every
+    other mutation in the lifecycle — a probe racing the first batch
+    resolves either "no index yet" or the complete committed quantizer,
+    never a partially written centroid table; two streams seeded
+    differently against the same path race on the version-1 commit and
+    the loser adopts the winner's frozen quantizer (assignment stays a
+    pure function of ONE committed quantizer either way)."""
+    from ..operators.index_commit import (
+        CommitConflict,
+        commit_index_manifest,
+        new_object_rel,
+        read_index_manifest,
+    )
     from ..operators.similarity import ivf_upsert
     from ..sources.versioned import log_store_for, _join
 
@@ -426,12 +439,25 @@ def stream_ivf_index_ingest(
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
-            if not log_store_for(index_path).exists(_join(index_path, "centroids")):
-                # genesis: install the frozen quantizer (overwrite mode —
-                # a redelivered genesis batch rewrites the same table)
-                spark.read.parquet(seed_centroids).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(_join(index_path, "centroids"))
+            store = log_store_for(index_path)
+            if read_index_manifest(index_path) is None and not store.exists(
+                _join(index_path, "centroids")
+            ):
+                # genesis: install the frozen quantizer atomically —
+                # object dir + version-1 manifest (empty cell map; the
+                # upsert below commits version 2 with the first cells)
+                obj = new_object_rel()
+                spark.read.parquet(seed_centroids).coalesce(1).write.parquet(
+                    _join(index_path, obj, "centroids")
+                )
+                try:
+                    commit_index_manifest(
+                        index_path,
+                        1,
+                        {"centroids": f"{obj}/centroids", "cells": {}},
+                    )
+                except CommitConflict:
+                    pass  # another writer installed a quantizer first — adopt it
             ivf_upsert(
                 spark,
                 index_path,

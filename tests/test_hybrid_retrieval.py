@@ -213,3 +213,64 @@ def test_canonical_keep_best_plan_no_cartesian(spark):
 
     plan = _plan_of(QUERIES["canonical_keep_best"].fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# retrieval_quality_metrics vs the oracle metric tail (ADVICE r13 low):
+# a query with ZERO all-terms-relevant docs, or a relevant query ABSENT
+# from the ranking, must appear on BOTH sides with zero metrics — the
+# old oracle tail inner-joined them away while the Spark side emitted
+# them via its full_outer join.
+# ---------------------------------------------------------------------------
+
+
+def test_quality_metrics_zero_relevant_and_unranked_queries_match_oracle(spark):
+    import duckdb
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import (
+        _IR_METRIC_TAIL,
+    )
+
+    # q1: two relevant docs, both ranked (normal metrics)
+    # q2: its term matches NO doc -> zero relevant, but ranked
+    # q3: one relevant doc, but q3 never ranked
+    ranking = _rank_df(
+        spark, [("q1", 1, 1), ("q1", 2, 2), ("q1", 9, 3), ("q2", 1, 1)]
+    )
+    relevance = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q3", 3)], "query_id string, doc_id long"
+    )
+    got = {
+        r["query_id"]: (
+            r["n_relevant"], r["recall_at_k"], r["precision_at_k"],
+            r["mrr"], r["ndcg_at_k"],
+        )
+        for r in R.retrieval_quality_metrics(ranking, relevance, k=10).collect()
+    }
+    assert set(got) == {"q1", "q2", "q3"}
+    assert got["q2"] == (0, 0.0, 0.0, 0.0, 0.0)  # ranked, nothing relevant
+    assert got["q3"] == (1, 0.0, 0.0, 0.0, 0.0)  # relevant, never ranked
+
+    # the oracle tail on stub q/t2/rr CTEs that induce the same inputs
+    oracle = duckdb.sql(
+        f"""
+        WITH q AS (
+          SELECT * FROM (VALUES ('q1', 'apple'), ('q2', 'zzz'), ('q3', 'pear'))
+          AS t(query_id, term)
+        ),
+        t2 AS (
+          SELECT * FROM (VALUES (1, 'apple'), (2, 'apple'), (9, 'other'), (3, 'pear'))
+          AS t(doc_id, tok)
+        ),
+        rr AS (
+          SELECT * FROM (VALUES ('q1', 1, 1), ('q1', 2, 2), ('q1', 9, 3), ('q2', 1, 1))
+          AS t(query_id, doc_id, rank)
+        ),
+        {_IR_METRIC_TAIL}
+        """
+    ).fetchall()
+    want = {
+        row[0]: (row[1], float(row[2]), float(row[3]), float(row[4]), float(row[5]))
+        for row in oracle
+    }
+    assert want == got

@@ -307,3 +307,59 @@ def test_pq_lsh_concurrent_upserts_serialize_via_occ(spark, tmp_path, emb, probe
     ids = {r["vec_id"] for r in got[:6]}
     want = {90000 + 10 * w + i for w in range(2) for i in range(3)}
     assert ids == want, (ids, got)
+
+
+def test_pq_upsert_rejects_widened_id_type(spark, tmp_path, emb, probe_vec):
+    """ADVICE r13 (medium): a delta whose id dtype differs from the
+    build's must be rejected loudly — xxhash64 buckets by binary
+    representation, so a widened/mismatched id would hash to a
+    different lb bucket, the per-id REPLACE anti-join would miss, and
+    the stale row would silently survive (duplicate id in the index).
+    Mirrors the upsert_bm25_index guard."""
+    idx = str(tmp_path / "pq_dtype")
+    SIM.build_pq_index(emb, idx, m=8, k=16)
+    narrow = spark.createDataFrame(
+        [(7, probe_vec)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="id type"):
+        SIM.pq_upsert(spark, idx, narrow)
+    # the guard holds on the bucketed (post-migration) layout too
+    SIM.pq_upsert(spark, idx, _new_vec(spark, probe_vec, 90001), n_files=8)
+    with pytest.raises(ValueError, match="id type"):
+        SIM.pq_upsert(spark, idx, narrow)
+    # a correctly-typed delta still goes through
+    SIM.pq_upsert(spark, idx, _new_vec(spark, probe_vec, 90002))
+    got = SIM.pq_query(spark, idx, probe_vec, 5, exclude_id=7).collect()
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {90001, 90002}
+
+
+def test_empty_probe_schema_matches_built_id_type(spark, tmp_path, emb, probe_vec):
+    """ADVICE r13 (low): an index built with a non-long id column must
+    return the SAME schema from the empty-probe early return as from
+    the non-empty path, or downstream unions/joins break only in the
+    rare all-buckets-missing case."""
+    iemb = emb.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
+
+    lsh = str(tmp_path / "lsh_int")
+    SIM.build_lsh_index(iemb, lsh, n_planes=4, n_tables=4, dim=64)
+    full = SIM.lsh_index_query(
+        spark, lsh, probe_vec, k=5, n_planes=4, n_tables=4, dim=64
+    )
+    snap = SIM._lsh_manifest_from_flat(lsh, n_planes=4, n_tables=4, dim=64)
+    empty = SIM._empty_topk(spark, lsh, list(snap["banded"].values()), "vec_id")
+    assert empty.schema == full.schema
+    assert full.unionByName(empty).count() == full.count()  # union round-trips
+
+    ivfpq = str(tmp_path / "ivfpq_int")
+    SIM.build_ivfpq_index(iemb, ivfpq, n_lists=8, m=8, k=16)
+    full2 = SIM.ivfpq_query_rerank(spark, ivfpq, iemb, probe_vec, 5)
+    snap2 = SIM._ivfpq_snapshot(ivfpq)
+    empty2 = SIM._empty_topk(
+        spark, ivfpq, list(snap2["cells"].values()), "vec_id"
+    )
+    assert empty2.schema == full2.schema
+    # an index with NOTHING to derive from still yields the long default
+    bare = SIM._empty_topk(spark, str(tmp_path / "nowhere"), [], "vec_id")
+    assert [f.dataType.simpleString() for f in bare.schema.fields] == [
+        "bigint", "double",
+    ]

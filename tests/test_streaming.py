@@ -712,7 +712,15 @@ def test_stream_ivf_index_ingest_matches_batch_and_replays_idempotently(
         checkpoint=str(tmp_path / "ckpt1"),
     )
     v1 = read_index_manifest(idx)["version"]
-    assert v1 == 3  # one committed manifest per micro-batch
+    # genesis quantizer commit + one committed manifest per micro-batch
+    assert v1 == 4
+    # ADVICE r13: the frozen quantizer is installed MANIFEST-ATOMICALLY —
+    # version 1 references the seed centroids inside an immutable object
+    # dir (no flat exists()-then-overwrite a racing probe could observe
+    # half-written), with an empty cell map
+    genesis = read_index_manifest(idx, version=1)
+    assert genesis["centroids"].startswith("objects/")
+    assert genesis["cells"] == {}
 
     # reference: ONE upsert of the whole feed into the same seeded index
     ref = str(tmp_path / "ref")
