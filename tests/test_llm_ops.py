@@ -1087,3 +1087,62 @@ def test_vacuum_grace_window_protects_inflight_writer(spark, tmp_path, monkeypat
     assert IC.vacuum_index(idx, keep_last=1) == 0  # still inside grace
     assert IC.vacuum_index(idx, keep_last=1, grace_seconds=0.0) >= 1
     assert not os.path.exists(orphan)
+
+
+def test_ann_recall_sweep_identity_matches_actually_run_probes(spark):
+    """The sweep derives recall@10 for EVERY n_probe from one pass via
+    the probed-cell dominance identity (a ground-truth neighbor is in
+    the probe's top-10 iff its cell is probed). Pin the identity
+    against ground truth: for each n_probe, ACTUALLY run the batch
+    probe and measure recall directly — the sweep row must agree
+    exactly."""
+    from pyspark.sql import Window
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions import (
+        vectors as V,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import (
+        _ensure_ivf8,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sweep = {
+        int(r["n_probe"]): float(r["recall_at_10"])
+        for r in QUERIES["ann_recall_sweep"].fn(spark, SF).collect()
+    }
+    idx = _ensure_ivf8(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    qv = q.select(F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv"))
+    corpus = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in (
+            corpus.join(F.broadcast(qv))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cosine"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .where(F.col("rk") <= 10)
+            .collect()
+        )
+    }
+    for p in sorted(sweep):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_batch_topk(spark, idx, q, k=10, n_probe=p).collect()
+        }
+        measured = round(len(got & truth) / 30.0, 6)
+        assert measured == round(sweep[p], 6), (p, measured, sweep[p])
+    # monotone non-decreasing, exhaustive probe is exact
+    vals = [sweep[p] for p in sorted(sweep)]
+    assert vals == sorted(vals) and vals[-1] == 1.0
