@@ -95,10 +95,16 @@ HEADLINE = [
     "canonical_keep_best",  # quality-aware keeper per near-dup cluster (r11, benched r13)
     "retrieval_quality_bm25",  # recall/MRR/nDCG evaluation aggregates (r13)
     "image_near_dup_pairs",  # perceptual-hash hamming banding, multimodal near-dup (r13)
-    "bm25_stream_indexed_probe",  # stream-maintained posting index: 3-batch ingest + probe (r11, benched r13)
-    "ann_ivf_stream_indexed",  # stream-maintained IVF index: 3-batch ingest + probe (r13)
-    "ann_recall_report",  # IVF recall@10 vs exact brute force (r13)
+    "ann_recall_report",  # IVF recall@10 vs exact brute force at the shipped n_probe (r13)
+    "ann_recall_sweep",  # whole recall/cost curve in one pass (r14)
+    "ann_family_recall",  # cross-family recall@10 at shipped defaults (r14)
 ]
+# bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
+# set in r14 (VERDICT r13 #3): their fns rebuild + replay the index
+# EVERY rep by design (a lifecycle test), which overstated steady-state
+# probe cost ~6x in the headline total. stream_index_bench() below
+# ingests ONCE per family (recording throughput) and times the probe
+# alone per rep — the separation a standing index actually exhibits.
 
 # The streaming engine's own replays (VERDICT r2 #4/#5) are timed in
 # their OWN interleaved loop AFTER every batch round completes: a replay
@@ -242,6 +248,110 @@ def maintenance_bench(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def stream_index_bench(spark, sf_dir: str, iters: int) -> tuple[dict, dict]:
+    """Steady-state stream-index measurement (VERDICT r13 #3): ingest
+    the 3-micro-batch feed into each stream-maintained index ONCE
+    (recording build wall time + single-node throughput), then time the
+    MANIFEST-RESOLVED PROBE alone ``iters`` times against the standing
+    index. Returns (one-shot ingest detail, per-rep probe samples) —
+    the probe samples join the headline medians as *_probe_only rows,
+    so the recorded latency is what a standing index actually serves,
+    not a rebuild-per-query artifact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        retrieval as R,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import (
+        _BM25_QUERIES,
+        _ensure_ivf8,
+        _query_vec,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        stream_bm25_index_ingest,
+        stream_ivf_index_ingest,
+    )
+
+    out: dict = {}
+    samples: dict[str, list[float]] = {
+        "bm25_stream_probe_only": [],
+        "ann_ivf_stream_probe_only": [],
+    }
+    work = tempfile.mkdtemp(prefix="stream_idx_bench_")
+    try:
+        # --- BM25 posting index: ingest once ---
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        for n in range(3):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == n).coalesce(1).write.parquet(
+                f"{work}/bm25_feed/b{n}"
+            )
+        bidx = f"{work}/bm25_idx"
+        t0 = time.perf_counter()
+        stream_bm25_index_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/bm25_feed/*"),
+            bidx,
+            n_buckets=8,
+            n_files=4,
+            checkpoint=f"{work}/bm25_ckpt",
+        )
+        dt = time.perf_counter() - t0
+        out["bm25_stream_ingest_once_sec"] = round(dt, 4)
+        out["bm25_stream_ingest_docs_per_sec"] = round(n_docs / dt, 1)
+        qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            R.bm25_topk_indexed(spark, bidx, qdf, k=10).orderBy(
+                "query_id", "rank"
+            ).write.format("noop").mode("overwrite").save()
+            samples["bm25_stream_probe_only"].append(time.perf_counter() - t0)
+
+        # --- streaming IVF index: ingest once ---
+        seed_idx = _ensure_ivf8(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n_vecs = emb.count()
+        for n in range(3):
+            emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == n).coalesce(1).write.parquet(
+                f"{work}/ivf_feed/b{n}"
+            )
+        vidx = f"{work}/ivf_idx"
+        t0 = time.perf_counter()
+        stream_ivf_index_ingest(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/ivf_feed/*"),
+            vidx,
+            seed_centroids=os.path.join(
+                seed_idx, S._ivf_snapshot(seed_idx)["centroids"]
+            ),
+            checkpoint=f"{work}/ivf_ckpt",
+        )
+        dt = time.perf_counter() - t0
+        out["ann_ivf_stream_ingest_once_sec"] = round(dt, 4)
+        out["ann_ivf_stream_ingest_vecs_per_sec"] = round(n_vecs / dt, 1)
+        pv = _query_vec(spark, sf_dir, 0)
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            S.ivf_query(
+                spark, vidx, pv, k=10, n_probe=3, exclude_id=0, include_cell=True
+            ).write.format("noop").mode("overwrite").save()
+            samples["ann_ivf_stream_probe_only"].append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out, samples
 
 
 def calibrate(spark) -> float:
@@ -492,6 +602,14 @@ def main() -> None:
 
     versioned = versioned_bench(spark, sf_dir)
 
+    # stream-maintained indexes: ingest once, probe per rep (VERDICT
+    # r13 #3) — probe medians join the headline table as *_probe_only
+    # rows; ingest cost + throughput land in the stream_index block.
+    # foreachBatch availableNow replays are stateless (no state-store
+    # threads), but still run after the batch headline timings.
+    stream_index, si_samples = stream_index_bench(spark, sf_dir, iters)
+    samples.update(si_samples)
+
     # streaming replays last (see STREAMING_HEADLINE note), with their
     # own per-round calibration guard
     stream_names = [n for n in STREAMING_HEADLINE if n in QUERIES]
@@ -653,6 +771,7 @@ def main() -> None:
         "maintenance": maintenance,
         "ingest_dedup": ingest_dedup,
         "versioned": versioned,
+        "stream_index": stream_index,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)

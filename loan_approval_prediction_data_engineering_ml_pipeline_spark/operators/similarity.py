@@ -1734,6 +1734,56 @@ def lsh_topk(
     )
 
 
+def ivf_assignment_stats(
+    spark,
+    path: str,
+    vecs: DataFrame | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assignment-distance distribution against the committed quantizer
+    — the staleness signal IVF maintenance schedules refits on (VERDICT
+    r13 #4). With ``vecs=None`` it measures the INDEX's own stored
+    vectors (the build-time reference distribution: distance of each
+    vector to its nearest frozen centroid); with a batch it measures
+    that batch against the same centroids, so a drifted ingest
+    distribution shows as mean/p95 creeping above the reference.
+
+    Returns ``{n, mean_dist, p95_dist}`` (L2 to the nearest centroid).
+    Plan: one broadcast of the k-row centroid table against the
+    measured set + a per-id min + one global agg — map-side except the
+    final tiny agg, no corpus shuffle. At 100 TB run the reference arm
+    on a sample, and fold the batch arm into the ingest pass
+    (``stream_ivf_index_ingest``'s ``drift_log`` does exactly that)."""
+    cent = _ivf_centroids(spark, path)
+    if vecs is None:
+        src = _ivf_cells(spark, path).select(F.col(id_col), F.col("arr"))
+    else:
+        src = vecs.select(F.col(id_col), V.as_double(vec_col).alias("arr"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("arr"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    per = (
+        src.join(F.broadcast(cent))
+        .select(F.col(id_col), F.sqrt(d2).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min("dist").alias("dist"))
+    )
+    row = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dist").alias("mean_dist"),
+        F.expr("percentile_approx(dist, 0.95, 10000)").alias("p95_dist"),
+    ).first()
+    return {
+        "n": int(row["n"]),
+        "mean_dist": float(row["mean_dist"] or 0.0),
+        "p95_dist": float(row["p95_dist"] or 0.0),
+    }
+
+
 def ivf_upsert(
     spark,
     path: str,

@@ -10,6 +10,7 @@ from .events import (  # noqa: F401
     windowed_counts,
 )
 from .ingest import (  # noqa: F401
+    ivf_drift_refit_due,
     read_corpus,
     stream_bm25_index_ingest,
     stream_ivf_index_ingest,

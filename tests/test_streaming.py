@@ -748,3 +748,97 @@ def test_stream_ivf_index_ingest_matches_batch_and_replays_idempotently(
     assert again == direct
     c = sorted(map(tuple, _ivf_cells(spark, idx).select("vec_id", "cell").collect()))
     assert c == a, "redelivery must be a per-id REPLACE no-op"
+
+
+def test_stream_ivf_drift_signal_flags_refit_and_refit_commits_atomically(
+    spark, tmp_path
+):
+    """VERDICT r13 #4: the streaming-IVF staleness signal. Batch 1
+    replays the build distribution (ratio ~1); batch 2 is a shifted
+    population far from every frozen centroid — its assignment-distance
+    ratio must exceed the threshold and flag refit_due. The flagged
+    refit (build_ivf_index over the grown corpus at the manifested
+    path) must commit the next version atomically: a probe resolved
+    before the refit keeps its snapshot, a fresh probe sees the
+    refitted index."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        read_index_manifest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.similarity import (
+        _ivf_cells,
+        build_ivf_index,
+        ivf_assignment_stats,
+        ivf_query,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        ivf_drift_refit_due,
+        stream_ivf_index_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = str(tmp_path / "seed")
+    build_ivf_index(emb, seed, n_lists=8)
+    baseline = ivf_assignment_stats(spark, seed)["mean_dist"]
+    assert baseline > 0
+
+    feed = str(tmp_path / "feed")
+    emb.coalesce(1).write.parquet(f"{feed}/b0")
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(5.0))
+        .cast(emb.schema["embedding"].dataType)
+        .alias("embedding"),
+    )
+    shifted.coalesce(1).write.parquet(f"{feed}/b1")
+
+    idx = str(tmp_path / "idx")
+    log = str(tmp_path / "drift")
+    stream_ivf_index_ingest(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*"),
+        idx,
+        seed_centroids=f"{seed}/centroids",
+        checkpoint=str(tmp_path / "ckpt"),
+        drift_log=log,
+        drift_baseline=baseline,
+        drift_threshold=1.3,
+    )
+    rows = {
+        int(r["batch_id"]): r
+        for r in spark.read.parquet(log).orderBy("batch_id").collect()
+    }
+    assert len(rows) == 2
+    ratios = sorted(float(r["drift_ratio"]) for r in rows.values())
+    # the in-distribution batch sits near the build-time reference, the
+    # shifted batch far above the refit bar
+    assert ratios[0] < 1.3 and ratios[1] > 1.3
+    flagged = [r for r in rows.values() if r["refit_due"]]
+    assert len(flagged) == 1 and float(flagged[0]["drift_ratio"]) == ratios[1]
+    assert ivf_drift_refit_due(spark, log) is True
+    assert ivf_drift_refit_due(spark, log, threshold=ratios[1] + 1) is False
+
+    # flagged refit: re-cluster the grown corpus at the manifested path
+    v_before = read_index_manifest(idx)["version"]
+    stale_probe = ivf_query(
+        spark, idx, [0.0] * 64, k=3, n_probe=8
+    )  # resolved against the pre-refit snapshot
+    stale_expect = sorted(map(tuple, stale_probe.collect()))
+    corpus = _ivf_cells(spark, idx).select(
+        "vec_id", F.col("arr").alias("embedding")
+    )
+    build_ivf_index(corpus, idx, n_lists=8)
+    man = read_index_manifest(idx)
+    assert man["version"] == v_before + 1  # atomic next-version commit
+    # post-refit index serves the full grown corpus; the drifted
+    # population now has nearby centroids again (ratio back near 1)
+    after = ivf_assignment_stats(spark, idx)
+    assert after["n"] == emb.count() * 2
+    assert after["mean_dist"] / baseline < 1.3
+    # a probe resolved pre-refit is unaffected (snapshot isolation)
+    assert sorted(map(tuple, stale_probe.collect())) == stale_expect
