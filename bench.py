@@ -95,6 +95,7 @@ HEADLINE = [
     "canonical_keep_best",  # quality-aware keeper per near-dup cluster (r11, benched r13)
     "retrieval_quality_bm25",  # recall/MRR/nDCG evaluation aggregates (r13)
     "image_near_dup_pairs",  # perceptual-hash hamming banding, multimodal near-dup (r13)
+    "video_near_dup_pairs",  # frame-sampled majority signature, video near-dup (r14)
     "ann_recall_report",  # IVF recall@10 vs exact brute force at the shipped n_probe (r13)
     "ann_recall_sweep",  # whole recall/cost curve in one pass (r14)
     "ann_family_recall",  # cross-family recall@10 at shipped defaults (r14)

@@ -582,3 +582,76 @@ def audio_near_dups(
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
+
+
+def video_perceptual_hash(
+    df: DataFrame, *, every_n: int = 1, method: str = "ahash"
+) -> DataFrame:
+    """Per-VIDEO 64-bit signature (VERDICT r13 #5 — the video leg of the
+    multimodal near-dup triad): sample every ``every_n``-th frame,
+    perceptual-hash each sampled frame exactly as :func:`perceptual_hash`
+    does stills, then MAJORITY-combine the frame hashes bitwise — bit i
+    of the video signature is set iff at least half the sampled frames
+    set bit i (ties set, so the rule is deterministic and the SQL
+    oracle re-derives it as ``2*count >= n_sampled``). Majority voting
+    is what makes the signature robust to frame-level jitter: a single
+    edited/re-encoded frame flips a signature bit only where the frame
+    population was already split.
+
+    Equals the explicit :func:`sample_frames` → per-frame hash →
+    majority-reduce composition (asserted in tests), fused into ONE
+    Arrow pass so the corpus is decoded once and the shuffle carries
+    8 bytes/video, never frames. Same signature space as the image
+    hash, so :func:`hamming_near_dup_pairs` banding applies unchanged."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual hash method: {method!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    gw = 9 if method == "dhash" else 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                grid = _decode_any(r["media"], r["media_meta"]).astype(np.float64)
+                frames = grid[::every_n]
+                votes = np.zeros(64, dtype=np.int64)
+                for frame in frames:
+                    yi = np.arange(8) * frame.shape[0] // 8
+                    xi = np.arange(gw) * frame.shape[1] // gw
+                    small = frame[yi][:, xi]
+                    if method == "ahash":
+                        bits = (small > small.mean()).reshape(-1)
+                    else:
+                        bits = (small[:, :-1] < small[:, 1:]).reshape(-1)
+                    votes += bits[:64].astype(np.int64)
+                maj = 2 * votes >= len(frames)
+                h = np.uint64(np.sum(weights[maj]))
+                rows.append((int(r["doc_id"]), int(np.int64(h))))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(batches, out_schema)
+
+
+def video_near_dups(
+    media_df: DataFrame,
+    *,
+    every_n: int = 1,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Video near-dedup end to end: frame-sampled majority perceptual
+    signature per video (one Arrow decode pass) + Hamming chunk banding
+    — re-encoded / lightly edited videos pair, different videos don't.
+    Returns (id_a, id_b, hamming)."""
+    return hamming_near_dup_pairs(
+        video_perceptual_hash(media_df, every_n=every_n, method=method),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

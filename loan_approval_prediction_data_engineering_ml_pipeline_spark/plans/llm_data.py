@@ -3653,6 +3653,115 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "video_near_dup_pairs",
+    tier="local",
+    # The VIDEO leg of the multimodal near-dup triad (VERDICT r13 #5):
+    # 100 video "families" x 3 variants, each 4 frames of 8x8 gray8 —
+    # the base video repeats the family's md5-derived frame 4 times;
+    # variants 1-2 bump ONE pixel by +25 in EVERY frame at a
+    # (variant, family, frame)-dependent position, so variants are true
+    # near-duplicates across the whole frame sequence. The Spark side
+    # runs the real pipeline: binary media -> ONE Arrow decode pass ->
+    # sample every 2nd frame (0, 2) -> per-frame 64-bit aHash ->
+    # bitwise MAJORITY signature (ties set: 2*count >= n_sampled) ->
+    # 4x16-bit chunk banding -> bucket join -> exact bit_count(xor).
+    # DuckDB re-derives pixels, per-frame mean-threshold bits, majority
+    # votes, chunks, candidates, and Hamming distances from md5()
+    # directly. No all-pairs comparison on either side.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 AS family, doc_id // 100 AS variant
+      FROM documents WHERE doc_id < 300
+    ),
+    fr AS (SELECT f FROM generate_series(0, 3, 2) g(f)),
+    px AS (
+      SELECT d.doc_id, fr.f, g.i,
+             ascii(substr(md5(CAST(d.family AS VARCHAR))
+                          || md5(CAST(d.family AS VARCHAR)), g.i, 1))
+             + CASE WHEN d.variant > 0
+                     AND g.i = 1 + (d.variant * 7 + d.family + fr.f * 13) % 64
+                    THEN 25 ELSE 0 END AS p
+      FROM d CROSS JOIN fr CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    mu AS (SELECT doc_id, f, avg(p) AS m FROM px GROUP BY doc_id, f),
+    fbits AS (
+      SELECT px.doc_id, px.f, px.i - 1 AS bit,
+             CASE WHEN px.p > mu.m THEN 1 ELSE 0 END AS b
+      FROM px JOIN mu ON mu.doc_id = px.doc_id AND mu.f = px.f
+    ),
+    votes AS (
+      SELECT doc_id, bit, sum(b) AS cnt, count(*) AS nf
+      FROM fbits GROUP BY doc_id, bit
+    ),
+    bits AS (
+      SELECT doc_id, bit, CASE WHEN 2 * cnt >= nf THEN 1 ELSE 0 END AS b
+      FROM votes
+    ),
+    chunks AS (
+      SELECT doc_id, bit // 16 AS band,
+             sum(b * (1 << (bit % 16))) AS chunk
+      FROM bits GROUP BY doc_id, bit // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a
+      JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b, CAST(sum(abs(x.b - y.b)) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.id_a
+      JOIN bits y ON y.doc_id = c.id_b AND y.bit = x.bit
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+    description="Video near-dedup: frame-sampled (every 2nd frame) "
+    "per-frame 64-bit aHash majority-combined into one signature per "
+    "video — ONE Arrow decode pass, 8 bytes/video into the shuffle — "
+    "then Hamming near-dup pairs via the shared 4x16-bit chunk banding "
+    "(pigeonhole recall, bucket equi-join, exact bit_count(xor) on "
+    "candidates only); planted per-frame-perturbed families the oracle "
+    "re-derives bit for bit, completing the image/audio/video triad",
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .selectExpr(
+            "doc_id",
+            "doc_id % 100 AS family",
+            "CAST(doc_id DIV 100 AS INT) AS variant",
+        )
+    )
+    s = "concat(md5(cast(family as string)), md5(cast(family as string)))"
+
+    def frame_expr(f: int) -> str:
+        pos = f"cast(1 + (variant * 7 + family + {f} * 13) % 64 as int)"
+        return (
+            f"CASE WHEN variant = 0 THEN {s}"
+            f" ELSE concat(substring({s}, 1, {pos} - 1),"
+            f" char(ascii(substring({s}, {pos}, 1)) + 25),"
+            f" substring({s}, {pos} + 1, 64 - {pos})) END"
+        )
+
+    frames = ", ".join(frame_expr(f) for f in range(4))
+    media_df = base.selectExpr(
+        "doc_id",
+        f"encode(concat({frames}), 'utf-8') AS media",
+        "named_struct('format', 'fake-gray8', 'width', 8, 'height', 8,"
+        " 'n_frames', 4) AS media_meta",
+    )
+    return MM.video_near_dups(
+        media_df, every_n=2, method="ahash", max_hamming=3, n_bands=4
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (privacy scrub — Dolma §2.3 / CCNet / C4 class)
 # ---------------------------------------------------------------------------

@@ -505,3 +505,69 @@ def test_pillow_jpeg_ahash_within_hamming3_of_png_twin(spark):
     # and the decode itself round-trips: Pillow reads back the exact
     # pixels the stdlib encoder wrote
     assert (M.decode_real(png_bytes) == px).all()
+
+
+def test_video_hash_equals_sample_frames_composition(spark, media_df):
+    """The fused video signature (one Arrow decode pass) must equal the
+    explicit composition it optimizes: sample_frames -> per-frame
+    media rows -> perceptual_hash -> bitwise majority (ties set)."""
+    fused = {
+        r["doc_id"]: r["phash"]
+        for r in M.video_perceptual_hash(media_df, every_n=2).collect()
+    }
+    frames = M.sample_frames(media_df, every_n=2)
+    frame_media = frames.select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("media"),
+        F.expr(
+            "named_struct('format', 'fake-gray8', 'width', 8, 'height', 8,"
+            " 'n_frames', 1)"
+        ).alias("media_meta"),
+    )
+    per_frame = M.perceptual_hash(frame_media, method="ahash").collect()
+    votes: dict[int, list[int]] = {}
+    for r in per_frame:
+        votes.setdefault(r["doc_id"] // 1000, []).append(r["phash"])
+    composed = {}
+    for doc, hs in votes.items():
+        bits = 0
+        for b in range(64):
+            cnt = sum((h >> b) & 1 for h in hs)
+            if 2 * cnt >= len(hs):
+                bits |= 1 << b
+        # reinterpret as signed int64 like the operator does
+        composed[doc] = bits - (1 << 64) if bits >= (1 << 63) else bits
+    assert fused == composed
+
+
+def test_video_near_dup_planted_family_recall(spark):
+    """Planted-family recall for the video pipeline: every returned
+    pair is same-family, and nearly all planted variant pairs are
+    recovered at hamming <= 3 (per-frame single-pixel edits)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["video_near_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert pairs, "no near-dup pairs found"
+    assert all(a % 100 == b % 100 for a, b in pairs)
+    planted = {
+        (f + 100 * i, f + 100 * j)
+        for f in range(100)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, recall
+
+
+def test_video_near_dup_plan_no_cartesian(spark):
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    plan = QUERIES["video_near_dup_pairs"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
