@@ -1,0 +1,133 @@
+"""Deterministic TEXT-DERIVED embeddings: feature-hashed TF-IDF with a
+signed projection (Weinberger et al. 2009, "Feature Hashing for Large
+Scale Multitask Learning") — the classic hashing-trick featurizer, used
+here as the deterministic stand-in for a neural text encoder so the
+semantic-retrieval surface (ANN indexes, hybrid RRF fusion, IR quality
+metrics) can be measured on embeddings that actually CORRELATE with
+document content (VERDICT r13 #2: the synthetic fixture embeddings are
+random, so fusion gain was unmeasurable).
+
+Derivation (every step ANSI-SQL re-derivable, shared with the DuckDB
+oracles):
+
+- tokens: whitespace split of ``trim(text)``, empty tokens dropped —
+  the SAME stream the BM25 CTEs build (one tokenizer, one truth);
+- per distinct token: ``H = token_base_hash(tok)`` (md5-derived, in
+  [0, 2^31-1), identical in DuckDB), ``bucket = H % dim``,
+  ``sign = +1 if (H // dim) % 2 == 0 else -1``,
+  ``idf = ln((N + 1) / (df + 1))`` (smoothed; N = corpus size);
+- document vector: ``e[bucket] = sum over tokens of sign * tf * idf``,
+  then l2-normalized;
+- query vector: the same projection over a term set with tf = 1.
+
+Scale shape (100 TB): one token explode + two hash-partitioned
+aggregations (tf per (doc, token), df per token) + one broadcast of the
+distinct-token feature table back onto the tf relation — the shuffle
+carries (doc, bucket, weight) partials, never text, and the result is
+dim doubles per document. No UDFs anywhere: the whole derivation is
+codegen expressions, so it runs at full JVM speed and doubles as the
+deterministic fixture-embedding generator (scripts/gen_sf1.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as X
+
+
+def hashed_token_features(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The distinct-token feature table ``(tok, bucket, sgn, idf)`` a
+    corpus induces — the shared half of document AND query embedding
+    (both sides must hash/weight tokens identically or cosine between
+    them is meaningless). One explode + one groupBy(token); the output
+    is vocabulary-sized (broadcastable for any real vocabulary)."""
+    ne = F.filter(X.tokens(text_col), lambda t: t != "")
+    toks = docs.select(F.col(id_col).alias("__id"), F.explode(ne).alias("tok"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    dft = toks.groupBy("tok").agg(F.count_distinct("__id").alias("df"))
+    h = X.token_base_hash(F.col("tok"))
+    return (
+        dft.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            F.when(F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+            F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias(
+                "idf"
+            ),
+        )
+    )
+
+
+def _assemble(vec_long: DataFrame, dim: int, id_col: str) -> DataFrame:
+    """(id, bucket, v) long form -> (id, embedding array<double>),
+    l2-normalized (zero vectors stay zero)."""
+    m = vec_long.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("__m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("int")), F.lit(0.0)),
+    )
+    nrm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.transform(
+        arr, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+    )
+    return m.select(F.col(id_col), unit.alias("embedding"))
+
+
+def hashed_tfidf_embed(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document embeddings ``(id_col, embedding array<double>)`` —
+    l2-normalized signed-hash TF-IDF projections of ``text_col``. The
+    deterministic text encoder behind ``ann_text_embed_topk`` /
+    ``retrieval_quality_hybrid_textemb`` and the sf1 fixture embeddings."""
+    feats = hashed_token_features(docs, dim=dim, text_col=text_col, id_col=id_col)
+    ne = F.filter(X.tokens(text_col), lambda t: t != "")
+    toks = docs.select(F.col(id_col), F.explode(ne).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vec = (
+        tf.join(F.broadcast(feats), "tok")
+        .groupBy(id_col, "bucket")
+        .agg(F.sum(F.col("sgn") * F.col("tf") * F.col("idf")).alias("v"))
+    )
+    return _assemble(vec, dim, id_col)
+
+
+def embed_terms(
+    terms: DataFrame,
+    feats: DataFrame,
+    *,
+    dim: int = 64,
+    query_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Query embeddings from a ``(query_id, term)`` relation under the
+    SAME corpus feature table (tf = 1 per term): the projection a
+    retrieval stack applies to incoming queries. Terms unseen in the
+    corpus contribute nothing (no df, no idf) — matching what a fitted
+    encoder does with OOV input."""
+    vec = (
+        terms.select(F.col(query_col), F.col(term_col).alias("tok"))
+        .distinct()
+        .join(F.broadcast(feats), "tok")
+        .groupBy(query_col, "bucket")
+        .agg(F.sum(F.col("sgn") * F.col("idf")).alias("v"))
+    )
+    return _assemble(vec, dim, query_col).withColumnRenamed("embedding", "qv")

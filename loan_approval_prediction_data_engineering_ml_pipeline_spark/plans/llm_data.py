@@ -546,9 +546,17 @@ def _ensure_ivf8(spark: SparkSession, sf_dir: str) -> str:
         # DuckDB oracle keep reading the same (new) files.
         emb = load_table(spark, sf_dir, "embeddings")
         cells = S._ivf_cells(spark, idx)  # snapshot-resolved (r11)
-        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
-        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
-        if (a["n"], a["s"]) != (b["n"], b["s"]):
+        # fingerprint = (count, id-sum, rounded first-component sum):
+        # the content term catches a regenerated table that kept its id
+        # space (the r14 text-derived embeddings swap) — ids alone
+        # cannot (3-dp rounding absorbs partition-order float noise)
+        c1 = F.round(
+            F.sum(F.element_at(V.as_double("embedding"), 1)), 3
+        ).alias("c")
+        c2 = F.round(F.sum(F.element_at(F.col("arr"), 1)), 3).alias("c")
+        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c1).first()
+        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c2).first()
+        if (a["n"], a["s"], a["c"]) != (b["n"], b["s"], b["c"]):
             S.build_ivf_index(emb, idx, n_lists=8, seed=42)
     _FRESH_INDEXES.add(idx)
     return idx
@@ -620,11 +628,24 @@ def _ensure_lsh44(spark: SparkSession, sf_dir: str) -> str:
         # would read diverging signatures
         emb = load_table(spark, sf_dir, "embeddings")
         stored = spark.read.parquet(idx)
-        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
-        b = stored.select("vec_id").distinct().agg(
-            F.count("*").alias("n"), F.sum("vec_id").alias("s")
-        ).first()
-        if (a["n"], a["s"]) != (b["n"], b["s"]):
+        # same content-aware fingerprint as _ensure_ivf8 (ids alone miss
+        # a content-only regeneration); stored rows replicate per table
+        # so the content term compares per-distinct-id first components
+        c1 = F.round(
+            F.sum(F.element_at(V.as_double("embedding"), 1)), 3
+        ).alias("c")
+        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c1).first()
+        b = (
+            stored.select("vec_id", F.element_at("v", 1).alias("e1"))
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("vec_id").alias("s"),
+                F.round(F.sum("e1"), 3).alias("c"),
+            )
+            .first()
+        )
+        if (a["n"], a["s"], a["c"]) != (b["n"], b["s"], b["c"]):
             S.build_lsh_index(emb, idx, n_planes=4, n_tables=4)
     _FRESH_INDEXES.add(idx)
     return idx
@@ -4930,6 +4951,200 @@ def retrieval_quality_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking = hybrid_rrf_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     return R.retrieval_quality_metrics(
         ranking, _relevance_all_terms(spark, sf_dir), k=10
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Text-derived embeddings (feature-hashed TF-IDF projection — VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+
+
+def _text_embed_ctes() -> str:
+    """Embedding derivation shared by the text-embed oracles. Expects a
+    CTE ``t2(doc_id, tok)`` (the BM25 token stream); defines
+    ``feat2(tok, bucket, sgn, idf)``, ``dvec(doc_id, bucket, v)``,
+    ``dnrm(doc_id, nrm)``, and the l2-normalized ``du(doc_id, bucket,
+    u)`` — the exact SQL twin of ``operators.embedding``'s
+    hash/sign/idf recipe (md5-derived token_base_hash, bucket = h %
+    64, sign from bit (h // 64) % 2, idf = ln((N+1)/(df+1)))."""
+    return """
+    nn AS (SELECT count(*) AS n FROM documents),
+    dfm AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+    feat2 AS (
+      SELECT tok, CAST(h % 64 AS INT) AS bucket,
+             CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn,
+             ln((nn.n + 1.0) / (df + 1.0)) AS idf
+      FROM (
+        SELECT tok, df,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM dfm
+      ) CROSS JOIN nn
+    ),
+    tfm AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    dvec AS (
+      SELECT tfm.doc_id, f.bucket, sum(f.sgn * tfm.tf * f.idf) AS v
+      FROM tfm JOIN feat2 f USING (tok) GROUP BY 1, 2
+    ),
+    dnrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dvec GROUP BY 1),
+    du AS (
+      SELECT d.doc_id, d.bucket, d.v / n.nrm AS u
+      FROM dvec d JOIN dnrm n USING (doc_id) WHERE n.nrm > 0
+    )"""
+
+
+@query(
+    "ann_text_embed_topk",
+    tier="local",
+    # The deterministic text encoder end to end: embeddings are derived
+    # FROM DOCUMENT TEXT (feature-hashed TF-IDF, signed projection,
+    # l2-normalized), so semantic neighbors correlate with lexical
+    # content — the property the random fixture embeddings lack
+    # (VERDICT r13 #2). Query = doc 0's own embedding; cosine of unit
+    # vectors = dot over shared hash buckets, rounded to 6 dp BEFORE
+    # ranking (ties on doc_id) so both engines derive identical sets.
+    oracle=f"""
+    WITH t2 AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    {{embed}}
+    ,
+    qu AS (SELECT bucket, u FROM du WHERE doc_id = 0)
+    SELECT d.doc_id, round(sum(d.u * q.u), 6) AS cosine
+    FROM du d JOIN qu q USING (bucket)
+    WHERE d.doc_id != 0
+    GROUP BY d.doc_id
+    ORDER BY cosine DESC, doc_id
+    LIMIT 10
+    """.replace("{embed}", _text_embed_ctes()),
+    description="Text-derived semantic top-k: documents embedded by the "
+    "deterministic feature-hashing encoder (signed md5-hashed TF-IDF "
+    "projection to 64 dims, Weinberger 2009; one token explode + two "
+    "hash aggs + a broadcast vocab join, zero UDFs), then cosine top-10 "
+    "to document 0's embedding — the semantic-neighbor query where "
+    "neighbors provably correlate with document content, and the "
+    "encoder behind the hybrid fusion-gain measurement",
+)
+def ann_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = E.hashed_tfidf_embed(docs, dim=64)
+    qrow = emb.where(F.col("doc_id") == 0).first()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    cos = F.round(V.dot(F.col("embedding"), qlit), 6)
+    return (
+        emb.where(F.col("doc_id") != 0)
+        .select("doc_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "retrieval_quality_hybrid_textemb",
+    tier="local",
+    # The fusion-gain measurement the r13 verdict asked for: hybrid RRF
+    # over BM25 AND a semantic side whose embeddings are TEXT-DERIVED
+    # (same encoder as ann_text_embed_topk; query vectors = the SAME
+    # term sets embedded with tf=1), evaluated with the shared IR
+    # metric tail against the all-terms relevance set — directly
+    # comparable to retrieval_quality_bm25 row for row. The oracle
+    # re-derives the encoder, both rankings, the fusion, and the
+    # metrics end to end.
+    oracle=lambda: f"""
+    WITH {_BM25_RK_CTES},
+    {_text_embed_ctes()},
+    qterm AS (SELECT DISTINCT query_id, term AS tok FROM q),
+    qvec0 AS (
+      SELECT qt.query_id, f.bucket, sum(f.sgn * f.idf) AS v
+      FROM qterm qt JOIN feat2 f USING (tok) GROUP BY 1, 2
+    ),
+    qnrm AS (SELECT query_id, sqrt(sum(v * v)) AS nrm FROM qvec0 GROUP BY 1),
+    quv AS (
+      SELECT q0.query_id, q0.bucket, q0.v / n.nrm AS u
+      FROM qvec0 q0 JOIN qnrm n USING (query_id) WHERE n.nrm > 0
+    ),
+    sscore AS (
+      SELECT qq.query_id, d.doc_id, round(coalesce(s.dot, 0.0), 6) AS cosine
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      CROSS JOIN (SELECT doc_id FROM documents) d
+      LEFT JOIN (
+        SELECT quv.query_id, du.doc_id, sum(du.u * quv.u) AS dot
+        FROM du JOIN quv USING (bucket) GROUP BY 1, 2
+      ) s ON s.query_id = qq.query_id AND s.doc_id = d.doc_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, doc_id
+               ) AS rank
+        FROM sscore
+      ) WHERE rank <= 20
+    ),
+    lex AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+    allc AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM sem
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+      FROM allc GROUP BY 1, 2
+    ),
+    frk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM fused
+    ),
+    rr AS (SELECT query_id, doc_id, rank FROM frk WHERE rank <= 10),
+    {_IR_METRIC_TAIL}
+    """,
+    description="Retrieval quality of the TEXT-EMBEDDING hybrid: BM25 "
+    "top-20 fused (RRF c=60) with cosine top-20 under the deterministic "
+    "text encoder — query vectors embed the SAME term sets the lexical "
+    "side searches, so the semantic arm carries real signal about "
+    "document content instead of random fixture noise; evaluated with "
+    "the shared recall/precision/MRR/nDCG tail against all-terms "
+    "relevance, row-comparable to retrieval_quality_bm25 (the paired "
+    "fusion-gain measurement, VERDICT r13 #2)",
+)
+def retrieval_quality_hybrid_textemb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import embedding as E
+    from ..operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    lex = R.bm25_topk(docs, qdf, k=20).select("query_id", "doc_id", "rank")
+    feats = E.hashed_token_features(docs, dim=64)
+    demb = E.hashed_tfidf_embed(docs, dim=64)
+    qemb = E.embed_terms(qdf, feats, dim=64)
+    cos = F.round(V.dot(F.col("embedding"), F.col("qv")), 6)
+    sem = (
+        demb.crossJoin(F.broadcast(qemb))
+        .select("query_id", "doc_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = R.rrf_fuse([lex, sem], k=10).select("query_id", "doc_id", "rank")
+    return R.retrieval_quality_metrics(
+        fused, _relevance_all_terms(spark, sf_dir), k=10
     ).orderBy("query_id")
 
 

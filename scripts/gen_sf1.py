@@ -11,8 +11,11 @@ deterministic (xxhash64-derived) jitter so the copies are not exact
 duplicates — distinct counts, dedup pair structure, and aggregate
 values all scale instead of collapsing onto the originals. Document
 text gains a per-copy token (copies become NEAR-duplicates — the
-worst-case load for the LSH/MinHash family); embeddings get per-element
-jitter (copies are near-neighbors — the worst-case load for ANN).
+worst-case load for the LSH/MinHash family); embeddings are
+TEXT-DERIVED (r14: the deterministic feature-hashing encoder over the
+sf1 documents), so copies are near-neighbors — the worst-case load for
+ANN — AND semantic similarity correlates with lexical content, which is
+what makes the hybrid fusion-gain measurement possible.
 
 Everything is expression-level (no UDFs); generation is one map-only
 job per copy per table.
@@ -56,7 +59,21 @@ def _documents_copy(df: DataFrame, c: int, doc_off: int) -> DataFrame:
     — stages 5-8 are all non-trivial and both engines re-derive the
     same split from the written table alone."""
     new_id = F.col("doc_id") + c * doc_off
-    nat = F.col("text") if c == 0 else F.concat(F.col("text"), F.lit(f" copytoken{c}"))
+    # copies c > 0 DROP one (copy, doc)-dependent token instead of the
+    # old append-a-shared-"copytoken{c}" marker (r14): a marker shared
+    # by all 5k copy-c docs had df ~ N/10 and idf ~ 2.3 over this
+    # common-word corpus, so the text-derived embeddings clustered by
+    # COPY BAND instead of by family — real paraphrases don't share a
+    # stylistic token with 5,000 strangers. A dropped token keeps the
+    # copy a near-duplicate for the MinHash/LSH family (one shingle
+    # changes) AND keeps its embedding next to its family (one common
+    # token's tf shifts by 1).
+    if c == 0:
+        nat = F.col("text")
+    else:
+        ts = F.split(F.trim("text"), " ")
+        drop = F.pmod(F.lit(c * 7) + F.col("doc_id"), F.greatest(F.size(ts), F.lit(1)))
+        nat = F.concat_ws(" ", F.filter(ts, lambda x, i: i != drop))
     uniq_seed = [
         F.translate(
             F.md5(F.concat(new_id.cast("string"), F.lit(f"#{j}"))),
@@ -169,17 +186,9 @@ def main() -> None:
     def documents(df, c):
         return _documents_copy(df, c, offs["doc"])
 
-    def embeddings(df, c):
-        emb = F.col("embedding") if c == 0 else F.transform(
-            "embedding",
-            lambda x, i: (
-                x + (F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(c)), F.lit(1000)) / 1000.0 - 0.5) * 0.02
-            ).cast("float"),
-        )
+    def labels(df, c):
         return df.select(
-            (F.col("vec_id") + c * offs["vec"]).alias("vec_id"),
-            emb.alias("embedding"),
-            "label",
+            (F.col("vec_id") + c * offs["vec"]).alias("vec_id"), "label"
         )
 
     os.makedirs(DEST, exist_ok=True)
@@ -189,10 +198,43 @@ def main() -> None:
     for name, fn in [
         ("customer", customer), ("supplier", supplier), ("part", part),
         ("orders", orders), ("lineitem", lineitem), ("events", events),
-        ("documents", documents), ("embeddings", embeddings),
+        ("documents", documents),
     ]:
         _upsample(t[name], fn).write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
         print(f"wrote {name}")
+
+    # Embeddings are TEXT-DERIVED at sf1 (VERDICT r13 #2): the
+    # deterministic feature-hashing encoder over the sf1 documents
+    # (doc/vec id spaces are aligned), so semantic neighbors correlate
+    # with lexical content and the hybrid fusion-gain measurement is
+    # real. Near-dup copies differ by one token -> their embeddings are
+    # near-identical, preserving the ANN worst-case load the jittered
+    # upsample used to plant; the synthetic-unique eval split lands far
+    # from everything, preserving the decontamination stratum.
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.embedding import (
+        hashed_tfidf_embed,
+    )
+
+    sf1_docs = spark.read.parquet(f"{DEST}/documents.parquet")
+    emb = hashed_tfidf_embed(sf1_docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    lab = _upsample(t["embeddings"], labels)
+    emb.join(lab, "vec_id", "left").write.mode("overwrite").parquet(
+        f"{DEST}/embeddings.parquet"
+    )
+    print("wrote embeddings (text-derived)")
+
+    # the per-SF ANN index cache is keyed by the sf tag and its
+    # staleness fingerprint may not catch every regeneration — drop the
+    # sf1 caches so every index rebuilds against the new tables
+    import shutil
+
+    for stale in [
+        os.path.join(os.path.dirname(DEST), "..", ".indexes", "sf1"),
+    ]:
+        shutil.rmtree(os.path.abspath(stale), ignore_errors=True)
     for n in ["lineitem", "orders", "events", "documents", "embeddings"]:
         print(n, spark.read.parquet(f"{DEST}/{n}.parquet").count())
     spark.stop()
