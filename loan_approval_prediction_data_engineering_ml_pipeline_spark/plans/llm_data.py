@@ -164,7 +164,7 @@ _J3 = "round(len(list_intersect(a.s, b.s))*1.0/len(list_distinct(list_concat(a.s
 # algorithm — an independent DataFrame implementation, not a port).
 _PREFIX_JACCARD_ORACLE = f"""
     WITH sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES3} AS s FROM documents),
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
     gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
     ranked AS (
         SELECT e.doc_id, e.g,
@@ -179,10 +179,25 @@ _PREFIX_JACCARD_ORACLE = f"""
     cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
              FROM pref x JOIN pref y
              ON x.g = y.g AND x.doc_id < y.doc_id
-             AND x.sz >= ceil(0.8 * y.sz) AND y.sz >= ceil(0.8 * x.sz))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_J3} AS jaccard
-    FROM cand JOIN sh a ON a.doc_id = cand.ia JOIN sh b ON b.doc_id = cand.ib
-    WHERE {_J3} >= 0.8
+             AND x.sz >= ceil(0.8 * y.sz) AND y.sz >= ceil(0.8 * x.sz)),
+    -- exact verify as a hash-parallel join-agg over the distinct
+    -- (doc, shingle) relation instead of per-pair list_intersect
+    -- (r14: 4.6M candidates x list ops ran ~9 MINUTES single-threaded
+    -- in DuckDB at sf1; the equi-join form is seconds and bit-identical
+    -- because shingle sets are already distinct)
+    ov AS (
+        SELECT c.ia, c.ib, count(*) AS ov
+        FROM cand c
+        JOIN ex x ON x.doc_id = c.ia
+        JOIN ex y ON y.doc_id = c.ib AND y.g = x.g
+        GROUP BY c.ia, c.ib
+    ),
+    szs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1)
+    SELECT ov.ia AS id_a, ov.ib AS id_b,
+           round(ov.ov * 1.0 / (sa.sz + sb.sz - ov.ov), 6) AS jaccard
+    FROM ov JOIN szs sa ON sa.doc_id = ov.ia
+            JOIN szs sb ON sb.doc_id = ov.ib
+    WHERE round(ov.ov * 1.0 / (sa.sz + sb.sz - ov.ov), 6) >= 0.8
     ORDER BY id_a, id_b
     """
 

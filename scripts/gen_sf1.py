@@ -59,21 +59,28 @@ def _documents_copy(df: DataFrame, c: int, doc_off: int) -> DataFrame:
     — stages 5-8 are all non-trivial and both engines re-derive the
     same split from the written table alone."""
     new_id = F.col("doc_id") + c * doc_off
-    # copies c > 0 DROP one (copy, doc)-dependent token instead of the
-    # old append-a-shared-"copytoken{c}" marker (r14): a marker shared
-    # by all 5k copy-c docs had df ~ N/10 and idf ~ 2.3 over this
-    # common-word corpus, so the text-derived embeddings clustered by
-    # COPY BAND instead of by family — real paraphrases don't share a
-    # stylistic token with 5,000 strangers. A dropped token keeps the
-    # copy a near-duplicate for the MinHash/LSH family (one shingle
-    # changes) AND keeps its embedding next to its family (one common
-    # token's tf shifts by 1).
+    # copies c > 0 APPEND a repeat of one of the doc's OWN tokens
+    # (chosen by (copy, doc)) instead of the old shared-"copytoken{c}"
+    # marker (r14): a marker shared by all 5k copy-c docs had df ~ N/10
+    # and idf ~ 2.3 over this common-word corpus, so the text-derived
+    # embeddings clustered by COPY BAND instead of by family — real
+    # paraphrases don't share a stylistic token with 5,000 strangers.
+    # Repeating an in-vocabulary token keeps the copy's embedding next
+    # to its family (one tf bumps by 1, no new hash bucket) AND keeps
+    # pair Jaccard at the r13 level (~S/(S+2) >= 0.9: only the 2
+    # trailing shingles change), so the 8x2 LSH banding's recall stays
+    # measurably 1 — a DROPPED token (the first r14 attempt) pushed
+    # pair Jaccard to the 0.8 threshold where banding misses ~2.8e-4 of
+    # true pairs and the exact-truth oracle caught the recall gap at
+    # sf1's pair count.
     if c == 0:
         nat = F.col("text")
     else:
         ts = F.split(F.trim("text"), " ")
-        drop = F.pmod(F.lit(c * 7) + F.col("doc_id"), F.greatest(F.size(ts), F.lit(1)))
-        nat = F.concat_ws(" ", F.filter(ts, lambda x, i: i != drop))
+        pick = F.pmod(F.lit(c * 7) + F.col("doc_id"), F.greatest(F.size(ts), F.lit(1)))
+        nat = F.concat_ws(
+            " ", F.col("text"), F.element_at(ts, (pick + 1).cast("int"))
+        )
     uniq_seed = [
         F.translate(
             F.md5(F.concat(new_id.cast("string"), F.lit(f"#{j}"))),
