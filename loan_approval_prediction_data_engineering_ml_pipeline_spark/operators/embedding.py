@@ -68,9 +68,18 @@ def hashed_token_features(
     )
 
 
-def _assemble(vec_long: DataFrame, dim: int, id_col: str) -> DataFrame:
+def _assemble(
+    vec_long: DataFrame,
+    dim: int,
+    id_col: str,
+    mean_vec: list[float] | None = None,
+) -> DataFrame:
     """(id, bucket, v) long form -> (id, embedding array<double>),
-    l2-normalized (zero vectors stay zero)."""
+    l2-normalized (zero vectors stay zero). With ``mean_vec`` the
+    corpus-mean literal is subtracted per dimension BEFORE normalizing
+    (note the implicit zeros: a doc missing a bucket centers to
+    ``-mean[j]`` there, which is why centering happens at the dense
+    array stage, not in the long form)."""
     m = vec_long.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("__m")
     )
@@ -78,6 +87,9 @@ def _assemble(vec_long: DataFrame, dim: int, id_col: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("int")), F.lit(0.0)),
     )
+    if mean_vec is not None:
+        mu = F.array(*[F.lit(float(x)) for x in mean_vec])
+        arr = F.zip_with(arr, mu, lambda x, m_: x - m_)
     nrm = F.sqrt(
         F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -93,11 +105,22 @@ def hashed_tfidf_embed(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    center: bool = False,
 ) -> DataFrame:
     """Document embeddings ``(id_col, embedding array<double>)`` —
     l2-normalized signed-hash TF-IDF projections of ``text_col``. The
     deterministic text encoder behind ``ann_text_embed_topk`` /
-    ``retrieval_quality_hybrid_textemb`` and the sf1 fixture embeddings."""
+    ``retrieval_quality_hybrid_textemb`` and the sf1 fixture embeddings.
+
+    ``center=True`` subtracts the corpus-mean vector before
+    normalizing — the "all-but-the-top" common-direction removal (Mu &
+    Viswanath, ICLR 2018). On a small-vocabulary corpus every document
+    shares most tokens, so raw projections have ambient cosine ~0.8
+    and similarity search degenerates (everything is everyone's
+    neighbor); removing the shared component restores near-orthogonal
+    ambient similarity while near-duplicate structure (shared
+    *deviations* from the mean) keeps cosine ~1. Cost: one tiny agg
+    (the dim-sized mean collects to the driver as a literal)."""
     feats = hashed_token_features(docs, dim=dim, text_col=text_col, id_col=id_col)
     ne = F.filter(X.tokens(text_col), lambda t: t != "")
     toks = docs.select(F.col(id_col), F.explode(ne).alias("tok"))
@@ -107,7 +130,16 @@ def hashed_tfidf_embed(
         .groupBy(id_col, "bucket")
         .agg(F.sum(F.col("sgn") * F.col("tf") * F.col("idf")).alias("v"))
     )
-    return _assemble(vec, dim, id_col)
+    mean_vec = None
+    if center:
+        n_docs = docs.count()
+        sums = {
+            int(r["bucket"]): float(r["s"])
+            for r in vec.groupBy("bucket").agg(F.sum("v").alias("s")).collect()
+        }
+        # docs missing a bucket contribute 0 to that dimension's mean
+        mean_vec = [sums.get(j, 0.0) / n_docs for j in range(dim)]
+    return _assemble(vec, dim, id_col, mean_vec=mean_vec)
 
 
 def embed_terms(

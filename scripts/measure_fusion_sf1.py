@@ -55,7 +55,10 @@ def synthetic(col):
 def main() -> None:
     spark = get_spark(app_name="fusion_sf1")
     docs = load_table(spark, SF1, "documents")
-    emb = load_table(spark, SF1, "embeddings")
+    # the TEXT-DERIVED table (gen_sf1 writes it beside the ANN-shaped
+    # jittered `embeddings`): semantic similarity correlates with
+    # lexical content, which is what the fusion measurement needs
+    emb = spark.read.parquet(f"{SF1}/embeddings_text.parquet")
 
     # ----- held-out paraphrase queries: copy-1 docs, natural text -----
     qdocs = (

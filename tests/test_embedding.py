@@ -90,3 +90,42 @@ def test_query_doc_alignment(spark):
 
     scores = {d: cos(qv, e) for d, e in demb.items()}
     assert max(scores, key=scores.get) == 7
+
+
+def test_centering_restores_near_orthogonal_ambient_similarity(spark):
+    """all-but-the-top (Mu & Viswanath 2018): on a shared-vocabulary
+    corpus, raw projections make every pair look similar; centering
+    must drop ambient cosine while keeping a near-duplicate pair at
+    cosine ~1 — the property the sf1 fixture embeddings (and any
+    cosine-thresholded component query over them) depend on."""
+    docs = load_table(spark, SF, "documents").limit(200)
+    near = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.element_at(F.split(F.trim("text"), " "), 1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+
+    def pairwise(embdf):
+        rows = {r["doc_id"]: r["embedding"] for r in embdf.collect()}
+        import itertools
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        amb = [
+            cos(rows[a], rows[b])
+            for a, b in itertools.combinations(sorted(rows)[:40], 2)
+            if a != 0 and b != 0
+        ]
+        return rows, sum(amb) / len(amb), cos(rows[0], rows[100000])
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.embedding import (
+        hashed_tfidf_embed,
+    )
+
+    _, amb_raw, near_raw = pairwise(hashed_tfidf_embed(corpus, dim=64))
+    _, amb_c, near_c = pairwise(hashed_tfidf_embed(corpus, dim=64, center=True))
+    assert amb_raw > 0.5          # the degenerate regime centering fixes
+    assert abs(amb_c) < 0.25      # ambient ~orthogonal after centering
+    assert near_c > 0.9           # the near-dup pair survives centering
+    assert near_raw > 0.9
