@@ -100,6 +100,8 @@ HEADLINE = [
     "ann_recall_sweep",  # whole recall/cost curve in one pass (r14)
     "ann_recall_sweep_ivf32",  # second n_lists point of the sweep (r14)
     "ann_family_recall",  # cross-family recall@10 at shipped defaults (r14)
+    "ann_text_embed_topk",  # deterministic text encoder, cosine top-k (r14)
+    "retrieval_quality_hybrid_textemb",  # text-embed hybrid fusion metrics (r14)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index

@@ -90,13 +90,25 @@ def _assemble(
     if mean_vec is not None:
         mu = F.array(*[F.lit(float(x)) for x in mean_vec])
         arr = F.zip_with(arr, mu, lambda x, m_: x - m_)
-    nrm = F.sqrt(
-        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    # arr and nrm in their OWN projection steps: inlining them into the
+    # per-element normalize would re-evaluate the 64-lookup array build
+    # and the 64-term norm aggregate for EVERY element (the minhash
+    # base-hash lesson — measured 12 s instead of ~1 s at sf0.1);
+    # higher-order functions are not "cheap" for CollapseProject, so
+    # the column refs survive optimization.
+    dense = m.select(F.col(id_col), arr.alias("__arr"))
+    dense = dense.select(
+        F.col(id_col),
+        F.col("__arr"),
+        F.sqrt(
+            F.aggregate(F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("__n"),
     )
     unit = F.transform(
-        arr, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+        F.col("__arr"),
+        lambda x: F.when(F.col("__n") > 0, x / F.col("__n")).otherwise(F.lit(0.0)),
     )
-    return m.select(F.col(id_col), unit.alias("embedding"))
+    return dense.select(F.col(id_col), unit.alias("embedding"))
 
 
 def hashed_tfidf_embed(
@@ -106,11 +118,18 @@ def hashed_tfidf_embed(
     text_col: str = "text",
     id_col: str = "doc_id",
     center: bool = False,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Document embeddings ``(id_col, embedding array<double>)`` —
     l2-normalized signed-hash TF-IDF projections of ``text_col``. The
     deterministic text encoder behind ``ann_text_embed_topk`` /
     ``retrieval_quality_hybrid_textemb`` and the sf1 fixture embeddings.
+
+    ``center=True`` subtracts the corpus-mean vector before
+    Pass ``feats`` (a :func:`hashed_token_features` result for the SAME
+    corpus/dim) to reuse an already-derived feature table — callers
+    that also embed queries (``retrieval_quality_hybrid_textemb``)
+    otherwise pay the vocabulary aggregation twice.
 
     ``center=True`` subtracts the corpus-mean vector before
     normalizing — the "all-but-the-top" common-direction removal (Mu &
@@ -121,7 +140,10 @@ def hashed_tfidf_embed(
     ambient similarity while near-duplicate structure (shared
     *deviations* from the mean) keeps cosine ~1. Cost: one tiny agg
     (the dim-sized mean collects to the driver as a literal)."""
-    feats = hashed_token_features(docs, dim=dim, text_col=text_col, id_col=id_col)
+    if feats is None:
+        feats = hashed_token_features(
+            docs, dim=dim, text_col=text_col, id_col=id_col
+        )
     ne = F.filter(X.tokens(text_col), lambda t: t != "")
     toks = docs.select(F.col(id_col), F.explode(ne).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))

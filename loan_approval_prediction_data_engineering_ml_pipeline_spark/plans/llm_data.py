@@ -5182,7 +5182,7 @@ def retrieval_quality_hybrid_textemb(spark: SparkSession, sf_dir: str) -> DataFr
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
     lex = R.bm25_topk(docs, qdf, k=20).select("query_id", "doc_id", "rank")
     feats = E.hashed_token_features(docs, dim=64)
-    demb = E.hashed_tfidf_embed(docs, dim=64)
+    demb = E.hashed_tfidf_embed(docs, dim=64, feats=feats)
     qemb = E.embed_terms(qdf, feats, dim=64)
     cos = F.round(V.dot(F.col("embedding"), F.col("qv")), 6)
     sem = (
