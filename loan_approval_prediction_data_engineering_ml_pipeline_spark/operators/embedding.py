@@ -125,7 +125,6 @@ def hashed_tfidf_embed(
     deterministic text encoder behind ``ann_text_embed_topk`` /
     ``retrieval_quality_hybrid_textemb`` and the sf1 fixture embeddings.
 
-    ``center=True`` subtracts the corpus-mean vector before
     Pass ``feats`` (a :func:`hashed_token_features` result for the SAME
     corpus/dim) to reuse an already-derived feature table — callers
     that also embed queries (``retrieval_quality_hybrid_textemb``)

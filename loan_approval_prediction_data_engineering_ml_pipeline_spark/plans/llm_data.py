@@ -543,39 +543,116 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     return list(row["v"])
 
 
+def _emb_fp(pairs: DataFrame, id_col: str) -> tuple:
+    """Content fingerprint (count, id-sum, rounded first-component sum)
+    of an ``(id, e1)`` relation: the id terms catch row churn, the
+    content term catches a regenerated table that KEPT its id space
+    (the r14 text-derived embeddings swap) — ids alone cannot (3-dp
+    rounding absorbs partition-order float noise)."""
+    r = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(id_col).alias("s"),
+        F.round(F.sum("e1"), 3).alias("c"),
+    ).first()
+    return (r["n"], r["s"], r["c"])
+
+
+def _emb_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(
+        id_col, F.element_at(V.as_double(vec_col), 1).alias("e1")
+    )
+
+
+def _fp_sidecar(idx: str) -> str:
+    import os
+
+    return os.path.join(idx, "content.fp")
+
+
+def _read_fp(idx: str) -> tuple | None:
+    import json
+    import os
+
+    p = _fp_sidecar(idx)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return tuple(json.load(f))
+
+
+def _write_fp(idx: str, fp: tuple) -> None:
+    import json
+
+    with open(_fp_sidecar(idx), "w") as f:
+        json.dump(list(fp), f)
+
+
+def _ensure_index(
+    spark: SparkSession,
+    idx: str,
+    *,
+    marker: str,
+    src_pairs: DataFrame,
+    id_col: str,
+    build,
+    stored_pairs=None,
+) -> str:
+    """Build-if-missing + STALENESS-GUARDED ensure for a committed index
+    fixture — the one helper behind every ``_ensure_*`` (ADVICE r14: the
+    fingerprint used to live only in ivf8/lsh44, so a content-only
+    embeddings regeneration silently served stale ivf32/pq/ivfpq cells).
+
+    The committed index must describe the CURRENT source table (fixtures
+    can be regenerated out from under a committed index). Freshness =
+    :func:`_emb_fp` of ``src_pairs`` (the live table) equals the index's
+    own content: ``stored_pairs()`` re-derives ``(id, e1)`` from the
+    committed files when the index stores raw components (IVF cells, LSH
+    rows); indexes that store only CODES (PQ, IVF-PQ) compare against a
+    ``content.fp`` sidecar written at build time — a missing sidecar
+    rebuilds once and writes it. Checked once per process
+    (``_FRESH_INDEXES``); a stale index is rebuilt IN PLACE so the Spark
+    probe and the DuckDB oracle keep reading the same (new) files."""
+    import os
+
+    if idx in _FRESH_INDEXES:
+        return idx
+    if not os.path.exists(os.path.join(idx, *marker.split("/"))):
+        build()
+        if stored_pairs is None:
+            _write_fp(idx, _emb_fp(src_pairs, id_col))
+    else:
+        cur = _emb_fp(src_pairs, id_col)
+        prev = (
+            _emb_fp(stored_pairs(), id_col)
+            if stored_pairs is not None
+            else _read_fp(idx)
+        )
+        if cur != prev:
+            build()
+            if stored_pairs is None:
+                _write_fp(idx, cur)
+    _FRESH_INDEXES.add(idx)
+    return idx
+
+
 def _ensure_ivf8(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-missing + staleness-guarded ivf8 index path for
     ``sf_dir`` — shared by every query probing the committed IVF
     fixture (ann_ivf, ann_ivf_batch, hybrid_rrf_topk)."""
-    import os
-
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = _index_dir(sf_dir, "ivf8")
-    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
-        S.build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), idx, n_lists=8, seed=42
-        )
-    elif idx not in _FRESH_INDEXES:
-        # staleness guard: the committed index must describe the CURRENT
-        # embeddings table (the fixture can be regenerated out from under
-        # a committed index). Cheap id-set fingerprint, checked once per
-        # process; a stale index is rebuilt in place so the probe and the
-        # DuckDB oracle keep reading the same (new) files.
-        emb = load_table(spark, sf_dir, "embeddings")
-        cells = S._ivf_cells(spark, idx)  # snapshot-resolved (r11)
-        # fingerprint = (count, id-sum, rounded first-component sum):
-        # the content term catches a regenerated table that kept its id
-        # space (the r14 text-derived embeddings swap) — ids alone
-        # cannot (3-dp rounding absorbs partition-order float noise)
-        c1 = F.round(
-            F.sum(F.element_at(V.as_double("embedding"), 1)), 3
-        ).alias("c")
-        c2 = F.round(F.sum(F.element_at(F.col("arr"), 1)), 3).alias("c")
-        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c1).first()
-        b = cells.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c2).first()
-        if (a["n"], a["s"], a["c"]) != (b["n"], b["s"], b["c"]):
-            S.build_ivf_index(emb, idx, n_lists=8, seed=42)
-    _FRESH_INDEXES.add(idx)
-    return idx
+    return _ensure_index(
+        spark,
+        idx,
+        marker="cells/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_ivf_index(emb, idx, n_lists=8, seed=42),
+        # snapshot-resolved (r11); cells store the raw arr
+        stored_pairs=lambda: S._ivf_cells(spark, idx).select(
+            "vec_id", F.element_at(F.col("arr"), 1).alias("e1")
+        ),
+    )
 
 
 @query(
@@ -630,67 +707,56 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensure_lsh44(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-missing + staleness-guarded lsh4x4 index path (shared
-    by ann_lsh_bucketed and ann_family_recall)."""
-    import os
-
+    by ann_lsh_bucketed and ann_family_recall). Stored rows replicate
+    per table, so the content comparison distincts per-id first
+    components before fingerprinting."""
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = _index_dir(sf_dir, "lsh4x4")
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        S.build_lsh_index(
-            load_table(spark, sf_dir, "embeddings"), idx, n_planes=4, n_tables=4
-        )
-    elif idx not in _FRESH_INDEXES:
-        # staleness guard, same as ann_ivf: the committed index must
-        # describe the CURRENT embeddings table or probe and oracle
-        # would read diverging signatures
-        emb = load_table(spark, sf_dir, "embeddings")
-        stored = spark.read.parquet(idx)
-        # same content-aware fingerprint as _ensure_ivf8 (ids alone miss
-        # a content-only regeneration); stored rows replicate per table
-        # so the content term compares per-distinct-id first components
-        c1 = F.round(
-            F.sum(F.element_at(V.as_double("embedding"), 1)), 3
-        ).alias("c")
-        a = emb.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"), c1).first()
-        b = (
-            stored.select("vec_id", F.element_at("v", 1).alias("e1"))
-            .distinct()
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("vec_id").alias("s"),
-                F.round(F.sum("e1"), 3).alias("c"),
-            )
-            .first()
-        )
-        if (a["n"], a["s"], a["c"]) != (b["n"], b["s"], b["c"]):
-            S.build_lsh_index(emb, idx, n_planes=4, n_tables=4)
-    _FRESH_INDEXES.add(idx)
-    return idx
+    return _ensure_index(
+        spark,
+        idx,
+        marker="_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_lsh_index(emb, idx, n_planes=4, n_tables=4),
+        stored_pairs=lambda: spark.read.parquet(idx)
+        .select("vec_id", F.element_at("v", 1).alias("e1"))
+        .distinct(),
+    )
 
 
 def _ensure_pq816(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing pq8x16 index path (ann_pq, ann_family_recall)."""
-    import os
-
+    """Build-if-missing + staleness-guarded pq8x16 index path (ann_pq,
+    ann_family_recall). PQ stores only codes — staleness compares the
+    ``content.fp`` sidecar written at build time (ADVICE r14)."""
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = _index_dir(sf_dir, "pq8x16")
-    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
-        S.build_pq_index(
-            load_table(spark, sf_dir, "embeddings"), idx, m=8, k=16, seed=42
-        )
-    return idx
+    return _ensure_index(
+        spark,
+        idx,
+        marker="codes/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_pq_index(emb, idx, m=8, k=16, seed=42),
+    )
 
 
 def _ensure_ivfpq(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing ivfpq8x8x16 index path (ann_ivfpq,
-    ann_family_recall)."""
-    import os
-
+    """Build-if-missing + staleness-guarded ivfpq8x8x16 index path
+    (ann_ivfpq, ann_family_recall). Codes-only index — sidecar
+    fingerprint, like :func:`_ensure_pq816` (ADVICE r14)."""
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = _index_dir(sf_dir, "ivfpq8x8x16")
-    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
-        S.build_ivfpq_index(
-            load_table(spark, sf_dir, "embeddings"), idx,
-            n_lists=8, m=8, k=16, seed=42,
-        )
-    return idx
+    return _ensure_index(
+        spark,
+        idx,
+        marker="codes/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_ivfpq_index(
+            emb, idx, n_lists=8, m=8, k=16, seed=42
+        ),
+    )
 
 
 
@@ -4377,17 +4443,23 @@ def _recall_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
 
 
 def _ensure_ivf32(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing ivf32 index — the second n_lists point of the
-    operating-point sweep (VERDICT r13 #1: 'ideally two n_lists
-    builds')."""
-    import os
-
+    """Build-if-missing + staleness-guarded ivf32 index — the second
+    n_lists point of the operating-point sweep (VERDICT r13 #1:
+    'ideally two n_lists builds'); fingerprinted like ivf8 (ADVICE
+    r14)."""
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = _index_dir(sf_dir, "ivf32")
-    if not os.path.exists(os.path.join(idx, "cells", "_SUCCESS")):
-        S.build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), idx, n_lists=32, seed=42
-        )
-    return idx
+    return _ensure_index(
+        spark,
+        idx,
+        marker="cells/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_ivf_index(emb, idx, n_lists=32, seed=42),
+        stored_pairs=lambda: S._ivf_cells(spark, idx).select(
+            "vec_id", F.element_at(F.col("arr"), 1).alias("e1")
+        ),
+    )
 
 
 @query(
@@ -5070,10 +5142,17 @@ def _text_embed_ctes() -> str:
     {{embed}}
     ,
     qu AS (SELECT bucket, u FROM du WHERE doc_id = 0)
-    SELECT d.doc_id, round(sum(d.u * q.u), 6) AS cosine
-    FROM du d JOIN qu q USING (bucket)
-    WHERE d.doc_id != 0
-    GROUP BY d.doc_id
+    -- left-join ALL docs with coalesce(dot, 0): zero-norm docs and docs
+    -- sharing no hash bucket with the query are kept at cosine 0.0,
+    -- exactly like the engine's zero-vector dot (ADVICE r14 — on a
+    -- degenerate corpus with < 10 positive-cosine neighbors the inner
+    -- join under-produced vs the engine's padded top-10)
+    SELECT d.doc_id, round(coalesce(s.dot, 0.0), 6) AS cosine
+    FROM (SELECT doc_id FROM documents WHERE doc_id != 0) d
+    LEFT JOIN (
+      SELECT du.doc_id, sum(du.u * q.u) AS dot
+      FROM du JOIN qu q USING (bucket) GROUP BY du.doc_id
+    ) s USING (doc_id)
     ORDER BY cosine DESC, doc_id
     LIMIT 10
     """.replace("{embed}", _text_embed_ctes()),

@@ -485,7 +485,20 @@ def stream_ivf_index_ingest(
                 vec_col=vec_col,
                 retries=2,
             )
-            if drift_log is not None:
+            if drift_log is not None and not (
+                # idempotent per batch_id like the REPLACE upsert beside
+                # it (ADVICE r14): a redelivered micro-batch (failure /
+                # restart replay) must not append a duplicate drift row —
+                # one-row-per-batch consumers and row counts stay exact.
+                # The log is tiny (one row per batch), so the existence
+                # probe is a bounded read.
+                _path_exists(spark, drift_log)
+                and spark.read.parquet(drift_log)
+                .where(F.col("batch_id") == int(batch_id))
+                .limit(1)
+                .count()
+                > 0
+            ):
                 stats = ivf_assignment_stats(
                     spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
                 )
