@@ -492,13 +492,26 @@ def ivf_topk(
     )
 
 
+def default_n_lists(n_rows: int) -> int:
+    """Size-derived IVF list count: ``ceil(sqrt(N))`` clamped to
+    [2, 65536] — the classic IVF sizing rule (FAISS guidelines), and
+    the policy the r14 two-build sweep MEASURED: at equal recall the
+    sqrt-sized quantizer scans ~1.7x fewer candidate rows than a
+    fixed-8 build (ann_recall_sweep vs ann_recall_sweep_ivf32,
+    BASELINE r14). At 100 TB (~1e9+ vectors) this lands at the cap,
+    where per-cell postings stay partition-sized."""
+    import math
+
+    return max(2, min(int(math.ceil(math.sqrt(max(n_rows, 1)))), 65536))
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     seed: int = 42,
 ) -> None:
     """Build-once half of the IVF lifecycle: fit seeded KMeans, write the
@@ -530,6 +543,13 @@ def build_ivf_index(
     vecs = embeddings.select(
         F.col(id_col), V.as_double(vec_col).alias("arr")
     ).withColumn("feat", array_to_vector(F.col("arr")))
+    if n_lists is None:
+        # n_lists ~ sqrt(N) (default_n_lists): one count() at build
+        # time buys the measured ~1.7x probe-cost win at equal recall;
+        # the chosen value is recoverable from the centroid table's row
+        # count (flat layout) and recorded in the manifest (upserted
+        # layout).
+        n_lists = default_n_lists(vecs.count())
     model = KMeans(k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell").fit(vecs)
     assigned = model.transform(vecs).select(id_col, "arr", "cell")
     cent = embeddings.sparkSession.createDataFrame(
@@ -550,6 +570,7 @@ def build_ivf_index(
         path,
         int(prior["version"]) + 1,
         {
+            "n_lists": n_lists,
             "centroids": f"{obj}/centroids",
             "cells": bucket_map(path, obj, "cells", "cell"),
         },
@@ -1360,7 +1381,7 @@ def build_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = 8,
     m: int = 8,
     k: int = 16,
     seed: int = 42,
@@ -1389,6 +1410,8 @@ def build_ivfpq_index(
     norm = V.l2_normalize(V.as_double(vec_col))
     df = embeddings.select(F.col(id_col), norm.alias("arr"))
     vecs = df.withColumn("feat", array_to_vector(F.col("arr")))
+    if n_lists is None:
+        n_lists = default_n_lists(vecs.count())  # sqrt(N) policy
     km = KMeans(
         k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell"
     ).fit(vecs)

@@ -363,3 +363,37 @@ def test_empty_probe_schema_matches_built_id_type(spark, tmp_path, emb, probe_ve
     assert [f.dataType.simpleString() for f in bare.schema.fields] == [
         "bigint", "double",
     ]
+
+
+def test_size_derived_n_lists_default(spark, tmp_path, emb, probe_vec):
+    """n_lists=None sizes the quantizer by the sqrt(N) policy the r14
+    two-build sweep measured (~1.7x fewer candidate rows at equal
+    recall): ceil(sqrt(N)) clamped to [2, 65536], recoverable from the
+    centroid table (flat build) and recorded in the manifest (rebuild
+    at a manifested path)."""
+    # pure policy unit points, including both clamps
+    assert SIM.default_n_lists(1) == 2
+    assert SIM.default_n_lists(100) == 10
+    assert SIM.default_n_lists(101) == 11
+    assert SIM.default_n_lists(10**12) == 65536
+
+    # two corpus sizes through the actual build
+    small = emb.limit(100)
+    idx_small = str(tmp_path / "ivf_auto_small")
+    SIM.build_ivf_index(small, idx_small, n_lists=None, seed=42)
+    assert SIM._ivf_centroids(spark, idx_small).count() == 10
+
+    idx_full = str(tmp_path / "ivf_auto_full")
+    n = emb.count()
+    SIM.build_ivf_index(emb, idx_full, n_lists=None, seed=42)
+    assert SIM._ivf_centroids(spark, idx_full).count() == SIM.default_n_lists(n)
+
+    # manifested rebuild records the derived value
+    SIM.ivf_upsert(spark, idx_small, _new_vec(spark, probe_vec))
+    SIM.build_ivf_index(small, idx_small, n_lists=None, seed=42)
+    man = IC.read_index_manifest(idx_small)
+    assert man is not None and man["n_lists"] == 10
+
+    # probes work unchanged against the auto-sized index
+    got = SIM.ivf_query(spark, idx_full, probe_vec, k=5, n_probe=3)
+    assert got.count() == 5
