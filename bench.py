@@ -102,6 +102,8 @@ HEADLINE = [
     "ann_family_recall",  # cross-family recall@10 at shipped defaults (r14)
     "ann_text_embed_topk",  # deterministic text encoder, cosine top-k (r14)
     "retrieval_quality_hybrid_textemb",  # text-embed hybrid fusion metrics (r14)
+    "ann_text_embed_ivf",  # encoder served through the persisted IVF probe (r15)
+    "ann_recall_sweep_textivf",  # operating-point curve over the text index (r15)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index

@@ -535,6 +535,7 @@ _ORACLE_PQ_DIR = _index_dir("sf0.01", "pq8x16")
 _ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
 _ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
 _ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
+_ORACLE_IVFTEXT_DIR = _index_dir("sf0.01", "ivftext")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -4357,8 +4358,24 @@ def _recall_sweep_oracle(index_dir: str, n_lists: int) -> str:
     """
 
 
-def _recall_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
-    """The one-pass sweep plan (shared by the ivf8 and ivf32 rows).
+def _recall_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    idx: str,
+    *,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    use_dot: bool = False,
+) -> DataFrame:
+    """The one-pass sweep plan (shared by the ivf8, ivf32, and
+    text-derived-index rows).
+
+    ``emb``/``id_col`` generalize the corpus beyond the fixture
+    embeddings table (r15: the text-derived encoder output indexed by
+    doc_id). ``use_dot=True`` scores with the raw dot product — for
+    l2-NORMALIZED corpora (the encoder's output) dot IS cosine, with no
+    division anywhere, so both engines agree bit-for-bit even on
+    zero-norm rows (dot 0.0 instead of NULL).
 
     Identity (VERDICT r13 #1): with a total candidate order (cosine
     rounded to 6 dp DESC, vec_id ASC, self excluded on both sides), a
@@ -4371,26 +4388,34 @@ def _recall_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
     + tiny rank joins instead of n_lists probe runs."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col(id_col) < 3).select(
+        F.col(id_col).alias("query_id"), V.as_double("embedding").alias("qv")
     )
-    corpus = emb.select("vec_id", V.as_double("embedding").alias("v"))
-    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    corpus = emb.select(
+        F.col(id_col).alias("vid"), V.as_double("embedding").alias("v")
+    )
+    score = (
+        V.dot(F.col("v"), F.col("qv"))
+        if use_dot
+        else V.cosine(F.col("v"), F.col("qv"))
+    )
+    cos = F.round(score, 6)
     exact = (
         corpus.join(F.broadcast(qv))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", cos.alias("cosine"))
         .withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.desc("cosine"), F.asc("vec_id")
+                    F.desc("cosine"), F.asc("vid")
                 )
             ),
         )
         .where(F.col("rk") <= 10)
-        .select("query_id", "vec_id")
+        .select("query_id", "vid")
     )
     cent = S._ivf_centroids(spark, idx)
     dist = F.aggregate(
@@ -4407,9 +4432,9 @@ def _recall_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
         )
         .select("query_id", "cell", "crk")
     )
-    cells = S._ivf_cells(spark, idx).select("vec_id", "cell")
+    cells = S._ivf_cells(spark, idx).select(F.col(id_col).alias("vid"), "cell")
     truth = (
-        exact.join(cells, "vec_id")
+        exact.join(cells, "vid")
         .join(crk, ["query_id", "cell"])
         .select("query_id", "crk")
     )
@@ -4495,6 +4520,206 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_sweep_ivf32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_sweep(spark, sf_dir, _ensure_ivf32(spark, sf_dir))
+
+
+def _text_emb(spark: SparkSession, sf_dir: str, feats: DataFrame | None = None):
+    """The text-derived corpus embedding (doc_id, embedding) — shared
+    derivation for the ivftext ensure/sweep (encoder of
+    ``ann_text_embed_topk``, operators/embedding.py)."""
+    from ..operators import embedding as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    return E.hashed_tfidf_embed(docs, dim=64, feats=feats)
+
+
+def _ensure_ivftext(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded IVF index over the
+    TEXT-DERIVED embeddings (VERDICT r14 #1 — the seam between the r14
+    encoder and the index stack): the build persists BOTH halves of a
+    serving deployment — the encoder's vocabulary/feature table
+    (``<idx>/feats``, what embeds incoming queries) and the IVF index
+    over the encoded corpus, sized by the sqrt(N) policy
+    (``n_lists=None`` -> 23 lists at 500 docs, 71 at 5000).
+    Staleness fingerprints the committed cells against the LIVE encoder
+    output, so a regenerated documents fixture rebuilds both."""
+    from ..operators import embedding as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = E.hashed_token_features(docs, dim=64)
+    emb = E.hashed_tfidf_embed(docs, dim=64, feats=feats)
+    idx = _index_dir(sf_dir, "ivftext")
+
+    def _build() -> None:
+        feats.coalesce(1).write.mode("overwrite").parquet(idx + "/feats")
+        S.build_ivf_index(emb, idx, id_col="doc_id", n_lists=None, seed=42)
+
+    return _ensure_index(
+        spark,
+        idx,
+        marker="cells/_SUCCESS",
+        src_pairs=_emb_pairs(emb, id_col="doc_id"),
+        id_col="doc_id",
+        build=_build,
+        stored_pairs=lambda: S._ivf_cells(spark, idx).select(
+            "doc_id", F.element_at(F.col("arr"), 1).alias("e1")
+        ),
+    )
+
+
+@query(
+    "ann_recall_sweep_textivf",
+    tier="local",
+    # One-pass recall/cost curve over the TEXT-DERIVED index. Both
+    # engines take corpus vectors, centroids, and the probe universe
+    # (n_probe = the distinct centroid ranks) from the committed index
+    # files; exact truth ranks by round(dot, 6) — the corpus is
+    # l2-normalized by the encoder, so dot IS cosine with no division
+    # anywhere and both engines agree even on zero-norm rows. The
+    # staleness fingerprint (_ensure_ivftext) ties the committed files
+    # to the live encoder output, so the sweep can never score a stale
+    # index against fresh truth (ADVICE r14).
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(doc_id AS BIGINT) AS vid, CAST(arr AS DOUBLE[]) AS v,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    hq AS (SELECT vid AS qvid, v AS qv FROM cells WHERE vid < 3),
+    exact AS (
+      SELECT qvid, vid FROM (
+        SELECT hq.qvid, c.vid,
+               row_number() OVER (
+                 PARTITION BY hq.qvid
+                 ORDER BY round(list_dot_product(c.v, hq.qv), 6) DESC, c.vid
+               ) AS rk
+        FROM hq, cells c WHERE c.vid != hq.qvid
+      ) WHERE rk <= 10
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/centroids/*.parquet')
+    ),
+    cranked AS (
+      SELECT hq.qvid, cent.cell,
+             row_number() OVER (
+               PARTITION BY hq.qvid
+               ORDER BY list_distance(cent.centroid, hq.qv), cent.cell
+             ) AS crk
+      FROM cent, hq
+    ),
+    truth AS (
+      SELECT exact.qvid, cr.crk
+      FROM exact
+      JOIN cells c ON c.vid = exact.vid
+      JOIN cranked cr ON cr.qvid = exact.qvid AND cr.cell = c.cell
+    ),
+    cellsz AS (SELECT cell, count(*) AS cn FROM cells GROUP BY 1),
+    probes AS (SELECT DISTINCT crk AS n_probe FROM cranked),
+    rec AS (
+      SELECT p.n_probe, t.qvid,
+             sum(CASE WHEN t.crk <= p.n_probe THEN 1 ELSE 0 END) / 10.0 AS r
+      FROM probes p, truth t GROUP BY 1, 2
+    ),
+    recm AS (SELECT n_probe, round(avg(r), 6) AS recall_at_10 FROM rec GROUP BY 1),
+    cost AS (
+      SELECT p.n_probe, cr.qvid, sum(cz.cn) AS rows_q
+      FROM probes p, cranked cr JOIN cellsz cz ON cz.cell = cr.cell
+      WHERE cr.crk <= p.n_probe GROUP BY 1, 2
+    ),
+    costm AS (
+      SELECT n_probe, round(avg(rows_q), 6) AS mean_cand_rows FROM cost GROUP BY 1
+    )
+    SELECT n_probe, recall_at_10, mean_cand_rows
+    FROM recm JOIN costm USING (n_probe) ORDER BY n_probe
+    """,
+    description="Operating-point sweep over the TEXT-DERIVED IVF index "
+    "(encoder output has fatter ambient-cosine tails than the jittered "
+    "fixture embeddings, so the shipped n_probe must be re-measured, "
+    "not assumed): recall@10 + mean candidate rows for every n_probe "
+    "over the sqrt(N)-sized ivftext build, in ONE pass via the "
+    "probed-cell dominance identity — this curve sizes "
+    "ann_text_embed_ivf's shipped n_probe",
+)
+def ann_recall_sweep_textivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ensure_ivftext(spark, sf_dir)
+    return _recall_sweep(
+        spark, sf_dir, idx,
+        emb=_text_emb(spark, sf_dir), id_col="doc_id", use_dot=True,
+    )
+
+
+@query(
+    "ann_text_embed_ivf",
+    tier="local",
+    # The indexed twin of ann_text_embed_topk (VERDICT r14 #1): the
+    # SAME deterministic encoder, but served through the persisted IVF
+    # manifest probe instead of a per-query full scan — encoder ->
+    # build_ivf_index at ingest, then probe-time work is embedding ONE
+    # document against the PERSISTED feature table plus a scan of
+    # n_probe cell partitions. Approximate vs brute force, EXACT given
+    # the persisted index: the oracle re-derives the probe set and the
+    # restricted top-k from the same committed parquet.
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(arr AS DOUBLE[]) AS qv
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+      WHERE doc_id = 0
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT cell FROM cent, q
+      ORDER BY list_distance(centroid, qv), cell
+      LIMIT 9
+    ),
+    cand AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(arr AS DOUBLE[]) AS arr,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+      WHERE CAST(cell AS INT) IN (SELECT cell FROM probe) AND doc_id != 0
+    )
+    SELECT doc_id, round(list_cosine_similarity(arr, qv), 6) AS cosine, cell
+    FROM cand, q
+    ORDER BY cosine DESC, doc_id
+    LIMIT 10
+    """,
+    description="Text-derived semantic top-k SERVED THROUGH THE INDEX: "
+    "the query document is embedded against the index's PERSISTED "
+    "vocabulary table (one broadcast join over one doc's tokens — the "
+    "real serving shape, no corpus pass), then the manifest probe scans "
+    "only the n_probe nearest cell partitions of the sqrt(N)-sized "
+    "ivftext build. Replaces the retrieval surface's last per-query "
+    "full scan (ann_text_embed_topk stays as the exact-truth twin); "
+    "n_probe=9 is the measured operating point from "
+    "ann_recall_sweep_textivf — the smallest n_probe with recall@10 "
+    ">= 0.9 at BOTH corpus sizes (0.933 at 500 docs/23 lists, 0.900 at "
+    "5000 docs/71 lists; the text encoder's fat ambient-cosine tails "
+    "need a larger n_probe/n_lists fraction than the jittered fixtures' "
+    "6/8)",
+)
+def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    idx = _ensure_ivftext(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = spark.read.parquet(idx + "/feats")
+    # serving path: embed ONE document with the persisted vocabulary —
+    # bounded .first() over a one-row derivation (fixes the r14 watch
+    # item where the query vector came from the full corpus lineage)
+    qrow = E.hashed_tfidf_embed(
+        docs.where(F.col("doc_id") == 0), dim=64, feats=feats
+    ).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return S.ivf_query(
+        spark, idx, qvec, k=10, n_probe=9, id_col="doc_id", exclude_id=0,
+        include_cell=True,
+    )
 
 
 @query(
