@@ -704,6 +704,51 @@ def _lsh_banded_rows(
     )
 
 
+def write_lsh_signatures(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> None:
+    """Compact MAX-CONFIG signature table ``(id, e1, table_id, bucket)``
+    for OFFLINE operating-point sweeps (one coalesced parquet file, not
+    a serving index): because :func:`_hyperplanes` generates planes
+    sequentially from one LCG stream and :func:`_bucket_expr` packs
+    plane ``p`` into bit ``p``, the low ``b`` bits of an ``n_planes``
+    signature ARE the bucket a real ``b``-plane build (same table seed)
+    would assign, and tables ``0..t-1`` ARE the tables a ``t``-table
+    build creates. One n_planes x n_tables signature pass therefore
+    yields EVERY (tables<=n_tables, bits<=n_planes) configuration's
+    exact behavior by prefix masking — the whole tables x bits recall
+    frontier from one table (ann_lsh_band_sweep). ``e1`` (first vector
+    component) rides along for the staleness fingerprint."""
+    v = V.as_double(vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(v, n_planes, dim, seed=42 + 1000 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    (
+        embeddings.select(
+            F.col(id_col),
+            F.element_at(v, 1).alias("e1"),
+            F.explode(tables).alias("b"),
+        )
+        .select(id_col, "e1", F.col("b.table_id"), F.col("b.bucket"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def _lsh_bucket_map(path: str, obj_rel: str) -> dict[str, str]:
     """Two-level ``"table/bucket" -> dir`` map for the hive dirs a
     banded write just produced under ``objects/<id>/banded``."""
@@ -1457,8 +1502,17 @@ def ivfpq_query_rerank(
     query_vec: list[float],
     k_results: int = 10,
     *,
-    n_probe: int = 3,
-    shortlist: int = 100,
+    # defaults = the measured >=0.9-recall@10 operating point for the
+    # shipped 8-list m=8/k=16 fixture index (ann_recall_sweep_ivfpq,
+    # r15): recall 0.967 at sf0.01 and 0.933 at sf0.1. The shortlist
+    # depth is the honest price of 16-code ADC resolution — recall at
+    # shortlist=100 CEILINGS at 0.60 on the 2000-vector corpus no
+    # matter how many cells are probed, so reaching 0.9 means reranking
+    # ~25% of the corpus. At real scale the fix is finer codebooks
+    # (k=256: 8 bits/subspace, FAISS's default), not deeper rerank;
+    # re-run the sweep whenever m/k/n_lists change.
+    n_probe: int = 6,
+    shortlist: int = 500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,

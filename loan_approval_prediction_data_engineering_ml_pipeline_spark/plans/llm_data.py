@@ -896,7 +896,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (
       SELECT cell FROM cent, qn
       ORDER BY list_distance(centroid, nv), cell
-      LIMIT 3
+      LIMIT 6
     ),
     books AS (
       SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
@@ -920,7 +920,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.vec_id
     ),
     shortlist AS (
-      SELECT vec_id FROM scores ORDER BY pq_score DESC, vec_id LIMIT 100
+      SELECT vec_id FROM scores ORDER BY pq_score DESC, vec_id LIMIT 500
     )
     SELECT e.vec_id,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qn.nv), 6) AS cosine
@@ -940,7 +940,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_ivfpq(spark, sf_dir)
     return S.ivfpq_query_rerank(
         spark, idx, load_table(spark, sf_dir, "embeddings"),
-        _query_vec(spark, sf_dir, 0), 10, n_probe=3, shortlist=100, exclude_id=0,
+        _query_vec(spark, sf_dir, 0), 10, n_probe=6, shortlist=500, exclude_id=0,
     )
 
 
@@ -4723,6 +4723,331 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_sweep_ivfpq",
+    tier="local",
+    # One-pass operating-point sweep for the COMPOSITE index (VERDICT
+    # r14 #2: IVF-PQ sat at 0.70 recall at the shipped n_probe=3 x
+    # shortlist=100 with no measured curve behind it). The dominance
+    # identity extends to the two-stage probe: with the exact-cosine
+    # rerank ranking by the SAME total order as the truth ranking, a
+    # ground-truth top-10 neighbor is in the final top-10 IFF (a) its
+    # cell is probed AND (b) it survives the ADC shortlist cut — i.e.
+    # fewer than `shortlist` candidates in the probed cells ADC-outrank
+    # it. So the whole n_probe x shortlist grid needs ONE exact scan +
+    # ONE full-corpus ADC scoring per query (the sweep is a report; the
+    # serving path stays cell-pruned), a better-than-truth count per
+    # (truth, candidate-cell-rank), and tiny rank joins — instead of 32
+    # probe runs. ADC scores round to 6 dp before ranking (vec_id ties)
+    # exactly like the probe, so both engines derive identical counts.
+    oracle=f"""
+    WITH hq AS (
+      SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact AS (
+      SELECT qvid, vec_id FROM (
+        SELECT hq.qvid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY hq.qvid
+                 ORDER BY round(list_cosine_similarity(e.v, hq.qv), 6) DESC,
+                          e.vec_id
+               ) AS rk
+        FROM hq, e WHERE e.vec_id != hq.qvid
+      ) WHERE rk <= 10
+    ),
+    hqn AS (
+      SELECT qvid,
+             list_transform(qv, x -> x / sqrt(list_sum(list_transform(qv, y -> y*y)))) AS nv
+      FROM hq
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/centroids/*.parquet')
+    ),
+    cranked AS (
+      SELECT hqn.qvid, cent.cell,
+             row_number() OVER (
+               PARTITION BY hqn.qvid
+               ORDER BY list_distance(cent.centroid, hqn.nv), cent.cell
+             ) AS crk
+      FROM cent, hqn
+    ),
+    books AS (
+      SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
+             CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codebooks/*.parquet')
+    ),
+    tab AS (
+      SELECT hqn.qvid, b.j, b.code,
+             list_dot_product(b.centroid, hqn.nv[b.j*8+1 : b.j*8+8]) AS ip
+      FROM books b, hqn
+    ),
+    cvec AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, codes, CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codes/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    scores AS (
+      SELECT t.qvid, c.vec_id, c.cell, round(sum(t.ip), 6) AS s
+      FROM (SELECT vec_id, cell, r.j, codes[r.j+1] AS code
+            FROM cvec, range(8) r(j)) c
+      JOIN tab t ON t.j = c.j AND t.code = c.code
+      GROUP BY t.qvid, c.vec_id, c.cell
+    ),
+    candj AS (
+      SELECT sc.qvid, sc.vec_id, sc.s, CAST(cr.crk AS INT) AS crk
+      FROM scores sc
+      JOIN cranked cr ON cr.qvid = sc.qvid AND cr.cell = sc.cell
+      WHERE sc.vec_id != sc.qvid
+    ),
+    t AS (
+      SELECT exact.qvid, exact.vec_id AS tvid, cj.s AS ts, cj.crk AS tcrk
+      FROM exact
+      JOIN candj cj ON cj.qvid = exact.qvid AND cj.vec_id = exact.vec_id
+    ),
+    bc AS (
+      SELECT cj.qvid, t.tvid, cj.crk, count(*) AS nb
+      FROM candj cj JOIN t ON t.qvid = cj.qvid
+      WHERE cj.vec_id != t.tvid
+        AND (cj.s > t.ts OR (cj.s = t.ts AND cj.vec_id < t.tvid))
+      GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT DISTINCT CAST(crk AS INT) AS n_probe FROM cranked),
+    sls AS (SELECT * FROM (VALUES (10), (25), (50), (100), (250), (500)) v(shortlist)),
+    grid AS (SELECT p.n_probe, t.qvid, t.tvid, t.tcrk FROM probes p, t),
+    ab AS (
+      SELECT g.n_probe, g.qvid, g.tvid, g.tcrk,
+             sum(CASE WHEN bc.crk <= g.n_probe THEN bc.nb ELSE 0 END) AS nbetter
+      FROM grid g LEFT JOIN bc ON bc.qvid = g.qvid AND bc.tvid = g.tvid
+      GROUP BY 1, 2, 3, 4
+    ),
+    surv AS (
+      SELECT ab.n_probe, s.shortlist, ab.qvid,
+             CASE WHEN ab.tcrk <= ab.n_probe AND ab.nbetter + 1 <= s.shortlist
+                  THEN 1 ELSE 0 END AS hit
+      FROM ab, sls s
+    ),
+    recm AS (
+      SELECT n_probe, shortlist, round(avg(r), 6) AS recall_at_10 FROM (
+        SELECT n_probe, shortlist, qvid, sum(hit) / 10.0 AS r
+        FROM surv GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    cellsz AS (SELECT cell, count(*) AS cn FROM cvec GROUP BY 1),
+    costm AS (
+      SELECT n_probe, round(avg(rows_q), 6) AS mean_adc_rows FROM (
+        SELECT p.n_probe, cr.qvid, sum(cz.cn) AS rows_q
+        FROM probes p, cranked cr JOIN cellsz cz ON cz.cell = cr.cell
+        WHERE cr.crk <= p.n_probe GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    ccnt AS (SELECT qvid, crk, count(*) AS cn FROM candj GROUP BY 1, 2),
+    crows AS (
+      SELECT p.n_probe, c.qvid,
+             sum(CASE WHEN c.crk <= p.n_probe THEN c.cn ELSE 0 END) AS cand_rows
+      FROM probes p, ccnt c GROUP BY 1, 2
+    ),
+    rrm AS (
+      SELECT cr.n_probe, s.shortlist,
+             round(avg(least(s.shortlist, cr.cand_rows)), 6) AS mean_rerank_rows
+      FROM crows cr, sls s GROUP BY 1, 2
+    )
+    SELECT n_probe, shortlist, recall_at_10, mean_adc_rows, mean_rerank_rows
+    FROM recm JOIN costm USING (n_probe) JOIN rrm USING (n_probe, shortlist)
+    ORDER BY n_probe, shortlist
+    """,
+    description="IVF-PQ operating-point sweep: recall@10 + ADC-scan and "
+    "rerank costs for every (n_probe, shortlist) cell of the composite "
+    "probe, in ONE pass via the two-stage dominance identity (cell "
+    "probed AND fewer than `shortlist` ADC-better candidates in the "
+    "probed cells). This curve sizes the shipped IVF-PQ defaults the "
+    "way ann_recall_sweep sized IVF's n_probe in r14",
+)
+def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    idx = _ensure_ivfpq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact truth: raw-space cosine (scale-invariant, so identical in
+    # the normalized space the index ranks in) — same convention as
+    # ann_family_recall
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    exact = (
+        corpus.join(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    snap = S._ivfpq_snapshot(idx)
+    cent = spark.read.parquet(os.path.join(idx, snap["centroids"]))
+    if snap["version"] == 0:
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+    else:
+        codes = S._read_manifest_dirs(
+            spark, idx, sorted(set(snap["cells"].values()))
+        )
+    codes = codes.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "codes"
+    )
+    # centroid rank per query — in NORMALIZED space (the quantizer was
+    # fit on the normalized corpus)
+    nqv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        V.l2_normalize(V.as_double("embedding")).alias("nv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    crk = (
+        nqv.join(F.broadcast(cent))
+        .select("query_id", "cell", dist.alias("d"))
+        .withColumn(
+            "crk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d", "cell")),
+        )
+        .select("query_id", "cell", "crk")
+    )
+    # per-query ADC over ALL committed code rows: one scan per query —
+    # the sweep is a report, the serving path stays cell-pruned.
+    # 3 bounded rows collected for the driver-side ADC literal tables.
+    qraw = (
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", V.as_double("embedding").alias("v"))
+        .collect()
+    )
+    cand = reduce(
+        DataFrame.unionByName,
+        [
+            codes.select(
+                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                "vec_id",
+                "cell",
+                F.round(S._adc_score(spark, idx, list(r["v"])), 6).alias("s"),
+            )
+            for r in qraw
+        ],
+    ).where(F.col("vec_id") != F.col("query_id"))
+    candj = cand.join(crk, ["query_id", "cell"])
+    tt = exact.join(
+        candj.select(
+            "query_id",
+            "vec_id",
+            F.col("s").alias("ts"),
+            F.col("crk").alias("tcrk"),
+        ),
+        ["query_id", "vec_id"],
+    ).select("query_id", F.col("vec_id").alias("tvid"), "ts", "tcrk")
+    # better-than-truth count per (truth neighbor, candidate cell rank):
+    # the one relation from which EVERY (n_probe, shortlist) point's
+    # ADC rank follows by a bounded rank-prefix sum
+    bc = (
+        candj.join(F.broadcast(tt), "query_id")
+        .where(
+            (F.col("vec_id") != F.col("tvid"))
+            & (
+                (F.col("s") > F.col("ts"))
+                | ((F.col("s") == F.col("ts")) & (F.col("vec_id") < F.col("tvid")))
+            )
+        )
+        .groupBy("query_id", "tvid", "crk")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    n_lists = cent.count()
+    probes = spark.range(1, n_lists + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    sls = spark.createDataFrame(
+        [(s,) for s in (10, 25, 50, 100, 250, 500)], "shortlist int"
+    )
+    grid = probes.crossJoin(F.broadcast(tt.select("query_id", "tvid", "tcrk")))
+    ab = (
+        grid.join(F.broadcast(bc), ["query_id", "tvid"], "left")
+        .groupBy("n_probe", "query_id", "tvid", "tcrk")
+        .agg(
+            F.sum(
+                F.when(F.col("crk") <= F.col("n_probe"), F.col("nb")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nbetter")
+        )
+    )
+    surv = ab.crossJoin(F.broadcast(sls)).withColumn(
+        "hit",
+        F.when(
+            (F.col("tcrk") <= F.col("n_probe"))
+            & (F.col("nbetter") + 1 <= F.col("shortlist")),
+            1,
+        ).otherwise(0),
+    )
+    rec = (
+        surv.groupBy("n_probe", "shortlist", "query_id")
+        .agg((F.sum("hit") / F.lit(10.0)).alias("r"))
+        .groupBy("n_probe", "shortlist")
+        .agg(F.round(F.avg("r"), 6).alias("recall_at_10"))
+    )
+    cellsz = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    scan = crk.join(F.broadcast(cellsz), "cell").select("query_id", "crk", "cn")
+    cost = (
+        probes.join(F.broadcast(scan))
+        .where(F.col("crk") <= F.col("n_probe"))
+        .groupBy("n_probe", "query_id")
+        .agg(F.sum("cn").alias("rows_q"))
+        .groupBy("n_probe")
+        .agg(F.round(F.avg("rows_q"), 6).alias("mean_adc_rows"))
+    )
+    ccnt = candj.groupBy("query_id", "crk").agg(F.count(F.lit(1)).alias("cn"))
+    crows = (
+        probes.join(F.broadcast(ccnt))
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("crk") <= F.col("n_probe"), F.col("cn")).otherwise(0)
+            ).alias("cand_rows")
+        )
+    )
+    rr = (
+        crows.crossJoin(F.broadcast(sls))
+        .select(
+            "n_probe",
+            "shortlist",
+            F.least(F.col("shortlist").cast("long"), F.col("cand_rows")).alias(
+                "rrows"
+            ),
+        )
+        .groupBy("n_probe", "shortlist")
+        .agg(F.round(F.avg("rrows"), 6).alias("mean_rerank_rows"))
+    )
+    return (
+        rec.join(cost, "n_probe")
+        .join(rr, ["n_probe", "shortlist"])
+        .select(
+            "n_probe", "shortlist", "recall_at_10", "mean_adc_rows",
+            "mean_rerank_rows",
+        )
+        .orderBy("n_probe", "shortlist")
+    )
+
+
+@query(
     "ann_family_recall",
     tier="local",
     # Cross-family quality report (VERDICT r13 #7): recall@10 of each
@@ -4859,8 +5184,9 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN hqn n ON n.qvid = s.qvid
       ) WHERE rk <= 10
     ),
-    -- IVF-PQ arm: normalized-space coarse probe (3 cells), ADC over
-    -- probed cells' codes, shortlist 100, exact rerank
+    -- IVF-PQ arm: normalized-space coarse probe (6 cells), ADC over
+    -- probed cells' codes, shortlist 500, exact rerank (the r15
+    -- ann_recall_sweep_ivfpq operating point)
     qcent AS (
       SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
       FROM read_parquet('{_ORACLE_IVFPQ_DIR}/centroids/*.parquet')
@@ -4892,7 +5218,7 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.qvid, c.vec_id, round(sum(t.ip), 6) AS pq_score
       FROM (SELECT p.qvid, v.vec_id, r.j, v.codes[r.j+1] AS code
             FROM qcvec v
-            JOIN (SELECT qvid, cell FROM qcrk WHERE crk <= 3) p
+            JOIN (SELECT qvid, cell FROM qcrk WHERE crk <= 6) p
               ON p.cell = v.cell
             CROSS JOIN range(8) r(j)
             WHERE v.vec_id != p.qvid) c
@@ -4906,7 +5232,7 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  PARTITION BY qvid ORDER BY pq_score DESC, vec_id
                ) AS rk
         FROM qscores
-      ) WHERE rk <= 100
+      ) WHERE rk <= 500
     ),
     ivfpq10 AS (
       SELECT qvid, vec_id FROM (
@@ -4942,8 +5268,8 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact brute-force top-10 for all four committed index families at "
     "their shipped defaults — IVF (n_probe=6, the sweep operating "
     "point), hyperplane-LSH (4 tables x 4 bits), flat PQ (m=8, k=16, "
-    "ADC shortlist 100 + exact rerank), and IVF-PQ (3-cell probe + ADC "
-    "+ rerank) — mean over the 3 query vectors; the comparison that "
+    "ADC shortlist 100 + exact rerank), and IVF-PQ (6-cell probe + ADC "
+    "shortlist 500 + rerank, the r15 sweep operating point) — mean over the 3 query vectors; the comparison that "
     "picks a family for a workload (pair with each family's bench "
     "latency row). Every arm is the family's existing single-query "
     "oracle generalized PARTITION BY query",
@@ -5018,7 +5344,7 @@ def ann_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             tag(
                 S.ivfpq_query_rerank(
                     spark, ivfpq, emb, vecs[i], 10,
-                    n_probe=3, shortlist=100, exclude_id=i,
+                    n_probe=6, shortlist=500, exclude_id=i,
                 ),
                 i,
             )
