@@ -104,6 +104,8 @@ HEADLINE = [
     "retrieval_quality_hybrid_textemb",  # text-embed hybrid fusion metrics (r14)
     "ann_text_embed_ivf",  # encoder served through the persisted IVF probe (r15)
     "ann_recall_sweep_textivf",  # operating-point curve over the text index (r15)
+    "ann_recall_sweep_ivfpq",  # n_probe x shortlist grid, one pass (r15)
+    "ann_lsh_band_sweep",  # tables x bits frontier from one signature table (r15)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index

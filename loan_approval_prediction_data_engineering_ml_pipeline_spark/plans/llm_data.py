@@ -536,6 +536,7 @@ _ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
 _ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
 _ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
 _ORACLE_IVFTEXT_DIR = _index_dir("sf0.01", "ivftext")
+_ORACLE_LSHSIG_DIR = _index_dir("sf0.01", "lshsig8x8")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -4719,6 +4720,241 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_query(
         spark, idx, qvec, k=10, n_probe=9, id_col="doc_id", exclude_id=0,
         include_cell=True,
+    )
+
+
+def _ensure_lshsig88(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded max-config (8 tables x 8
+    planes) LSH signature table — the one fixture behind the whole
+    tables x bits frontier (ann_lsh_band_sweep); prefix masking makes
+    every smaller configuration exact (see write_lsh_signatures)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _index_dir(sf_dir, "lshsig8x8")
+    return _ensure_index(
+        spark,
+        idx,
+        marker="_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.write_lsh_signatures(emb, idx, n_planes=8, n_tables=8),
+        stored_pairs=lambda: spark.read.parquet(idx)
+        .select("vec_id", "e1")
+        .distinct(),
+    )
+
+
+@query(
+    "ann_lsh_band_sweep",
+    tier="local",
+    # The LSH tables x bits frontier in ONE pass (VERDICT r14 #3: LSH
+    # sat at 0.433 recall with only the shipped 4x4 point measured).
+    # Identity: lsh_index_query exact-cosine-ranks the candidate union,
+    # so (dominance, as for IVF) a ground-truth neighbor reaches the
+    # final top-10 IFF it is a candidate — i.e. shares >= 1 (table,
+    # masked-bucket) with the query. Because planes come from one
+    # sequential LCG stream packed low-bit-first, the low b bits of the
+    # committed 8-plane signatures ARE a real b-plane build's buckets
+    # and tables 0..t-1 ARE a real t-table build — so the committed
+    # max-config table yields every (t, b) point exactly, via
+    # per-candidate min-matching-table + rank-prefix sums. Cost twins:
+    # mean_cand_rows (distinct ids cosine-scored) and mean_scanned_rows
+    # (bucket entries read across tables, the IO proxy).
+    oracle=f"""
+    WITH hq AS (
+      SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact AS (
+      SELECT qvid, vec_id AS vid FROM (
+        SELECT hq.qvid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY hq.qvid
+                 ORDER BY round(list_cosine_similarity(e.v, hq.qv), 6) DESC,
+                          e.vec_id
+               ) AS rk
+        FROM hq, e WHERE e.vec_id != hq.qvid
+      ) WHERE rk <= 10
+    ),
+    sig AS (
+      SELECT CAST(vec_id AS BIGINT) AS vid, CAST(table_id AS INT) AS table_id,
+             CAST(bucket AS INT) AS bucket
+      FROM read_parquet('{_ORACLE_LSHSIG_DIR}/*.parquet')
+    ),
+    bits AS (
+      SELECT CAST(g.i AS INT) AS n_bits,
+             (1 << CAST(g.i AS INT)) - 1 AS mask
+      FROM generate_series(1, 8) g(i)
+    ),
+    qm AS (
+      SELECT vid AS qvid, table_id, n_bits, bucket & mask AS mb
+      FROM sig, bits WHERE vid < 3
+    ),
+    cm AS (SELECT vid, table_id, n_bits, bucket & mask AS mb FROM sig, bits),
+    cand AS (
+      SELECT qm.qvid, cm.vid, cm.table_id, cm.n_bits
+      FROM cm JOIN qm ON qm.table_id = cm.table_id
+                     AND qm.n_bits = cm.n_bits AND qm.mb = cm.mb
+      WHERE cm.vid != qm.qvid
+    ),
+    mintab AS (
+      SELECT qvid, vid, n_bits, min(table_id) AS mt
+      FROM cand GROUP BY 1, 2, 3
+    ),
+    tabs AS (SELECT CAST(g.i AS INT) AS n_tables FROM generate_series(1, 8) g(i)),
+    qids AS (SELECT DISTINCT qvid FROM hq),
+    recm AS (
+      SELECT n_tables, n_bits, round(avg(r), 6) AS recall_at_10 FROM (
+        SELECT g.n_tables, g.n_bits, g.qvid,
+               sum(CASE WHEN m.mt < g.n_tables THEN 1 ELSE 0 END) / 10.0 AS r
+        FROM (SELECT t.n_tables, b.n_bits, x.qvid, x.vid
+              FROM tabs t, bits b, exact x) g
+        LEFT JOIN mintab m
+          ON m.qvid = g.qvid AND m.vid = g.vid AND m.n_bits = g.n_bits
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    h AS (SELECT qvid, n_bits, mt, count(*) AS c FROM mintab GROUP BY 1, 2, 3),
+    gq AS (SELECT t.n_tables, b.n_bits, q.qvid FROM tabs t, bits b, qids q),
+    dcm AS (
+      SELECT n_tables, n_bits, round(avg(nc), 6) AS mean_cand_rows FROM (
+        SELECT g.n_tables, g.n_bits, g.qvid,
+               sum(CASE WHEN h.mt < g.n_tables THEN h.c ELSE 0 END) AS nc
+        FROM gq g LEFT JOIN h ON h.qvid = g.qvid AND h.n_bits = g.n_bits
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    scq AS (
+      SELECT qvid, table_id, n_bits, count(*) AS c FROM cand GROUP BY 1, 2, 3
+    ),
+    scm AS (
+      SELECT n_tables, n_bits, round(avg(ns), 6) AS mean_scanned_rows FROM (
+        SELECT g.n_tables, g.n_bits, g.qvid,
+               sum(CASE WHEN s.table_id < g.n_tables THEN s.c ELSE 0 END) AS ns
+        FROM gq g LEFT JOIN scq s ON s.qvid = g.qvid AND s.n_bits = g.n_bits
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    SELECT n_tables, n_bits, recall_at_10, mean_cand_rows, mean_scanned_rows
+    FROM recm JOIN dcm USING (n_tables, n_bits)
+              JOIN scm USING (n_tables, n_bits)
+    ORDER BY n_tables, n_bits
+    """,
+    description="LSH operating-point sweep: recall@10 + candidate/scan "
+    "cost for EVERY (n_tables <= 8, n_planes <= 8) configuration, in "
+    "one pass over a committed max-config signature table via prefix "
+    "masking (low b bits of the 8-plane signature = a real b-plane "
+    "build's buckets; tables 0..t-1 = a real t-table build). Measured "
+    "verdict (r15): hyperplane LSH on this corpus has NO useful >=0.9 "
+    "point — every >=0.9 cell cosine-scores 58-68%+ of the corpus "
+    "(e.g. 1154/2000 ids at 6 tables x 3 bits, sf0.1), where brute "
+    "force wins outright — so the shipped 4x4 stays, documented as the "
+    "O(1)-probe/low-recall tier (0.37-0.43 recall for ~23% of corpus "
+    "scanned); IVF is the >=0.9 serving family",
+)
+def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = _ensure_lshsig88(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("vid"), V.as_double("embedding").alias("v")
+    )
+    cos = F.round(V.cosine(F.col("v"), F.col("qv")), 6)
+    exact = (
+        corpus.join(F.broadcast(qv))
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", cos.alias("cosine"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vid"))
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vid")
+    )
+    sig = spark.read.parquet(idx).select("vec_id", "table_id", "bucket")
+    bits = spark.createDataFrame(
+        [(b, (1 << b) - 1) for b in range(1, 9)], "n_bits int, mask int"
+    )
+    qm = (
+        sig.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "table_id", "bucket")
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "query_id", "table_id", "n_bits",
+            F.col("bucket").bitwiseAND(F.col("mask")).alias("mb"),
+        )
+    )
+    cm = (
+        sig.crossJoin(F.broadcast(bits))
+        .select(
+            F.col("vec_id").alias("vid"), "table_id", "n_bits",
+            F.col("bucket").bitwiseAND(F.col("mask")).alias("mb"),
+        )
+    )
+    cand = (
+        cm.join(F.broadcast(qm), ["table_id", "n_bits", "mb"])
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", "table_id", "n_bits")
+    )
+    mintab = cand.groupBy("query_id", "vid", "n_bits").agg(
+        F.min("table_id").alias("mt")
+    )
+    tabs = spark.range(1, 9).select(F.col("id").cast("int").alias("n_tables"))
+    bitsn = bits.select("n_bits")
+    rec = (
+        tabs.crossJoin(bitsn)
+        .crossJoin(F.broadcast(exact))
+        .join(F.broadcast(mintab), ["query_id", "vid", "n_bits"], "left")
+        .withColumn(
+            "hit", F.when(F.col("mt") < F.col("n_tables"), 1).otherwise(0)
+        )
+        .groupBy("n_tables", "n_bits", "query_id")
+        .agg((F.sum("hit") / F.lit(10.0)).alias("r"))
+        .groupBy("n_tables", "n_bits")
+        .agg(F.round(F.avg("r"), 6).alias("recall_at_10"))
+    )
+    qids = qv.select("query_id")
+    gq = tabs.crossJoin(bitsn).crossJoin(F.broadcast(qids))
+    h = mintab.groupBy("query_id", "n_bits", "mt").agg(F.count(F.lit(1)).alias("c"))
+    dcm = (
+        gq.join(F.broadcast(h), ["query_id", "n_bits"], "left")
+        .groupBy("n_tables", "n_bits", "query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("mt") < F.col("n_tables"), F.col("c")).otherwise(0)
+            ).alias("nc")
+        )
+        .groupBy("n_tables", "n_bits")
+        .agg(F.round(F.avg("nc"), 6).alias("mean_cand_rows"))
+    )
+    scq = cand.groupBy("query_id", "table_id", "n_bits").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scm = (
+        gq.join(F.broadcast(scq), ["query_id", "n_bits"], "left")
+        .groupBy("n_tables", "n_bits", "query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("table_id") < F.col("n_tables"), F.col("c")).otherwise(0)
+            ).alias("ns")
+        )
+        .groupBy("n_tables", "n_bits")
+        .agg(F.round(F.avg("ns"), 6).alias("mean_scanned_rows"))
+    )
+    return (
+        rec.join(dcm, ["n_tables", "n_bits"])
+        .join(scm, ["n_tables", "n_bits"])
+        .select(
+            "n_tables", "n_bits", "recall_at_10", "mean_cand_rows",
+            "mean_scanned_rows",
+        )
+        .orderBy("n_tables", "n_bits")
     )
 
 
