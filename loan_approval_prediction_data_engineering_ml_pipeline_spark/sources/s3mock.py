@@ -187,6 +187,13 @@ class S3MockLogStore(LogStore):
                 return max(times)
         return os.path.getmtime(k)
 
+    def size(self, path: str) -> int:
+        k = self._key(path)
+        with self._lock:
+            if k in self._blobs:
+                return len(self._blobs[k][0])
+        return os.path.getsize(k)
+
 
 # ---------------------------------------------------------------------------
 # Java shim build: compile once, cache, hand the classes dir to Spark

@@ -243,3 +243,8 @@ class S3LogStore(LogStore):
         if newest is None:
             raise FileNotFoundError(path)
         return newest
+
+    def size(self, path: str) -> int:
+        bucket, key = self._bk(path)
+        head = self._s3.head_object(Bucket=bucket, Key=key)
+        return int(head["ContentLength"])

@@ -154,6 +154,11 @@ class LogStore:
     def mtime(self, path: str) -> float:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """Data-file byte size — drives OPTIMIZE's bin-packing (how
+        many target files a snapshot should compact into)."""
+        raise NotImplementedError
+
 
 class LocalLogStore(LogStore):
     """POSIX filesystems (local disk, properly-semantic NFS): atomic
@@ -221,6 +226,9 @@ class LocalLogStore(LogStore):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(self._fs(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._fs(path))
 
 
 _DEFAULT_STORE = LocalLogStore()
@@ -1840,6 +1848,8 @@ def stream_versioned_sink(
     app_id: str,
     checkpoint: str | None = None,
     merge_schema: bool = False,
+    compact_every: int | None = None,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> None:
     """Exactly-once streaming append into a versioned table: each
     micro-batch commits as ONE table version, and idempotence is keyed
@@ -1862,7 +1872,19 @@ def stream_versioned_sink(
     same checkpoint, which is the normal restart path).
 
     Readers get snapshot isolation per micro-batch commit instead of
-    observing half-written files."""
+    observing half-written files.
+
+    ``compact_every`` = Delta's auto-compaction: every N committed
+    batches the sink runs :func:`optimize_table` with bin-packing at
+    ``compact_target_bytes`` — paying down the one-small-file-per-batch
+    debt an append-per-micro-batch stream accretes (the first
+    operational wall at 100 TB) inside the same pipeline, no external
+    maintenance job. The compaction is content-identical, snapshot
+    isolated (pinned readers keep their manifest until vacuum), and a
+    lost OCC race with a concurrent writer just skips this cadence tick
+    — the next one retries."""
+    compacted = {"n": 0}
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         prev = latest_version(path)
         # raw record only: rows/txn/constraints are per-commit attributes,
@@ -1929,6 +1951,17 @@ def stream_versioned_sink(
             }
         _commit(path, version, record)
         _maybe_checkpoint(path, version)
+        if compact_every:
+            compacted["n"] += 1
+            if compacted["n"] % compact_every == 0:
+                try:
+                    optimize_table(
+                        batch_df.sparkSession,
+                        path,
+                        target_file_bytes=compact_target_bytes,
+                    )
+                except CommitConflict:
+                    pass  # concurrent writer won: skip this tick, next retries
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:
@@ -2068,11 +2101,24 @@ def _commit_metadata_only(
     return version
 
 
+def _binpack_target(path: str, rel_files: Sequence[str], target_file_bytes: int) -> int:
+    """Delta-OPTIMIZE-style bin-packing: how many files a rewrite of
+    ``rel_files`` should produce so each lands near ``target_file_bytes``
+    (ceil(total/target), floor 1). One HEAD/stat per file — O(files
+    being compacted), never a data read."""
+    import math
+
+    store = log_store_for(path)
+    total = sum(store.size(_abs_file(path, f)) for f in rel_files)
+    return max(1, int(math.ceil(total / float(target_file_bytes))))
+
+
 def optimize_table(
     spark: SparkSession,
     path: str,
     *,
-    target_files: int = 1,
+    target_files: int | None = 1,
+    target_file_bytes: int | None = None,
     zorder_by: Sequence[str] | None = None,
     where: Where | None = None,
 ) -> int:
@@ -2103,11 +2149,21 @@ def optimize_table(
     layout. At 100 TB this is the maintenance shape: pay down the
     small-file debt of yesterday's streaming partition without touching
     the other 10 PB, content-identical and snapshot-isolated. Masked
-    (deletion-vector) rows of rewritten files are materialized away."""
+    (deletion-vector) rows of rewritten files are materialized away.
+
+    ``target_file_bytes`` = Delta's bin-packing knob: instead of a fixed
+    file count, size the rewrite from the ACTUAL bytes being compacted
+    (``ceil(total/target)``, one stat per file, no data read) — the
+    right call for maintenance that runs on tables of unknown size
+    (e.g. a streaming sink's auto-compaction cadence). Overrides
+    ``target_files`` when set."""
     base = latest_version(path)
     if base is None:
         raise FileNotFoundError(f"no committed version at {path}")
     if where is None:
+        if target_file_bytes is not None:
+            rel_files = _resolve_files_stats(path, base)[0]
+            target_files = _binpack_target(path, rel_files, target_file_bytes)
         df = read_version(spark, path, base)
         if zorder_by:
             from ..operators.maintenance import zorder_layout
@@ -2118,6 +2174,8 @@ def optimize_table(
         return versioned_write(df, path, mode="overwrite", expected_base=base)
     manifest = _read_manifest(path, base)
     subset = _pruned_rel_files(manifest, where)
+    if target_file_bytes is not None and subset:
+        target_files = _binpack_target(path, subset, target_file_bytes)
     if not subset:
         return base  # nothing in range: no-op, no commit
     dv = manifest.get("dv", {})

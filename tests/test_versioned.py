@@ -1901,3 +1901,156 @@ def test_version_at_timestamp_monotonic_under_clock_skew(tmp_path, stamps, probe
             version_at_timestamp(t, probe)
     else:
         assert version_at_timestamp(t, probe) == expect
+
+
+def test_optimize_binpacks_by_target_bytes(spark, tmp_path):
+    """OPTIMIZE with target_file_bytes sizes the rewrite from the ACTUAL
+    bytes being compacted (ceil(total/target), one stat per file) —
+    Delta's bin-packing — instead of a caller-guessed file count; the
+    rewrite stays content-identical."""
+    import math
+    import os as _os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _abs_file,
+        _resolve_files_stats,
+        optimize_table,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # six small append commits -> >= 6 small files
+        versioned_write(
+            spark.createDataFrame(
+                [(i * 100 + j, "x" * 64) for j in range(50)], ["id", "pad"]
+            ),
+            t,
+        )
+    base = latest_version(t)
+    rel = _resolve_files_stats(t, base)[0]
+    total = sum(_os.path.getsize(_abs_file(t, f)) for f in rel)
+    target = total // 3  # expect ceil(total/target) = 3 or 4 output files
+    expected = max(1, math.ceil(total / target))
+    before = {r for r in read_version(spark, t).collect()}
+
+    v = optimize_table(spark, t, target_file_bytes=int(target))
+    assert v == base + 1
+    assert len(snapshot_files(t)) == expected
+    assert {r for r in read_version(spark, t).collect()} == before
+
+    # a where= subset compaction bin-packs from the SUBSET's bytes
+    v2 = optimize_table(
+        spark, t, target_file_bytes=2 * total, where=[("id", "<", 10**9)]
+    )
+    assert v2 == v + 1
+    assert len(snapshot_files(t)) == 1
+    assert {r for r in read_version(spark, t).collect()} == before
+
+
+def test_stream_sink_auto_compaction_cadence(spark, tmp_path):
+    """compact_every=2: the streaming sink pays down its own small-file
+    debt every second committed batch — history interleaves optimize
+    commits with stream-appends, content is identical, a pre-compaction
+    snapshot stays readable (snapshot isolation), and the txn ledger
+    still dedupes a full redelivery after compactions."""
+    import glob
+    import os as _os
+    import shutil
+    import time as _t
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        snapshot_files,
+        stream_versioned_sink,
+    )
+
+    src = str(tmp_path / "feed")
+    _os.makedirs(src)
+    now = _t.time()
+    for i in range(4):
+        staged = _os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(
+            [(i * 10 + j, f"row{i}-{j}") for j in range(4)], "id long, v string"
+        ).repartition(3).write.mode("overwrite").parquet(staged)
+        for k, part in enumerate(
+            sorted(glob.glob(_os.path.join(staged, "part-*.parquet")))
+        ):
+            shutil.copyfile(part, _os.path.join(src, f"feed_{i}_{k}.parquet"))
+        shutil.rmtree(staged)
+        for k in range(3):
+            dest = _os.path.join(src, f"feed_{i}_{k}.parquet")
+            _os.utime(dest, (now + i * 10, now + i * 10))
+
+    t = str(tmp_path / "table")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        stream_versioned_sink(
+            stream, t, app_id="loader", checkpoint=str(tmp_path / cp),
+            compact_every=2,
+        )
+
+    run("cp1")
+    hist = table_versions(t)
+    modes = [h["mode"] for h in hist]
+    # 4 stream batches + a compaction after batches 2 and 4
+    assert modes.count("stream-append") == 4
+    assert modes.count("overwrite") == 2
+    assert read_version(spark, t).count() == 16
+    assert len(snapshot_files(t)) == 1  # bin-packed: tiny table -> 1 file
+    # snapshot isolation: the pre-compaction stream snapshot (v1 = two
+    # appends) still resolves and reads correctly after two compactions
+    assert read_version(spark, t, 1).count() == 8
+
+    run("cp2")  # full redelivery: every batch is a ledger no-op,
+    hist2 = table_versions(t)  # so no new appends AND no new compactions
+    assert len(hist2) == len(hist)
+    assert read_version(spark, t).count() == 16
+
+
+def test_optimize_where_loses_race_to_concurrent_append(spark, tmp_path, monkeypatch):
+    """OCC safety of the compaction path (the index-lifecycle-style race
+    proof): an append that lands between OPTIMIZE's snapshot resolve and
+    its commit forces CommitConflict — the compacted rewrite becomes an
+    invisible orphan, the append's rows are all present, and nothing is
+    partially visible."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources import (
+        versioned as VS,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        versioned_write(
+            spark.createDataFrame([(i, f"r{i}")], ["id", "v"]), t
+        )
+    base = latest_version(t)
+    orig = VS._collect_file_stats
+    state = {"fired": False}
+
+    def inject(spark_, data_dir, constraints=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent writer lands AFTER optimize resolved its base
+            # snapshot but BEFORE its commit
+            versioned_write(
+                spark.createDataFrame([(99, "raced")], ["id", "v"]), t
+            )
+        return orig(spark_, data_dir, constraints)
+
+    monkeypatch.setattr(VS, "_collect_file_stats", inject)
+    with pytest.raises(CommitConflict):
+        VS.optimize_table(
+            spark, t, target_file_bytes=1, where=[("id", "<", 10**9)]
+        )
+    monkeypatch.setattr(VS, "_collect_file_stats", orig)
+    # the append won; its row and every pre-race row are intact
+    assert latest_version(t) == base + 1
+    got = {(r["id"], r["v"]) for r in read_version(spark, t).collect()}
+    assert got == {(0, "r0"), (1, "r1"), (2, "r2"), (99, "raced")}
+    # and a retry now succeeds against the moved table
+    v = VS.optimize_table(spark, t, target_file_bytes=10**9)
+    assert v == base + 2
+    assert {(r["id"], r["v"]) for r in read_version(spark, t).collect()} == got
