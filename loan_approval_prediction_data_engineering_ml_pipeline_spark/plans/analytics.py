@@ -263,6 +263,10 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_tokens_per_lang",
+    # demoted to local in r15 (driver cap is 50): lang_token_profile and
+    # tfidf_top_terms carry the per-language token surface in the driver
+    # set; this row stays parity-gate-verified
+    tier="local",
     oracle="""
     WITH tok AS (
         SELECT lang, unnest(string_split(trim(text), ' ')) AS token

@@ -78,6 +78,11 @@ _sig_names = ", ".join(f"sig{i}" for i in range(MINHASH_K))
 
 @query(
     "dedup_minhash_groups",
+    # demoted to local in r15 (driver cap is 50): the banded near-dup
+    # row (dedup_minhash_near) is the load-bearing minhash surface and
+    # near_dup_components covers grouping; this signature-groupBy twin
+    # stays parity-gate-verified
+    tier="local",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKH} AS tokh FROM documents),
     s AS (SELECT doc_id,
@@ -5911,7 +5916,8 @@ def _text_embed_ctes() -> str:
 
 @query(
     "ann_text_embed_topk",
-    tier="local",
+    # promoted to the driver tier in r15 (VERDICT r14 #6): the fusion-
+    # gain/semantic surface gets driver-verified CORRECTNESS rows
     # The deterministic text encoder end to end: embeddings are derived
     # FROM DOCUMENT TEXT (feature-hashed TF-IDF, signed projection,
     # l2-normalized), so semantic neighbors correlate with lexical
@@ -5969,7 +5975,7 @@ def ann_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "retrieval_quality_hybrid_textemb",
-    tier="local",
+    # promoted to the driver tier in r15 (VERDICT r14 #6)
     # The fusion-gain measurement the r13 verdict asked for: hybrid RRF
     # over BM25 AND a semantic side whose embeddings are TEXT-DERIVED
     # (same encoder as ann_text_embed_topk; query vectors = the SAME
