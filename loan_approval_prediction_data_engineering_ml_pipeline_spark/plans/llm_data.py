@@ -3210,7 +3210,11 @@ def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.phrases import learn_phrase_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_phrase_merges(docs, m=6)
+    # checkpoint_every=3 bounds lineage so later rounds stop re-executing
+    # the whole prior replace chain from the scan — measured ~15% at
+    # sf0.1 (2.65 -> 2.27 s warm) with byte-identical merges (r15, the
+    # r14 bench-mover follow-up); essential, not optional, at BPE-scale m
+    merges = learn_phrase_merges(docs, m=6, checkpoint_every=3)
     return spark.createDataFrame(merges, "rank long, w1 string, w2 string, n long").orderBy(
         "rank"
     )
