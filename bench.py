@@ -107,6 +107,7 @@ HEADLINE = [
     "ann_recall_sweep_ivfpq",  # n_probe x shortlist grid, one pass (r15)
     "ann_lsh_band_sweep",  # tables x bits frontier from one signature table (r15)
     "ann_recall_sweep_ivfpq64",  # finer-codebook control experiment (r15)
+    "ann_recall_sweep_ivfpqr",  # residual-encoding control experiment (r15)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index

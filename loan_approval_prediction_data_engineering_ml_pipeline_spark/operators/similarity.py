@@ -1430,6 +1430,7 @@ def build_ivfpq_index(
     m: int = 8,
     k: int = 16,
     seed: int = 42,
+    residual: bool = False,
 ) -> None:
     """IVF-PQ composite index (build-once half): the coarse quantizer
     (seeded KMeans over the l2-NORMALIZED corpus) assigns each vector a
@@ -1439,11 +1440,25 @@ def build_ivfpq_index(
     ``cell IN (...)`` is partition pruning over the 32×-compressed code
     table: the scan opens n_probe/n_lists of an already-tiny index.
     This is the composition FAISS calls IVFADC (Jégou et al., TPAMI
-    2011 §V) with one deliberate simplification: codebooks quantize the
-    vectors themselves, not the cell residuals — a global ADC table then
-    serves every probed cell (one literal array, one codegen aggregate),
-    and the exactness loss is repaired downstream by the exact-cosine
+    2011 §V). ``residual=False`` (the shipped default) keeps one
+    deliberate simplification: codebooks quantize the vectors
+    themselves, not the cell residuals — a global ADC table then serves
+    every probed cell (one literal array, one codegen aggregate), and
+    the exactness loss is repaired downstream by the exact-cosine
     rerank stage that :func:`ivfpq_query_rerank` always runs.
+
+    ``residual=True`` is the FAISS-faithful IVFADC encoding: codebooks
+    are fit on (and codes encode) the CELL RESIDUALS ``v − c(cell)``,
+    which are far smaller in magnitude than the vectors, so the same
+    codebook bits buy much finer resolution (the r15 sweep measured the
+    raw-vector ADC as the recall-binding stage). The ADC table stays
+    GLOBAL — one codebook set over all residuals — and the probe adds
+    the per-cell constant ``dot(q, c(cell))``:
+    ``dot(q, c + r̂) = dot(q, c) + Σ_j tab[j, code_j]``, so residual
+    scoring costs one tiny map lookup per candidate on top of the same
+    aggregate. The flag is recorded in the manifest at manifested
+    paths; flat (fixture) layouts follow the LSH convention of the
+    caller passing build params to the probe.
 
     100 TB shape: both fits sample-able at ingest; encode is one
     map-only pass; the probe reads n_probe code partitions (bytes per
@@ -1461,14 +1476,29 @@ def build_ivfpq_index(
         k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell"
     ).fit(vecs)
     assigned = km.transform(vecs).select(id_col, "arr", "cell")
-    books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
-    codes = assigned.select(
-        F.col(id_col), _pq_codes_expr(books, sub).alias("codes"), "cell"
-    )
     spark = embeddings.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, centroid array<double>",
+    )
+    if residual:
+        # encode residuals: subtract the assigned centroid (broadcast of
+        # the n_lists-row table), fit + encode on the difference
+        enc_input = assigned.join(F.broadcast(cent), "cell").select(
+            F.col(id_col),
+            F.zip_with(F.col("arr"), F.col("centroid"), lambda x, c: x - c).alias(
+                "arr"
+            ),
+            "cell",
+        )
+        books, sub = _fit_pq_codebooks(enc_input, m=m, k=k, seed=seed)
+    else:
+        enc_input = assigned
+        # fit on the pre-assignment frame, exactly as before residual
+        # support existed — keeps the shipped fixtures byte-identical
+        books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
+    codes = enc_input.select(
+        F.col(id_col), _pq_codes_expr(books, sub).alias("codes"), "cell"
     )
     prior = read_index_manifest(path)
     if prior is None:
@@ -1488,6 +1518,7 @@ def build_ivfpq_index(
         path,
         int(prior["version"]) + 1,
         {
+            "residual": residual,
             "centroids": f"{obj}/centroids",
             "codebooks": f"{obj}/codebooks",
             "cells": bucket_map(path, obj, "codes", "cell"),
@@ -1516,6 +1547,7 @@ def ivfpq_query_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Probe half of IVF-PQ: rank the persisted centroids against the
     normalized query driver-side (n_lists rows; ties break on cell id so
@@ -1553,10 +1585,27 @@ def ivfpq_query_rerank(
         codes = _read_manifest_dirs(spark, path, rels)
     if exclude_id is not None:
         codes = codes.where(F.col(id_col) != exclude_id)
+    score = _adc_score(spark, path, query_vec)
+    # residual encoding (manifest-recorded at manifested paths; flat
+    # fixture layouts follow the LSH convention — caller passes the
+    # build's flag): ADC approximates dot(q, r̂), so add the per-cell
+    # constant dot(q, c(cell)) — a tiny map literal over n_lists cells
+    if snap.get("residual", residual):  # manifest wins; flat -> caller's flag
+        consts = sorted(
+            (
+                int(r["cell"]),
+                sum(q[i] * float(r["centroid"][i]) for i in range(len(q))),
+            )
+            for r in centers
+        )
+        cmap = F.create_map(
+            *[x for cell, v in consts for x in (F.lit(cell), F.lit(float(v)))]
+        )
+        score = score + F.element_at(cmap, F.col("cell").cast("int"))
     cands = (
         codes.select(
             F.col(id_col),
-            F.round(_adc_score(spark, path, query_vec), 6).alias("pq_score"),
+            F.round(score, 6).alias("pq_score"),
         )
         .orderBy(F.desc("pq_score"), F.asc(id_col))
         .limit(shortlist)
@@ -1602,6 +1651,7 @@ def ivfpq_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retries: int = 0,
+    residual: bool = False,
 ) -> int:
     """Incremental IVF-PQ maintenance (VERDICT r12 #4 — ``ivf_upsert``
     over the compressed representation): l2-normalize the delta, assign
@@ -1626,10 +1676,23 @@ def ivfpq_upsert(
     normed = new_vecs.select(
         F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("arr")
     )
-    delta = (
-        normed.join(
-            assign_cells(normed, cents_list, id_col=id_col, vec_col="arr"), id_col
+    eff_residual = snap.get("residual", residual)  # manifest wins
+    assigned_delta = normed.join(
+        assign_cells(normed, cents_list, id_col=id_col, vec_col="arr"), id_col
+    )
+    if eff_residual:
+        # encode the cell residual with the persisted codebooks — the
+        # same recipe the residual build used (broadcast of the
+        # n_lists-row centroid table)
+        cent_df = spark.createDataFrame(
+            cents_list, "cell int, centroid array<double>"
         )
+        assigned_delta = assigned_delta.withColumn("cell", F.col("cell").cast("int"))
+        assigned_delta = assigned_delta.join(F.broadcast(cent_df), "cell").withColumn(
+            "arr", F.zip_with(F.col("arr"), F.col("centroid"), lambda x, c: x - c)
+        )
+    delta = (
+        assigned_delta
         .select(
             F.col(id_col),
             _pq_codes_expr(books, sub).alias("codes"),
@@ -1661,6 +1724,7 @@ def ivfpq_upsert(
             path,
             int(snap["version"]) + 1,
             {
+                "residual": eff_residual,
                 "centroids": snap["centroids"],
                 "codebooks": snap["codebooks"],
                 "cells": {**snap["cells"], **bucket_map(path, obj, "codes", "cell")},
@@ -1671,6 +1735,7 @@ def ivfpq_upsert(
             return ivfpq_upsert(
                 spark, path, new_vecs,
                 id_col=id_col, vec_col=vec_col, retries=retries - 1,
+                residual=residual,
             )
         raise
     return len(touched)

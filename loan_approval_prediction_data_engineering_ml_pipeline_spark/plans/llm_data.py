@@ -543,6 +543,7 @@ _ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
 _ORACLE_IVFTEXT_DIR = _index_dir("sf0.01", "ivftext")
 _ORACLE_LSHSIG_DIR = _index_dir("sf0.01", "lshsig8x8")
 _ORACLE_IVFPQ64_DIR = _index_dir("sf0.01", "ivfpq8x8x64")
+_ORACLE_IVFPQR_DIR = _index_dir("sf0.01", "ivfpqr8x8x16")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -4968,10 +4969,18 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sweep_oracle(index_dir: str) -> str:
+def _ivfpq_sweep_oracle(index_dir: str, residual: bool = False) -> str:
     """The one-pass IVF-PQ sweep oracle, templated over the index dir so
-    the k=16 and k=64 codebook builds share one derivation (m=8 in both;
-    k is implied by the codebooks file, never hardcoded here)."""
+    the k=16 / k=64 / residual builds share one derivation (m=8 in all;
+    k is implied by the codebooks file, never hardcoded here).
+    ``residual=True`` adds the per-(query, cell) constant
+    ``dot(nv, centroid)`` to every ADC score — the exact term the
+    residual probe adds, since dot(q, c + r̂) = dot(q, c) + ADC(r̂)."""
+    sel = "round(k.cc + sum(t.ip), 6)" if residual else "round(sum(t.ip), 6)"
+    cjoin = (
+        "JOIN cconst k ON k.qvid = t.qvid AND k.cell = c.cell" if residual else ""
+    )
+    cgroup = ", k.cc" if residual else ""
     return f"""
     WITH hq AS (
       SELECT vec_id AS qvid, CAST(embedding AS DOUBLE[]) AS qv
@@ -5021,12 +5030,17 @@ def _ivfpq_sweep_oracle(index_dir: str) -> str:
       FROM read_parquet('{index_dir}/codes/*/*.parquet',
                         hive_partitioning=1)
     ),
+    cconst AS (
+      SELECT hqn.qvid, cent.cell, list_dot_product(cent.centroid, hqn.nv) AS cc
+      FROM cent, hqn
+    ),
     scores AS (
-      SELECT t.qvid, c.vec_id, c.cell, round(sum(t.ip), 6) AS s
+      SELECT t.qvid, c.vec_id, c.cell, {sel} AS s
       FROM (SELECT vec_id, cell, r.j, codes[r.j+1] AS code
             FROM cvec, range(8) r(j)) c
       JOIN tab t ON t.j = c.j AND t.code = c.code
-      GROUP BY t.qvid, c.vec_id, c.cell
+      {cjoin}
+      GROUP BY t.qvid, c.vec_id, c.cell{cgroup}
     ),
     candj AS (
       SELECT sc.qvid, sc.vec_id, sc.s, CAST(cr.crk AS INT) AS crk
@@ -5112,7 +5126,9 @@ def _ensure_ivfpq64(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _ivfpq_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
+def _ivfpq_sweep(
+    spark: SparkSession, sf_dir: str, idx: str, *, residual: bool = False
+) -> DataFrame:
     """One-pass operating-point sweep for the COMPOSITE index (VERDICT
     r14 #2: IVF-PQ sat at 0.70 recall at the shipped n_probe=3 x
     shortlist=100 with no measured curve behind it). The dominance
@@ -5195,6 +5211,33 @@ def _ivfpq_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
         .select("vec_id", V.as_double("embedding").alias("v"))
         .collect()
     )
+    cent_rows = cent.collect() if residual else []
+
+    def _score(qvec: list) -> F.Column:
+        adc = F.round(S._adc_score(spark, idx, qvec), 6)
+        if not residual:
+            return adc
+        # residual encoding: ADC approximates dot(q, r̂); add the
+        # per-cell constant dot(q, c(cell)) — tiny map literal over
+        # n_lists cells, exactly what the probe adds
+        import math
+
+        qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+        qnv = [x / qn for x in qvec]
+        consts = sorted(
+            (
+                int(c["cell"]),
+                sum(qnv[i] * float(c["centroid"][i]) for i in range(len(qnv))),
+            )
+            for c in cent_rows
+        )
+        cmap = F.create_map(
+            *[x for cell, v in consts for x in (F.lit(cell), F.lit(float(v)))]
+        )
+        return F.round(
+            F.element_at(cmap, F.col("cell")) + S._adc_score(spark, idx, qvec), 6
+        )
+
     cand = reduce(
         DataFrame.unionByName,
         [
@@ -5202,7 +5245,7 @@ def _ivfpq_sweep(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
                 F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
                 "vec_id",
                 "cell",
-                F.round(S._adc_score(spark, idx, list(r["v"])), 6).alias("s"),
+                _score(list(r["v"])).alias("s"),
             )
             for r in qraw
         ],
@@ -5342,6 +5385,49 @@ def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_sweep_ivfpq64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_sweep(spark, sf_dir, _ensure_ivfpq64(spark, sf_dir))
+
+
+def _ensure_ivfpqr(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded ivfpqr8x8x16 — the
+    RESIDUAL-ENCODED twin of the shipped ivfpq8x8x16 (FAISS-faithful
+    IVFADC: codebooks fit on cell residuals v − c(cell), same m=8/k=16
+    budget). Codes-only index — sidecar fingerprint."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _index_dir(sf_dir, "ivfpqr8x8x16")
+    return _ensure_index(
+        spark,
+        idx,
+        marker="codes/_SUCCESS",
+        src_pairs=_emb_pairs(emb),
+        id_col="vec_id",
+        build=lambda: S.build_ivfpq_index(
+            emb, idx, n_lists=8, m=8, k=16, seed=42, residual=True
+        ),
+    )
+
+
+@query(
+    "ann_recall_sweep_ivfpqr",
+    tier="local",
+    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQR_DIR, residual=True),
+    description="The RESIDUAL-ENCODING point of the IVF-PQ sweep: the "
+    "same one-pass grid over a FAISS-faithful IVFADC build (codebooks "
+    "fit on cell residuals v − c(cell); probe adds the per-cell "
+    "constant dot(q, c) since dot(q, c + r̂) = dot(q, c) + ADC(r̂)) at "
+    "the SAME m=8, k=16 bit budget as the shipped raw-vector build. "
+    "Measured (r15): on the NEAR-UNIFORM jittered fixture vectors "
+    "residual encoding does NOT move the ceiling (0.600 at p=8/s=100 "
+    "at sf0.1, same as raw; 0.900 vs 0.967 at sf0.01) — random unit "
+    "vectors cluster weakly, so c(cell) is small and residuals are not "
+    "materially smaller than the vectors; the bit budget (k) stays the "
+    "binding constraint here, while residuals pay off on corpora that "
+    "actually cluster (the text-derived tables, real embeddings). Both "
+    "variants ship; pick per corpus with this sweep",
+)
+def ann_recall_sweep_ivfpqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_sweep(
+        spark, sf_dir, _ensure_ivfpqr(spark, sf_dir), residual=True
+    )
 
 
 @query(

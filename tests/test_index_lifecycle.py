@@ -397,3 +397,40 @@ def test_size_derived_n_lists_default(spark, tmp_path, emb, probe_vec):
     # probes work unchanged against the auto-sized index
     got = SIM.ivf_query(spark, idx_full, probe_vec, k=5, n_probe=3)
     assert got.count() == 5
+
+
+def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
+    """Residual IVFADC (codebooks fit on v - c(cell), probe adds the
+    per-cell constant dot(q, c)): with every cell probed and the
+    shortlist covering the corpus, the exact rerank must reproduce
+    brute force EXACTLY — the end-to-end proof that the constant +
+    residual-ADC decomposition ranks coherently across cells. An upsert
+    on the manifested residual path must keep the flag (manifest wins)
+    and surface the new vector as the top cosine hit."""
+    idx = str(tmp_path / "ivfpqr")
+    SIM.build_ivfpq_index(emb, idx, n_lists=8, m=8, k=16, seed=42, residual=True)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.ivfpq_query_rerank(
+            spark, idx, emb, probe_vec, 10,
+            n_probe=8, shortlist=10**6, exclude_id=7, residual=True,
+        ).collect()
+    ]
+    ref = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.brute_force_topk(emb, 7, 10).collect()
+    ]
+    assert got == ref and len(got) == 10
+
+    # upsert: the manifest records residual=True, so the delta is
+    # residual-encoded even without the caller's flag; the duplicate of
+    # the probe vector must come back as the top hit
+    nv = _new_vec(spark, probe_vec)
+    SIM.ivfpq_upsert(spark, idx, nv, residual=True)
+    assert IC.read_index_manifest(idx)["residual"] is True
+    corpus = emb.select("vec_id", "embedding").unionByName(nv)
+    top = SIM.ivfpq_query_rerank(
+        spark, idx, corpus, probe_vec, 3, n_probe=8, shortlist=10**6
+    ).collect()
+    assert top[0]["vec_id"] == 90001 or top[0]["vec_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
