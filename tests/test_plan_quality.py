@@ -448,3 +448,41 @@ def test_bpe_merge_round_is_vocab_sized_no_python(spark):
     assert "Python" not in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "HashAggregate" in plan  # partial-agg'd pair counts
+
+
+def test_text_ivf_serving_path_prunes_and_stays_bounded(spark):
+    """The r15 text-embedding serving row: (a) the manifest probe over
+    the ivftext index is PARTITION PRUNING (cell IN [...] appears in
+    PartitionFilters — only n_probe of the sqrt(N) cell dirs are ever
+    opened), and (b) the query-embedding step reads the PERSISTED
+    vocabulary table, never re-deriving it from the corpus — the plan
+    must contain no scan of documents.parquet beyond the one-row query
+    doc (the r14 watch item this row fixed)."""
+    import contextlib
+    import io
+    import re
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans import (
+        llm_data as L,
+    )
+
+    df = L.ann_text_embed_ivf(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    # the probe plan reads ONLY index files: the corpus text is not in
+    # the serving path at all (the query doc was embedded before the
+    # plan was built, via the persisted feats table)
+    assert "documents.parquet" not in plan
+    files = df.inputFiles()
+    assert files and all("ivftext" in f for f in files)
+    # bounded probe: the partition filter pins AT MOST n_probe=9 cells
+    # (inputFiles() lists the pre-prune table, so count the filter's
+    # own IN-list instead — e.g. 'cell#207 IN (12,4,1,...)')
+    in_list = re.search(r"cell#\d+ IN \(([-0-9,\s]+)\)", m.group(1))
+    assert in_list, m.group(1)
+    n_probed = len([x for x in in_list.group(1).split(",") if x.strip()])
+    assert 0 < n_probed <= 9, m.group(1)
