@@ -842,3 +842,60 @@ def test_stream_ivf_drift_signal_flags_refit_and_refit_commits_atomically(
     assert after["mean_dist"] / baseline < 1.3
     # a probe resolved pre-refit is unaffected (snapshot isolation)
     assert sorted(map(tuple, stale_probe.collect())) == stale_expect
+
+
+def test_stream_ivf_drift_log_idempotent_under_redelivery(spark, tmp_path):
+    """ADVICE r14: the drift-log write must be idempotent per batch_id,
+    like the REPLACE upsert beside it. A full redelivery (fresh
+    checkpoint, same feed — batch ids restart at 0) must leave EXACTLY
+    one drift row per batch_id and identical recorded values, so
+    one-row-per-batch consumers and row counts stay exact after a
+    failure/restart replay."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assignment_stats,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        stream_ivf_index_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = str(tmp_path / "seed")
+    build_ivf_index(emb.limit(200), seed, n_lists=4)
+    baseline = ivf_assignment_stats(spark, seed)["mean_dist"]
+
+    feed = str(tmp_path / "feed")
+    emb.limit(200).coalesce(1).write.parquet(f"{feed}/b0")
+    emb.where("vec_id >= 200").coalesce(1).write.parquet(f"{feed}/b1")
+    idx = str(tmp_path / "idx")
+    log = str(tmp_path / "drift")
+
+    def run(ck: str) -> None:
+        stream_ivf_index_ingest(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed}/*"),
+            idx,
+            seed_centroids=f"{seed}/centroids",
+            checkpoint=str(tmp_path / ck),
+            drift_log=log,
+            drift_baseline=baseline,
+            drift_threshold=1.3,
+        )
+
+    run("ck1")
+    first = sorted(
+        map(tuple, spark.read.parquet(log).orderBy("batch_id").collect())
+    )
+    assert len(first) == 2
+    run("ck2")  # fresh checkpoint = full redelivery, batch ids 0 and 1 again
+    second = sorted(
+        map(tuple, spark.read.parquet(log).orderBy("batch_id").collect())
+    )
+    # no duplicate rows, identical recorded values
+    assert second == first
