@@ -1105,6 +1105,13 @@ def _adc_score(spark, path: str, query_vec: list[float]):
     for j in range(m):
         for c in range(k):
             cent = cents[j * k + c]
+            if cent is None:
+                # Spark KMeans returns FEWER than k centers when a
+                # subspace has fewer distinct points (low-diversity
+                # corpora, e.g. text-derived embeddings): codes c >= kj
+                # are never assigned, so their table cells are unused —
+                # leave 0.0
+                continue
             table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
     tlit = F.array(*[F.lit(float(x)) for x in table])
     return F.aggregate(
@@ -1250,7 +1257,13 @@ def pq_upsert(
             "type-sensitive; a widened id would silently miss its bucket)"
         )
     m, k, sub, cents = _load_codebook(spark, path)
-    books = [[cents[j * k + c] for c in range(k)] for j in range(m)]
+    # per-subspace codebooks are contiguous prefixes (Spark KMeans can
+    # return < k centers on low-diversity subspaces): drop trailing
+    # unassigned slots so encode argmin positions stay aligned
+    books = [
+        [c for c in (cents[j * k + cc] for cc in range(k)) if c is not None]
+        for j in range(m)
+    ]
     norm = V.l2_normalize(V.as_double(vec_col))
     delta = (
         new_vecs.select(F.col(id_col), norm.alias("arr"))
@@ -1672,7 +1685,13 @@ def ivfpq_upsert(
         (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers
     ]
     m, k, sub, cents = _load_codebook(spark, path)
-    books = [[cents[j * k + c] for c in range(k)] for j in range(m)]
+    # per-subspace codebooks are contiguous prefixes (Spark KMeans can
+    # return < k centers on low-diversity subspaces): drop trailing
+    # unassigned slots so encode argmin positions stay aligned
+    books = [
+        [c for c in (cents[j * k + cc] for cc in range(k)) if c is not None]
+        for j in range(m)
+    ]
     normed = new_vecs.select(
         F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("arr")
     )

@@ -434,3 +434,43 @@ def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     ).collect()
     assert top[0]["vec_id"] == 90001 or top[0]["vec_id"] == 7
     assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
+    """Spark KMeans returns FEWER than k centers when a subspace has
+    fewer distinct points — real on low-diversity corpora (the
+    text-derived embeddings triggered it): a constant subspace yields a
+    1-entry codebook, leaving unassigned code slots. The ADC table and
+    the upsert's codebook reconstruction must tolerate the short
+    per-subspace books (codes are contiguous prefixes) instead of
+    indexing None."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        # dims 0..7 constant (subspace 0 collapses to one center);
+        # the rest vary
+        (i, [1.0] * 8 + [rnd.uniform(-1, 1) for _ in range(56)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[5][1]
+
+    pq = str(tmp_path / "pq_low")
+    SIM.build_pq_index(emb, pq, m=8, k=16, seed=42)
+    got = SIM.pq_query_rerank(spark, pq, emb, qv, 5, shortlist=120, exclude_id=5)
+    ref = SIM.brute_force_topk(emb, 5, 5)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()]
+    # upsert reconstructs the persisted books (short subspaces included)
+    SIM.pq_upsert(spark, pq, _new_vec(spark, qv))
+    assert SIM.pq_query_rerank(
+        spark, pq, emb.unionByName(_new_vec(spark, qv)), qv, 1, shortlist=200
+    ).first()["cosine"] > 0.999
+
+    ivfpq = str(tmp_path / "ivfpq_low")
+    SIM.build_ivfpq_index(emb, ivfpq, n_lists=4, m=8, k=16, seed=42)
+    got2 = SIM.ivfpq_query_rerank(
+        spark, ivfpq, emb, qv, 5, n_probe=4, shortlist=120, exclude_id=5
+    )
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in ref.collect()]
+    SIM.ivfpq_upsert(spark, ivfpq, _new_vec(spark, qv, vid=90002))
