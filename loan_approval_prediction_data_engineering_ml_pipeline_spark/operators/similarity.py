@@ -20,6 +20,8 @@ engines.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import vectors as V
@@ -1470,8 +1472,10 @@ def build_ivfpq_index(
     ``dot(q, c + r̂) = dot(q, c) + Σ_j tab[j, code_j]``, so residual
     scoring costs one tiny map lookup per candidate on top of the same
     aggregate. The flag is recorded in the manifest at manifested
-    paths; flat (fixture) layouts follow the LSH convention of the
-    caller passing build params to the probe.
+    paths AND in a ``pqmeta.json`` sidecar for flat builds (ADVICE
+    r15), so probes/upserts never depend on the caller re-supplying
+    the build's encoding; the caller flag survives only as the
+    fallback for pre-sidecar fixtures.
 
     100 TB shape: both fits sample-able at ingest; encode is one
     map-only pass; the probe reads n_probe code partitions (bytes per
@@ -1518,6 +1522,19 @@ def build_ivfpq_index(
         codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
         cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
         _write_pq_codebooks(spark, path, books)
+        # persist the encoding flag for FLAT layouts too (ADVICE r15):
+        # residual codebooks decode wrong against raw vectors, so the
+        # flag must travel with the index, not with the caller — a tiny
+        # sidecar _ivfpq_snapshot folds into the synthesized manifest
+        # (a rebuild overwrites it; pre-sidecar fixtures keep the
+        # caller-flag convention via the .get fallback)
+        store = log_store_for(path)
+        sidecar = _join(path, "pqmeta.json")
+        if store.exists(sidecar):
+            store.delete(sidecar)
+        store.write_exclusive(
+            sidecar, json.dumps({"residual": bool(residual)})
+        )
         return
     # manifested path (upserted): rebuild into a fresh immutable object
     # dir + next-version manifest, like build_ivf_index (VERDICT r12)
@@ -1640,20 +1657,29 @@ def ivfpq_query_rerank(
 def _ivfpq_snapshot(path: str) -> dict:
     """The IVF-PQ index's committed view: latest manifest, else the
     flat layout synthesized as version 0 (every cell's code dir, the
-    centroid table, and the codebooks referenced in place)."""
+    centroid table, and the codebooks referenced in place). The flat
+    build's ``pqmeta.json`` sidecar supplies the residual flag (ADVICE
+    r15) so probes/upserts against a flat residual build can't silently
+    score raw; pre-sidecar fixtures omit the key, which falls back to
+    the caller's flag exactly as before."""
     snap = read_index_manifest(path)
     if snap is not None:
         return snap
+    store = log_store_for(path)
     cells = {}
-    for d in log_store_for(path).list_subdirs(_join(path, "codes")):
+    for d in store.list_subdirs(_join(path, "codes")):
         if d.startswith("cell="):
             cells[d.split("=", 1)[1]] = f"codes/{d}"
-    return {
+    out = {
         "version": 0,
         "centroids": "centroids",
         "codebooks": "codebooks",
         "cells": cells,
     }
+    sidecar = _join(path, "pqmeta.json")
+    if store.exists(sidecar):
+        out["residual"] = bool(json.loads(store.read_text(sidecar))["residual"])
+    return out
 
 
 def ivfpq_upsert(

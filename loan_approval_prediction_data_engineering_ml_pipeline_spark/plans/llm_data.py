@@ -5214,9 +5214,11 @@ def _ivfpq_sweep(
     cent_rows = cent.collect() if residual else []
 
     def _score(qvec: list) -> F.Column:
-        adc = F.round(S._adc_score(spark, idx, qvec), 6)
+        # one ADC expression per query (ADVICE r15: the m*k literal
+        # table is driver-built — construct it once, round per branch)
+        adc = S._adc_score(spark, idx, qvec)
         if not residual:
-            return adc
+            return F.round(adc, 6)
         # residual encoding: ADC approximates dot(q, r̂); add the
         # per-cell constant dot(q, c(cell)) — tiny map literal over
         # n_lists cells, exactly what the probe adds
@@ -5234,9 +5236,7 @@ def _ivfpq_sweep(
         cmap = F.create_map(
             *[x for cell, v in consts for x in (F.lit(cell), F.lit(float(v)))]
         )
-        return F.round(
-            F.element_at(cmap, F.col("cell")) + S._adc_score(spark, idx, qvec), 6
-        )
+        return F.round(F.element_at(cmap, F.col("cell")) + adc, 6)
 
     cand = reduce(
         DataFrame.unionByName,

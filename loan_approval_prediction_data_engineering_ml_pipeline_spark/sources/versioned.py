@@ -88,6 +88,7 @@ import re
 import shutil
 import time
 import uuid
+import warnings
 from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1876,13 +1877,18 @@ def stream_versioned_sink(
 
     ``compact_every`` = Delta's auto-compaction: every N committed
     batches the sink runs :func:`optimize_table` with bin-packing at
-    ``compact_target_bytes`` — paying down the one-small-file-per-batch
-    debt an append-per-micro-batch stream accretes (the first
-    operational wall at 100 TB) inside the same pipeline, no external
-    maintenance job. The compaction is content-identical, snapshot
-    isolated (pinned readers keep their manifest until vacuum), and a
-    lost OCC race with a concurrent writer just skips this cadence tick
-    — the next one retries."""
+    ``compact_target_bytes`` over ONLY the files still below that size
+    (``small_file_bytes`` — ADVICE r15: files a prior tick already
+    compacted to target are never re-read, so each tick costs O(bytes
+    appended since the last converged tick), not O(table)) — paying
+    down the one-small-file-per-batch debt an append-per-micro-batch
+    stream accretes (the first operational wall at 100 TB) inside the
+    same pipeline, no external maintenance job. The compaction is
+    content-identical, snapshot isolated (pinned readers keep their
+    manifest until vacuum), and best-effort: a lost OCC race with a
+    concurrent writer — or ANY compaction failure after the batch
+    itself has already committed — just skips this cadence tick; the
+    next one retries."""
     compacted = {"n": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1959,9 +1965,18 @@ def stream_versioned_sink(
                         batch_df.sparkSession,
                         path,
                         target_file_bytes=compact_target_bytes,
+                        # small-file-only: never re-read files a prior
+                        # tick already compacted to target (ADVICE r15)
+                        small_file_bytes=compact_target_bytes,
                     )
-                except CommitConflict:
-                    pass  # concurrent writer won: skip this tick, next retries
+                except Exception as exc:  # best-effort maintenance:
+                    # the BATCH is already committed — a failed or
+                    # OCC-raced compaction must not kill the stream;
+                    # the next cadence tick retries the same debt
+                    warnings.warn(
+                        f"auto-compaction tick skipped at {path}: {exc!r}",
+                        stacklevel=2,
+                    )
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:
@@ -2121,6 +2136,7 @@ def optimize_table(
     target_file_bytes: int | None = None,
     zorder_by: Sequence[str] | None = None,
     where: Where | None = None,
+    small_file_bytes: int | None = None,
 ) -> int:
     """Delta's OPTIMIZE: rewrite the LATEST snapshot into
     ``target_files`` files and commit the compacted layout as a new
@@ -2156,11 +2172,28 @@ def optimize_table(
     (``ceil(total/target)``, one stat per file, no data read) — the
     right call for maintenance that runs on tables of unknown size
     (e.g. a streaming sink's auto-compaction cadence). Overrides
-    ``target_files`` when set."""
+    ``target_files`` when set.
+
+    ``small_file_bytes`` = Delta auto-compaction's ``minFileSize``
+    (ADVICE r15): compact ONLY the files currently SMALLER than the
+    threshold, as a delta-record commit removing that subset — files
+    already at/above it are small-file debt already paid and are never
+    re-read or rewritten. This is what makes a cadence-driven
+    auto-compaction O(small files) per tick instead of O(table): a
+    long-lived stream's ticks each touch roughly the bytes written
+    since the last tick (plus not-yet-converged prior output), never
+    the whole 100 TB snapshot. Composes with ``where`` (size filter
+    applies after stats pruning). Fewer than 2 qualifying files is a
+    no-op — rewriting one small file buys nothing."""
     base = latest_version(path)
     if base is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    if where is None:
+    if target_files is None and target_file_bytes is None:
+        raise ValueError(
+            "optimize_table: set target_files or target_file_bytes "
+            "(both None leaves the rewrite unsized)"
+        )
+    if where is None and small_file_bytes is None:
         if target_file_bytes is not None:
             rel_files = _resolve_files_stats(path, base)[0]
             target_files = _binpack_target(path, rel_files, target_file_bytes)
@@ -2173,7 +2206,20 @@ def optimize_table(
             df = df.coalesce(target_files)
         return versioned_write(df, path, mode="overwrite", expected_base=base)
     manifest = _read_manifest(path, base)
-    subset = _pruned_rel_files(manifest, where)
+    subset = (
+        _pruned_rel_files(manifest, where)
+        if where is not None
+        else list(manifest["files"])
+    )
+    if small_file_bytes is not None:
+        store = log_store_for(path)
+        subset = [
+            f
+            for f in subset
+            if store.size(_abs_file(path, f)) < small_file_bytes
+        ]
+        if len(subset) < 2:
+            return base  # nothing worth compacting: no-op, no commit
     if target_file_bytes is not None and subset:
         target_files = _binpack_target(path, subset, target_file_bytes)
     if not subset:
@@ -2204,7 +2250,7 @@ def optimize_table(
         version,
         {
             "version": version,
-            "mode": "optimize-where",
+            "mode": "optimize-where" if where is not None else "optimize-small",
             "base": base,
             "add_files": new_files,
             "add_stats": new_stats,

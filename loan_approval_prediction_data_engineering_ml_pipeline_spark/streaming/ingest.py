@@ -442,7 +442,16 @@ def stream_ivf_index_ingest(
     frozen quantizer stops describing the ingest distribution. The
     stats fold into the ingest pass (one broadcast of the k-row
     centroid table + one agg per batch), so the signal is ~free at
-    100 TB."""
+    100 TB.
+
+    CONTRACT (ADVICE r15): ``drift_log`` belongs to ONE logical stream.
+    The per-batch idempotence probe is read-then-append (a plain
+    parquet log, not the versioned store's txn ledger), so two
+    CONCURRENT pipelines sharing one drift_log path can both pass the
+    existence check for the same batch_id and write duplicate rows.
+    Give each pipeline its own drift_log (key it by app/stream id like
+    the sink ledger's app_id) — redelivery within one stream stays
+    exactly-once, which is what foreachBatch actually replays."""
     from ..operators.index_commit import (
         CommitConflict,
         commit_index_manifest,

@@ -409,11 +409,16 @@ def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     and surface the new vector as the top cosine hit."""
     idx = str(tmp_path / "ivfpqr")
     SIM.build_ivfpq_index(emb, idx, n_lists=8, m=8, k=16, seed=42, residual=True)
+    # the FLAT build persists the encoding in its pqmeta.json sidecar
+    # (ADVICE r15): the snapshot recovers residual=True, so a probe that
+    # OMITS the caller flag still scores residually — the silent-wrong-
+    # rankings failure mode is closed
+    assert SIM._ivfpq_snapshot(idx)["residual"] is True
     got = [
         (r["vec_id"], r["cosine"])
         for r in SIM.ivfpq_query_rerank(
             spark, idx, emb, probe_vec, 10,
-            n_probe=8, shortlist=10**6, exclude_id=7, residual=True,
+            n_probe=8, shortlist=10**6, exclude_id=7,
         ).collect()
     ]
     ref = [
@@ -422,11 +427,12 @@ def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     ]
     assert got == ref and len(got) == 10
 
-    # upsert: the manifest records residual=True, so the delta is
-    # residual-encoded even without the caller's flag; the duplicate of
-    # the probe vector must come back as the top hit
+    # upsert WITHOUT the caller's flag: the sidecar-recovered snapshot
+    # flag wins, the delta is residual-encoded, and the MANIFESTED path
+    # records residual=True from then on; the duplicate of the probe
+    # vector must come back as the top hit
     nv = _new_vec(spark, probe_vec)
-    SIM.ivfpq_upsert(spark, idx, nv, residual=True)
+    SIM.ivfpq_upsert(spark, idx, nv)
     assert IC.read_index_manifest(idx)["residual"] is True
     corpus = emb.select("vec_id", "embedding").unionByName(nv)
     top = SIM.ivfpq_query_rerank(

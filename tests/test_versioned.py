@@ -1996,9 +1996,11 @@ def test_stream_sink_auto_compaction_cadence(spark, tmp_path):
     run("cp1")
     hist = table_versions(t)
     modes = [h["mode"] for h in hist]
-    # 4 stream batches + a compaction after batches 2 and 4
+    # 4 stream batches + a compaction after batches 2 and 4; the cadence
+    # rewrite is SMALL-FILE-ONLY (ADVICE r15): a delta-record commit
+    # over the sub-target files, never a whole-snapshot overwrite
     assert modes.count("stream-append") == 4
-    assert modes.count("overwrite") == 2
+    assert modes.count("optimize-small") == 2
     assert read_version(spark, t).count() == 16
     assert len(snapshot_files(t)) == 1  # bin-packed: tiny table -> 1 file
     # snapshot isolation: the pre-compaction stream snapshot (v1 = two
@@ -2009,6 +2011,117 @@ def test_stream_sink_auto_compaction_cadence(spark, tmp_path):
     hist2 = table_versions(t)  # so no new appends AND no new compactions
     assert len(hist2) == len(hist)
     assert read_version(spark, t).count() == 16
+
+
+def test_optimize_small_file_bytes_skips_converged_files(spark, tmp_path):
+    """small_file_bytes (Delta auto-compaction's minFileSize, ADVICE
+    r15): the rewrite touches ONLY files below the threshold — a file a
+    prior pass already compacted to target size is never re-read or
+    rewritten, which is what keeps a cadence-driven compaction O(small
+    files) per tick instead of O(table). Content stays identical; a
+    subsequent pass with nothing left to pack (fewer than 2 qualifying
+    files) is a committed no-op."""
+    import os as _os
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _abs_file,
+        optimize_table,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    # one BIG commit (stays) + three tiny commits (get packed)
+    versioned_write(
+        spark.createDataFrame(
+            [(j, "x" * 512) for j in range(4000)], ["id", "pad"]
+        ).coalesce(1),
+        t,
+    )
+    big = set(snapshot_files(t))
+    assert len(big) == 1
+    for i in range(3):
+        versioned_write(
+            spark.createDataFrame([(10_000 + i, "tiny")], ["id", "pad"]), t
+        )
+    base = latest_version(t)
+    sizes = {f: _os.path.getsize(_abs_file(t, f)) for f in snapshot_files(t)}
+    cut = max(s for f, s in sizes.items() if f not in big) + 1
+    assert cut < min(sizes[f] for f in big)
+    before = {tuple(r) for r in read_version(spark, t).collect()}
+
+    v = optimize_table(spark, t, target_files=1, small_file_bytes=cut)
+    assert v == base + 1
+    after = snapshot_files(t)
+    assert big <= set(after)  # the converged file was NOT rewritten
+    assert len(after) == 2  # big + one packed file
+    assert {tuple(r) for r in read_version(spark, t).collect()} == before
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        _read_raw_manifest,
+    )
+
+    assert _read_raw_manifest(t, v)["mode"] == "optimize-small"
+
+    # nothing left below the threshold but the one packed file -> no-op
+    packed = [f for f in after if f not in big]
+    if _os.path.getsize(_abs_file(t, packed[0])) < cut:
+        assert optimize_table(spark, t, target_files=1, small_file_bytes=cut) == v
+
+
+def test_optimize_unsized_rewrite_raises(spark, tmp_path):
+    """target_files=None without target_file_bytes is an unsized rewrite
+    — fail fast with a clear message instead of df.coalesce(None)."""
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        optimize_table,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    with _pytest.raises(ValueError, match="target_files or target_file_bytes"):
+        optimize_table(spark, t, target_files=None)
+
+
+def test_stream_sink_compaction_failure_does_not_kill_stream(
+    spark, tmp_path, monkeypatch
+):
+    """Auto-compaction is best-effort maintenance AFTER the batch commit
+    (ADVICE r15): any compaction failure — not just a lost OCC race —
+    warns and skips the tick; every batch still lands exactly-once."""
+    import os as _os
+    import warnings as _warnings
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources import (
+        versioned as VS,
+    )
+
+    src = str(tmp_path / "feed")
+    _os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"r{i}")], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compaction failure")
+
+    monkeypatch.setattr(VS, "optimize_table", boom)
+    t = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        VS.stream_versioned_sink(
+            stream, t, app_id="loader",
+            checkpoint=str(tmp_path / "cp"), compact_every=1,
+        )
+    assert any("auto-compaction tick skipped" in str(w.message) for w in caught)
+    assert read_version(spark, t).count() == 3
+    modes = [h["mode"] for h in table_versions(t)]
+    assert modes.count("stream-append") == 3 and "optimize-small" not in modes
 
 
 def test_optimize_where_loses_race_to_concurrent_append(spark, tmp_path, monkeypatch):
