@@ -1021,20 +1021,42 @@ def _fit_pq_codebooks(
 def _pq_codes_expr(
     books: list[list[list[float]]], sub: int, vec_col: str = "arr"
 ):
-    """codegen encode expression: per subspace, argmin over the k literal
-    centroids (array_position on the first minimum — deterministic
-    tie-break); one map-only pass encodes the corpus."""
+    """codegen encode expression: per subspace, squared-L2 argmin over
+    the k literal centroids (array_position on the first minimum —
+    deterministic tie-break); one map-only pass encodes the corpus.
+
+    Two layouts by codebook size, same argmin semantics either way (the
+    variant is a pure function of len(book), so a given index's recipe
+    is deterministic across build and upsert): small books unroll into
+    one flat codegen expression (widest whole-stage-codegen span);
+    large books (k > 32, e.g. the k=256 point FAISS defaults to —
+    8 bits/subspace) would otherwise unroll to ~m·k·sub expression
+    nodes, minutes of driver-side py4j construction and a codegen blob
+    past the JIT's method limits — they evaluate the SAME distances via
+    one nested array literal + transform/aggregate HOFs instead."""
     code_cols = []
     for j, book in enumerate(books):
-        dists = F.array(
-            *[
-                sum(
-                    (F.col(vec_col)[j * sub + i] - F.lit(book[c][i])) ** 2
-                    for i in range(sub)
-                )
-                for c in range(len(book))
-            ]
-        )
+        if len(book) <= 32:
+            dists = F.array(
+                *[
+                    sum(
+                        (F.col(vec_col)[j * sub + i] - F.lit(book[c][i])) ** 2
+                        for i in range(sub)
+                    )
+                    for c in range(len(book))
+                ]
+            )
+        else:
+            blit = F.lit([[float(x) for x in c] for c in book])
+            sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+            dists = F.transform(
+                blit,
+                lambda c: F.aggregate(
+                    F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+            )
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{j}")
         )
@@ -1115,7 +1137,9 @@ def _adc_score(spark, path: str, query_vec: list[float]):
                 # leave 0.0
                 continue
             table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
-    tlit = F.array(*[F.lit(float(x)) for x in table])
+    # one array literal (single py4j call) — at k=256 the table is
+    # m*k = 2048 cells and per-element F.lit construction dominates
+    tlit = F.lit([float(x) for x in table])
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1569,9 +1593,12 @@ def ivfpq_query_rerank(
     # depth is the honest price of 16-code ADC resolution — recall at
     # shortlist=100 CEILINGS at 0.60 on the 2000-vector corpus no
     # matter how many cells are probed, so reaching 0.9 means reranking
-    # ~25% of the corpus. At real scale the fix is finer codebooks
-    # (k=256: 8 bits/subspace, FAISS's default), not deeper rerank;
-    # re-run the sweep whenever m/k/n_lists change.
+    # ~25% of the corpus. At real scale the fix is finer codebooks, not
+    # deeper rerank — MEASURED in r16 (ann_recall_sweep_ivfpq256):
+    # k=256 (8 bits/subspace, FAISS's default) lifts the same sf0.1
+    # s=100 ceiling to 0.900 at p=6, i.e. >=0.9 at a 5%-of-corpus
+    # rerank, and +residual dominates at tighter shortlists. Re-run
+    # the sweep whenever m/k/n_lists change.
     n_probe: int = 6,
     shortlist: int = 500,
     id_col: str = "vec_id",

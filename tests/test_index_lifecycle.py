@@ -442,6 +442,37 @@ def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     assert abs(top[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_large_codebook_encode_path(spark, tmp_path, emb, probe_vec):
+    """k > 32 codebooks take the HOF encode path (nested array literal +
+    transform/aggregate instead of the m·k·sub codegen unroll — r16, the
+    k=256 enabler): same squared-L2 argmin semantics, so the exactness
+    invariants must hold end to end — full-probe/full-shortlist IVF-PQ
+    equals brute force, and an upsert (which re-encodes with the
+    PERSISTED books through the same expression builder) surfaces the
+    duplicate vector as the top hit."""
+    idx = str(tmp_path / "ivfpq_largek")
+    SIM.build_ivfpq_index(emb, idx, n_lists=4, m=8, k=40, seed=42)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.ivfpq_query_rerank(
+            spark, idx, emb, probe_vec, 10,
+            n_probe=4, shortlist=10**6, exclude_id=7,
+        ).collect()
+    ]
+    ref = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.brute_force_topk(emb, 7, 10).collect()
+    ]
+    assert got == ref and len(got) == 10
+    nv = _new_vec(spark, probe_vec)
+    SIM.ivfpq_upsert(spark, idx, nv)
+    corpus = emb.select("vec_id", "embedding").unionByName(nv)
+    top = SIM.ivfpq_query_rerank(
+        spark, idx, corpus, probe_vec, 1, n_probe=4, shortlist=10**6
+    ).first()
+    assert abs(top["cosine"] - 1.0) < 1e-6
+
+
 def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     """Spark KMeans returns FEWER than k centers when a subspace has
     fewer distinct points — real on low-diversity corpora (the
