@@ -108,6 +108,11 @@ HEADLINE = [
     "ann_lsh_band_sweep",  # tables x bits frontier from one signature table (r15)
     "ann_recall_sweep_ivfpq64",  # finer-codebook control experiment (r15)
     "ann_recall_sweep_ivfpqr",  # residual-encoding control experiment (r15)
+    "ann_recall_sweep_ivfpq256",  # the measured k=256 recipe point (r16)
+    "ann_recall_sweep_ivfpqr256",  # k=256 + residual, the full recipe (r16)
+    "ann_recall_sweep_clustered_raw",  # residual positive control, raw arm (r16)
+    "ann_recall_sweep_clustered_res",  # residual positive control, residual arm (r16)
+    "ann_text_embed_ivf_batch",  # batched text-IVF probe, one vocab broadcast (r16)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index
@@ -543,6 +548,14 @@ def main() -> None:
     )
 
     calibrate(spark)  # untimed: compile the probe itself
+
+    # warm-fixture pass (VERDICT r15 #6): one untimed sweep of the full
+    # headline set BEFORE round 0 fires every _ensure_* staleness check
+    # and first-run index build, so one-time fixture construction can
+    # never land inside a timed round — BENCH_DETAIL's early rounds kept
+    # flagging as internal drift whose real cause was first-run builds.
+    for name in names:
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in names}

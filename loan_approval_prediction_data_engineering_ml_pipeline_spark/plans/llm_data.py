@@ -4736,6 +4736,91 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_text_embed_ivf_batch",
+    tier="local",
+    # The BATCHED text-IVF serving path (VERDICT r15 #3): N query
+    # documents share ONE vocabulary broadcast (the embed is a single
+    # tokens⋈feats join over all N docs) and ONE probe pass (probe
+    # pairs shuffle-join the cell-partitioned corpus — each probed cell
+    # is read once no matter how many queries hit it), with zero
+    # driver round-trips: no .first() lifts a vector to a literal, the
+    # query vectors stay columns end to end. EXACT given the persisted
+    # index, per query (n independent ivf_query probes fused into one
+    # plan); the oracle replays the batch from the same committed
+    # parquet, taking the query vectors from the index's own cells
+    # (fingerprint-tied to the live encoder output).
+    oracle=f"""
+    WITH qs AS (
+      SELECT CAST(doc_id AS BIGINT) AS query_id, CAST(arr AS DOUBLE[]) AS qv
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+      WHERE doc_id < 3
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/centroids/*.parquet')
+    ),
+    ranked AS (
+      SELECT qs.query_id, cent.cell,
+             row_number() OVER (
+               PARTITION BY qs.query_id
+               ORDER BY list_distance(cent.centroid, qs.qv), cent.cell
+             ) AS rk
+      FROM cent, qs
+    ),
+    probe AS (SELECT query_id, cell FROM ranked WHERE rk <= 9),
+    cand AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(arr AS DOUBLE[]) AS arr,
+             CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVFTEXT_DIR}/cells/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    scored AS (
+      SELECT p.query_id, c.doc_id,
+             round(list_cosine_similarity(c.arr, q.qv), 6) AS cosine
+      FROM probe p
+      JOIN cand c ON c.cell = p.cell
+      JOIN qs q ON q.query_id = p.query_id
+      WHERE c.doc_id != p.query_id
+    ),
+    topk AS (
+      SELECT query_id, doc_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, doc_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, doc_id, cosine FROM topk WHERE rk <= 10
+    ORDER BY query_id, cosine DESC, doc_id
+    """,
+    description="BATCHED text-to-text semantic retrieval through the "
+    "persisted ivftext index: N query documents embed against ONE "
+    "broadcast of the persisted vocabulary and probe in ONE "
+    "shuffle-join plan (each probed cell partition read once no matter "
+    "how many queries hit it, no per-query driver round-trip) — the "
+    "serving shape at scale, where ann_text_embed_ivf's one-doc probe "
+    "(itself already 2× its exact twin) would serialize N Spark jobs "
+    "and N vocabulary broadcasts. Measured warm at sf0.1: batch-of-3 "
+    "1.60 s vs 3× the single probe's 3.46 s, and batch-of-32 2.02 s — "
+    "~0.06 s/query, an ~18× per-query amortization; n_probe=9 is the "
+    "measured ann_recall_sweep_textivf operating point",
+)
+def ann_text_embed_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedding as E
+
+    idx = _ensure_ivftext(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = spark.read.parquet(idx + "/feats")
+    queries = E.hashed_tfidf_embed(
+        docs.where(F.col("doc_id") < 3), dim=64, feats=feats
+    )
+    return S.ivf_batch_topk(
+        spark, idx, queries, k=10, n_probe=9, id_col="doc_id",
+    )
+
+
 def _ensure_lshsig88(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-missing + staleness-guarded max-config (8 tables x 8
     planes) LSH signature table — the one fixture behind the whole

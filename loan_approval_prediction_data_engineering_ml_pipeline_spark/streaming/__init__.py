@@ -10,10 +10,13 @@ from .events import (  # noqa: F401
     windowed_counts,
 )
 from .ingest import (  # noqa: F401
+    fold_ingest_store,
     ivf_drift_refit_due,
     read_corpus,
+    reclaim_ingest_store,
     stream_bm25_index_ingest,
     stream_ivf_index_ingest,
     stream_corpus_ingest_dedup,
     stream_corpus_ingest_neardup,
+    stream_text_ivf_ingest,
 )

@@ -30,17 +30,177 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import text as X
 from ..sources.loaders import _path_exists
+
+
+def _flat_batch_dirs(store_dir: str, component: str) -> dict[int, str]:
+    """The component's flat ``ingest_batch=N`` partition dirs still on
+    disk, keyed by batch id."""
+    from ..sources.versioned import _join, log_store_for
+
+    comp = _join(store_dir, component)
+    out = {}
+    for d in log_store_for(store_dir).list_subdirs(comp):
+        if d.startswith("ingest_batch="):
+            out[int(d.split("=", 1)[1])] = _join(comp, d)
+    return out
+
+
+def _store_snapshot(spark, store_dir: str, component: str) -> DataFrame | None:
+    """Snapshot view of a corpus-store component (VERDICT r15 #5): the
+    latest FOLD manifest's consolidated object dir (if any) UNION the
+    flat ``ingest_batch=N`` dirs with ``N > folded_upto``. Readers see
+    the pre-fold or post-fold layout in full — never both copies of a
+    folded batch (flat dirs at/below the horizon are excluded by id
+    even while they still exist awaiting reclaim) and never a missing
+    one. Returns None when the component holds no data at all.
+    ``ingest_batch`` survives as an ordinary column in the folded rows,
+    so the sinks' replay-exclusion predicate keeps working unchanged."""
+    from ..operators.index_commit import read_index_manifest
+    from ..sources.versioned import _join
+
+    man = read_index_manifest(store_dir)
+    folded_upto = int(man["folded_upto"]) if man else -1
+    flat = _flat_batch_dirs(store_dir, component)
+    live = [p for b, p in sorted(flat.items()) if b > folded_upto]
+    parts = []
+    if man and component in man["components"]:
+        parts.append(
+            spark.read.parquet(_join(store_dir, man["components"][component]))
+        )
+    if live:
+        parts.append(
+            spark.read.option("basePath", _join(store_dir, component))
+            .parquet(*live)
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "ingest_batch", F.col("ingest_batch").cast("int")
+    )
+
+
+def fold_ingest_store(
+    spark,
+    store_dir: str,
+    components: tuple[str, ...] = ("docs", "index"),
+    *,
+    target_files: int = 1,
+) -> int | None:
+    """Compact a streaming corpus store's per-batch partition debt
+    (VERDICT r15 #5): every committed ``ingest_batch=N`` dir is one-plus
+    small files, the same accretion the versioned store's OPTIMIZE pays
+    down — over a stream's life the store degrades into thousands of
+    tiny partitions that every cross-batch probe (the dedup index join,
+    the LSH band join) must open. Fold-in = read the current snapshot
+    (prior folded objects + all flat batches), rewrite each component
+    consolidated into an IMMUTABLE ``objects/<id>/`` dir, and publish
+    ONE fold manifest ``{folded_upto, components}`` through the shared
+    atomic index-commit protocol: a concurrent probe resolves the old
+    manifest (and reads the still-present flat dirs) or the new one —
+    nothing partially visible, exactly the versioned store's
+    snapshot-isolation argument. A lost manifest race raises
+    CommitConflict with nothing visible; flat dirs at/below the horizon
+    become invisible-by-id immediately and are physically reclaimed
+    later by :func:`reclaim_ingest_store`.
+
+    Replay interaction: a redelivered batch at/below ``folded_upto``
+    rewrites its flat dir, which the snapshot EXCLUDES by id — the
+    replay degrades to a harmless orphan write (its content already
+    lives in the folded objects). Single maintenance writer, like
+    vacuum. Returns the new fold horizon, or None if nothing to fold."""
+    from ..operators.index_commit import (
+        commit_index_manifest,
+        new_object_rel,
+        read_index_manifest,
+    )
+    from ..sources.versioned import _join
+
+    man = read_index_manifest(store_dir)
+    folded_upto = int(man["folded_upto"]) if man else -1
+    pending = set()
+    for comp in components:
+        pending.update(
+            b for b in _flat_batch_dirs(store_dir, comp) if b > folded_upto
+        )
+    if not pending:
+        return None
+    upto = max(pending)
+    obj = new_object_rel()
+    for comp in components:
+        snap = _store_snapshot(spark, store_dir, comp)
+        if snap is None:
+            continue
+        snap.coalesce(target_files).write.mode("overwrite").parquet(
+            _join(store_dir, obj, comp)
+        )
+    commit_index_manifest(
+        store_dir,
+        (int(man["version"]) + 1) if man else 1,
+        {
+            "folded_upto": upto,
+            "components": {c: f"{obj}/{c}" for c in components},
+        },
+    )
+    return upto
+
+
+def reclaim_ingest_store(
+    store_dir: str, components: tuple[str, ...] = ("docs", "index")
+) -> list[str]:
+    """Physically delete what the latest fold manifest superseded: flat
+    ``ingest_batch=N`` dirs at/below ``folded_upto`` and object dirs no
+    manifest-referenced component lives in. Same contract as the
+    versioned store's ``vacuum`` at zero retention: run it from the
+    single maintenance schedule that owns writes, after in-flight
+    readers of the PREVIOUS snapshot have drained (a reader pinned to
+    the old manifest still reads old object dirs). Returns deleted
+    paths."""
+    from ..operators.index_commit import read_index_manifest
+    from ..sources.versioned import _join, log_store_for
+
+    man = read_index_manifest(store_dir)
+    if man is None:
+        return []
+    store = log_store_for(store_dir)
+    folded_upto = int(man["folded_upto"])
+    referenced = {
+        rel.split("/", 2)[1]
+        for rel in man["components"].values()
+        if rel.startswith("objects/")
+    }
+    removed = []
+    for comp in components:
+        for b, path in _flat_batch_dirs(store_dir, comp).items():
+            if b <= folded_upto:
+                store.delete_tree(path)
+                removed.append(path)
+    obj_root = _join(store_dir, "objects")
+    for d in store.list_subdirs(obj_root):
+        if d not in referenced:
+            full = _join(obj_root, d)
+            store.delete_tree(full)
+            removed.append(full)
+    return removed
 
 
 def _read_index_excluding(spark, index_dir: str, batch_id: int) -> DataFrame | None:
     """The persisted fingerprint index, minus the current batch's own
     partition (idempotent-retry guard — see module docstring). Returns
-    None when no prior batch has committed an index partition."""
-    if not _path_exists(spark, index_dir):
+    None when no prior batch has committed an index partition.
+    Snapshot-resolving: after a fold, reads the consolidated object plus
+    only the unfolded flat partitions."""
+    import os
+
+    store_dir, comp = os.path.split(index_dir.rstrip("/"))
+    idx = _store_snapshot(spark, store_dir, comp)
+    if idx is None:
         return None
-    idx = spark.read.parquet(index_dir).where(F.col("ingest_batch") != batch_id)
-    return idx
+    return idx.where(F.col("ingest_batch") != batch_id)
 
 
 def stream_corpus_ingest_dedup(
@@ -123,9 +283,14 @@ def stream_corpus_ingest_dedup(
 
 
 def read_corpus(spark, store_dir: str) -> DataFrame:
-    """The deduped corpus as one frame (partition column ``ingest_batch``
-    records arrival batch — drop it for content-only reads)."""
-    return spark.read.parquet(f"{store_dir}/docs")
+    """The deduped corpus as one frame (column ``ingest_batch`` records
+    arrival batch — drop it for content-only reads). Snapshot-resolving:
+    after :func:`fold_ingest_store` the read opens the consolidated
+    object dir plus only the unfolded flat partitions."""
+    snap = _store_snapshot(spark, store_dir, "docs")
+    if snap is None:
+        return spark.read.parquet(f"{store_dir}/docs")  # raises like before
+    return snap
 
 
 def stream_corpus_ingest_neardup(
@@ -208,11 +373,10 @@ def stream_corpus_ingest_neardup(
             j = X.jaccard(F.col("ta"), F.col("tb"))
             new_toks = base.select(F.col("id").alias("new_id"), F.col("toks").alias("ta"))
 
-            # --- cross-batch: batch bands vs persisted keeper bands ---
-            if _path_exists(spark, bands_dir):
-                index = spark.read.parquet(bands_dir).where(
-                    F.col("ingest_batch") != batch_id
-                )
+            # --- cross-batch: batch bands vs persisted keeper bands
+            # (snapshot-resolving reads: folded object + unfolded flats) ---
+            index = _read_index_excluding(spark, bands_dir, batch_id)
+            if index is not None:
                 cands = (
                     banded.join(
                         index.select(
@@ -224,7 +388,7 @@ def stream_corpus_ingest_neardup(
                     .distinct()
                 )
                 old_docs = (
-                    spark.read.parquet(docs_dir)
+                    _store_snapshot(spark, store_dir, "docs")
                     .where(F.col("ingest_batch") != batch_id)
                     .join(
                         cands.select(F.col("old_id").alias(id_col)).distinct(),
@@ -494,35 +658,18 @@ def stream_ivf_index_ingest(
                 vec_col=vec_col,
                 retries=2,
             )
-            if drift_log is not None and not (
+            if drift_log is not None and not _drift_row_exists(
                 # idempotent per batch_id like the REPLACE upsert beside
                 # it (ADVICE r14): a redelivered micro-batch (failure /
-                # restart replay) must not append a duplicate drift row —
-                # one-row-per-batch consumers and row counts stay exact.
-                # The log is tiny (one row per batch), so the existence
-                # probe is a bounded read.
-                _path_exists(spark, drift_log)
-                and spark.read.parquet(drift_log)
-                .where(F.col("batch_id") == int(batch_id))
-                .limit(1)
-                .count()
-                > 0
+                # restart replay) must not append a duplicate drift row
+                spark, drift_log, batch_id
             ):
                 stats = ivf_assignment_stats(
                     spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
                 )
-                base = drift_baseline
-                if base is None:
-                    if _path_exists(spark, drift_log):
-                        first = (
-                            spark.read.parquet(drift_log)
-                            .orderBy("batch_id")
-                            .select("baseline_mean")
-                            .first()
-                        )
-                        base = float(first["baseline_mean"]) if first else None
-                    if base is None:
-                        base = stats["mean_dist"]  # freeze-time reference
+                base = _drift_baseline(
+                    spark, drift_log, drift_baseline, stats["mean_dist"]
+                )
                 ratio = stats["mean_dist"] / base if base else 1.0
                 spark.createDataFrame(
                     [
@@ -543,6 +690,178 @@ def stream_ivf_index_ingest(
             batch_df.unpersist()
 
     writer = vecs.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def _drift_row_exists(spark, drift_log: str, batch_id: int) -> bool:
+    """Has this batch already logged its drift row? (Idempotence probe —
+    ADVICE r14; the log is one row per batch, so this is a bounded
+    read. Single-stream contract: see stream_ivf_index_ingest.)"""
+    return (
+        _path_exists(spark, drift_log)
+        and spark.read.parquet(drift_log)
+        .where(F.col("batch_id") == int(batch_id))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def _drift_baseline(spark, drift_log: str, explicit: float | None, fallback: float) -> float:
+    """Resolve the drift reference: the caller's build-time value, else
+    the FIRST logged batch's recorded baseline (freeze-time reference),
+    else this batch's own mean (first batch of a fresh log)."""
+    if explicit is not None:
+        return explicit
+    if _path_exists(spark, drift_log):
+        first = (
+            spark.read.parquet(drift_log)
+            .orderBy("batch_id")
+            .select("baseline_mean")
+            .first()
+        )
+        if first is not None:
+            return float(first["baseline_mean"])
+    return fallback
+
+
+def stream_text_ivf_ingest(
+    docs: DataFrame,
+    index_path: str,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    drift_log: str | None = None,
+    drift_baseline: float | None = None,
+    drift_threshold: float = 1.3,
+    oov_threshold: float = 0.2,
+) -> None:
+    """Maintain a STANDING text-retrieval IVF index (the
+    ``_ensure_ivftext`` layout: persisted encoder vocabulary at
+    ``<index>/feats`` + IVF cells over the encoded corpus) from a
+    DOCUMENT stream — VERDICT r15 #4: the jittered-vector stream had
+    drift/refit wired, the text index did not, and text distributions
+    drift faster than synthetic vectors (topics shift, new vocabulary
+    floods in).
+
+    Each micro-batch embeds its documents with the FROZEN persisted
+    vocabulary (one broadcast of the feats table — frozen-encoder
+    semantics, exactly like the frozen quantizer: embedding must be a
+    pure function of the committed encoder or early and late batches
+    would land in incomparable spaces), then folds into the index via
+    the snapshot-atomic ``ivf_upsert``. OOV tokens contribute nothing
+    (what a fitted encoder does with unseen input); a document that is
+    ALL-new-vocabulary embeds to nothing and is skipped — it re-enters
+    at the next encoder refit, which is precisely what the OOV signal
+    below schedules. Requires a prior offline build at ``index_path``
+    (index + feats), the serving deployment shape.
+
+    TWO drift signals per batch when ``drift_log`` is set, because text
+    drifts in two distinguishable ways:
+
+    - ``drift_ratio`` — mean assignment distance vs the frozen
+      centroids (the geometric signal shared with
+      :func:`stream_ivf_index_ingest`): topics moving away from every
+      committed cell.
+    - ``oov_rate`` — the fraction of the batch's token OCCURRENCES
+      absent from the frozen vocabulary: NEW language the encoder
+      cannot even see. This one is text-specific and fires FIRST under
+      a vocabulary flood — hashed projections of the residual known
+      tokens can still sit near old centroids while the encoder is
+      already blind to most of the batch.
+
+    ``refit_due = drift_ratio > drift_threshold OR oov_rate >
+    oov_threshold``. The refit itself recomputes the vocabulary over
+    the grown corpus and rebuilds index + feats (the
+    ``_ensure_ivftext`` rebuild path; ``build_ivf_index`` at a
+    manifested path commits the next version atomically under
+    concurrent probes). Idempotence and the single-stream drift_log
+    contract match :func:`stream_ivf_index_ingest`."""
+    from ..operators import embedding as E
+    from ..operators.similarity import ivf_assignment_stats, ivf_upsert
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            feats = spark.read.parquet(index_path + "/feats")
+            emb = E.hashed_tfidf_embed(
+                batch_df, dim=dim, text_col=text_col, id_col=id_col, feats=feats
+            ).localCheckpoint(eager=True)  # embed ONCE: upsert + stats
+            if not emb.isEmpty():
+                ivf_upsert(
+                    spark, index_path, emb,
+                    id_col=id_col, vec_col="embedding", retries=2,
+                )
+            if drift_log is not None and not _drift_row_exists(
+                spark, drift_log, batch_id
+            ):
+                if emb.isEmpty():
+                    stats = {"n": 0, "mean_dist": 0.0, "p95_dist": 0.0}
+                else:
+                    stats = ivf_assignment_stats(
+                        spark, index_path, emb,
+                        id_col=id_col, vec_col="embedding",
+                    )
+                # OOV rate: token occurrences outside the frozen vocab /
+                # all occurrences — one explode + one broadcast anti-join
+                # + one count over the batch (the embed already paid the
+                # tokenize), so the text signal is ~free like the
+                # geometric one
+                ne = F.filter(X.tokens(text_col), lambda t: t != "")
+                toks = batch_df.select(F.explode(ne).alias("tok"))
+                j = toks.join(
+                    F.broadcast(
+                        feats.select("tok").distinct().withColumn(
+                            "known", F.lit(1)
+                        )
+                    ),
+                    "tok",
+                    "left",
+                ).agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(
+                        F.when(F.col("known").isNull(), 1).otherwise(0)
+                    ).alias("oov"),
+                ).first()
+                total = int(j["total"] or 0)
+                oov_rate = (int(j["oov"] or 0) / total) if total else 0.0
+                base = _drift_baseline(
+                    spark, drift_log, drift_baseline,
+                    stats["mean_dist"] or 1.0,
+                )
+                ratio = stats["mean_dist"] / base if base else 1.0
+                spark.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            stats["n"],
+                            round(stats["mean_dist"], 6),
+                            round(stats["p95_dist"], 6),
+                            round(base, 6),
+                            round(ratio, 6),
+                            round(oov_rate, 6),
+                            bool(
+                                ratio > drift_threshold
+                                or oov_rate > oov_threshold
+                            ),
+                        )
+                    ],
+                    "batch_id long, n long, mean_dist double, p95_dist double,"
+                    " baseline_mean double, drift_ratio double,"
+                    " oov_rate double, refit_due boolean",
+                ).coalesce(1).write.mode("append").parquet(drift_log)
+        finally:
+            batch_df.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()

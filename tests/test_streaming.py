@@ -515,6 +515,159 @@ def test_stream_corpus_ingest_dedup_matches_batch_twin(spark, tmp_path):
     assert {r["doc_id"] for r in bloomed.collect()} == want
 
 
+def test_fold_ingest_store_compacts_without_changing_content(spark, tmp_path):
+    """VERDICT r15 #5: the per-batch ingest_batch= partition debt of the
+    streaming corpus stores gets the same maintenance the versioned
+    store's OPTIMIZE gives tables. Fold-in consolidates every flat
+    partition into one immutable objects/ dir behind an atomic fold
+    manifest: content identical, flat dirs at/below the horizon
+    invisible-by-id until reclaim deletes them, replays of folded
+    batches degrade to orphan writes the snapshot excludes, and the
+    stream keeps appending new flat partitions the next fold absorbs."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.ingest import (
+        _store_snapshot,
+        fold_ingest_store,
+        read_corpus,
+        reclaim_ingest_store,
+        stream_corpus_ingest_dedup,
+    )
+
+    src = str(tmp_path / "feed")
+    _write_ingest_feed(spark, src)
+    store = str(tmp_path / "store")
+
+    def ingest(cp: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_corpus_ingest_dedup(
+            stream, store, checkpoint=str(tmp_path / cp)
+        )
+
+    ingest("cp1")
+    before = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()
+    )
+    import glob as _g
+
+    flat_before = len(_g.glob(f"{store}/docs/ingest_batch=*"))
+    assert flat_before == 3
+
+    upto = fold_ingest_store(spark, store)
+    assert upto == 2
+    # content identical through the fold; flat dirs still on disk but
+    # excluded by id (snapshot isolation while readers drain)
+    assert len(_g.glob(f"{store}/docs/ingest_batch=*")) == 3
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()
+    )
+    assert after == before
+    # each folded component is ONE consolidated file
+    assert len(_g.glob(f"{store}/objects/*/docs/part-*.parquet")) == 1
+    assert len(_g.glob(f"{store}/objects/*/index/part-*.parquet")) == 1
+
+    # idempotent: nothing new to fold
+    assert fold_ingest_store(spark, store) is None
+
+    # reclaim deletes the superseded flat dirs, content unchanged
+    removed = reclaim_ingest_store(store)
+    assert len(_g.glob(f"{store}/docs/ingest_batch=*")) == 0
+    assert removed and all("ingest_batch=" in p or "objects" in p for p in removed)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()
+    ) == before
+
+    # full redelivery AFTER fold+reclaim: replayed batches rewrite flat
+    # dirs at/below the horizon, which the snapshot excludes by id —
+    # the store's content cannot change, and the exclude-own-batch
+    # dedup probe still sees the folded fingerprints
+    ingest("cp2")
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()
+    ) == before
+    # the orphan rewrites are invisible; the NEXT fold has nothing new
+    # above the horizon, so it stays a no-op
+    assert fold_ingest_store(spark, store) is None
+
+    # stream continues: a 4th feed file lands a new flat partition the
+    # next fold absorbs into v2
+    import os as _os
+    import shutil as _sh
+    import time as _t
+
+    staged = str(tmp_path / "b3stage")
+    spark.createDataFrame(
+        [(300001, "wholly new content after the fold")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(staged)
+    part = _g.glob(f"{staged}/part-*.parquet")[0]
+    dest = _os.path.join(src, "feed_3.parquet")
+    _sh.copyfile(part, dest)
+    _os.utime(dest, (_t.time() + 100, _t.time() + 100))
+    ingest("cp1")  # same checkpoint: only the new file is a new batch
+    assert read_corpus(spark, store).count() == len(before) + 1
+    assert fold_ingest_store(spark, store) == 3
+    reclaim_ingest_store(store)
+    # a FRESH read resolves the v2 snapshot (a reader pinned to the v1
+    # object would need reclaim deferred — vacuum's retention contract)
+    assert read_corpus(spark, store).count() == len(before) + 1
+
+
+def test_fold_ingest_store_loses_race_atomically(spark, tmp_path, monkeypatch):
+    """OCC safety of the fold (the versioned store's race proof applied
+    here): a fold that resolved a STALE snapshot loses the manifest
+    put-if-absent to the competing fold, raises CommitConflict, and its
+    orphan object dir is never visible — reclaim sweeps it."""
+    import glob as _g
+
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        index_commit as IC,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.versioned import (
+        CommitConflict,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.ingest import (
+        fold_ingest_store,
+        read_corpus,
+        reclaim_ingest_store,
+        stream_corpus_ingest_dedup,
+    )
+
+    src = str(tmp_path / "feed")
+    _write_ingest_feed(spark, src)
+    store = str(tmp_path / "store")
+    stream_corpus_ingest_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        store,
+        checkpoint=str(tmp_path / "cp"),
+    )
+    before = sorted(r["doc_id"] for r in read_corpus(spark, store).collect())
+
+    # the winner folds for real
+    assert fold_ingest_store(spark, store) == 2
+    # the loser resolved BEFORE the winner's commit: stale manifest view
+    monkeypatch.setattr(IC, "read_index_manifest", lambda *a, **k: None)
+    with _pytest.raises(CommitConflict):
+        fold_ingest_store(spark, store)
+    monkeypatch.undo()
+
+    # nothing partially visible: content intact, winner's manifest holds
+    assert sorted(r["doc_id"] for r in read_corpus(spark, store).collect()) == before
+    assert int(IC.read_index_manifest(store)["version"]) == 1
+    # the loser's orphan object dir exists but is unreferenced — reclaim
+    # sweeps it along with the folded flat dirs
+    assert len(_g.glob(f"{store}/objects/*")) == 2
+    reclaim_ingest_store(store)
+    assert len(_g.glob(f"{store}/objects/*")) == 1
+    assert sorted(r["doc_id"] for r in read_corpus(spark, store).collect()) == before
+
+
 def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
     """Streaming MinHash-LSH ingest over a 3-file feed of transitive
     near-dup cliques keeps exactly one document per clique (the first
@@ -899,3 +1052,126 @@ def test_stream_ivf_drift_log_idempotent_under_redelivery(spark, tmp_path):
     )
     # no duplicate rows, identical recorded values
     assert second == first
+
+
+def test_stream_text_ivf_vocab_drift_flags_refit(spark, tmp_path):
+    """VERDICT r15 #4: the TEXT index gets its own drift/refit wiring.
+    A documents stream maintains the ivftext layout (persisted frozen
+    vocabulary + IVF cells) through frozen-encoder embedding +
+    ivf_upsert. Batch 0 recombines KNOWN vocabulary — oov ~ 0, geometry
+    near the freeze-time reference, no refit. Batch 1 is a planted
+    VOCABULARY FLOOD (each doc gains 100 novel tokens): the embeddings
+    of the residual known tokens still sit near old centroids, so the
+    geometric ratio alone stays under the bar — but oov_rate blows past
+    the OOV threshold and flags refit_due, which is exactly the
+    text-specific failure mode the geometric signal cannot see. The
+    flagged refit (vocabulary recomputed over the grown corpus, index
+    rebuilt at the manifested path) commits atomically and brings
+    oov_rate back to ~0 against the refreshed encoder."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
+        embedding as E,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        read_index_manifest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources.loaders import (
+        load_table,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming import (
+        ivf_drift_refit_due,
+        stream_text_ivf_ingest,
+    )
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    # offline build: persisted vocabulary + IVF cells (the
+    # _ensure_ivftext layout the stream maintains)
+    idx = str(tmp_path / "ivftext")
+    feats = E.hashed_token_features(base, dim=64)
+    feats.coalesce(1).write.parquet(idx + "/feats")
+    emb = E.hashed_tfidf_embed(base, dim=64, feats=feats)
+    build_ivf_index(emb, idx, id_col="doc_id", n_lists=4, seed=42)
+
+    feed = str(tmp_path / "feed")
+    # batch 0: known vocabulary only (the base docs under fresh ids)
+    base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).coalesce(1).write.parquet(f"{feed}/b0")
+    # batch 1: the same docs FLOODED with novel vocabulary — ~2/3 of
+    # token occurrences are words the frozen encoder has never seen
+    novel = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(100)),
+            lambda i: F.concat(
+                F.lit("nz"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), novel).alias("text"),
+    ).coalesce(1).write.parquet(f"{feed}/b1")
+
+    log = str(tmp_path / "drift")
+    stream_text_ivf_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*"),
+        idx,
+        dim=64,
+        checkpoint=str(tmp_path / "ckpt"),
+        drift_log=log,
+        drift_threshold=1.3,
+        oov_threshold=0.2,
+    )
+    rows = {
+        int(r["batch_id"]): r
+        for r in spark.read.parquet(log).orderBy("batch_id").collect()
+    }
+    assert len(rows) == 2
+    known, flood = rows[0], rows[1]
+    if float(known["oov_rate"]) > 0.01:  # batches may arrive reordered
+        known, flood = flood, known
+    assert float(known["oov_rate"]) < 0.01 and not known["refit_due"]
+    assert float(flood["oov_rate"]) > 0.2 and flood["refit_due"]
+    # the flood is invisible to geometry alone: known-token projections
+    # still land near the frozen centroids
+    assert float(flood["drift_ratio"]) < 1.3
+    assert ivf_drift_refit_due(spark, log) is True
+
+    # flagged refit: vocabulary over the grown corpus, atomic rebuild
+    grown = base.unionByName(
+        spark.read.parquet(f"{feed}/b0")
+    ).unionByName(spark.read.parquet(f"{feed}/b1"))
+    v_before = read_index_manifest(idx)["version"]
+    new_feats = E.hashed_token_features(grown, dim=64)
+    emb2 = E.hashed_tfidf_embed(grown, dim=64, feats=new_feats)
+    build_ivf_index(emb2, idx, id_col="doc_id", n_lists=4, seed=42)
+    assert read_index_manifest(idx)["version"] == v_before + 1
+    new_feats.coalesce(1).write.mode("overwrite").parquet(idx + "/feats")
+    # the refreshed encoder SEES the flood vocabulary: a flood doc's
+    # novel tokens now project, and the rebuilt index serves it
+    refreshed = spark.read.parquet(idx + "/feats")
+    assert (
+        refreshed.where(F.col("tok").startswith("nz")).count() > 0
+    )
+    fl = spark.read.parquet(f"{feed}/b1").where(F.col("doc_id") == 200000)
+    qv = [
+        float(x)
+        for x in E.hashed_tfidf_embed(fl, dim=64, feats=refreshed).first()[
+            "embedding"
+        ]
+    ]
+    hits = ivf_query(
+        spark, idx, qv, k=3, n_probe=4, id_col="doc_id", exclude_id=200000
+    ).collect()
+    assert len(hits) == 3
