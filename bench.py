@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_recall_sweep_clustered_raw",  # residual positive control, raw arm (r16)
     "ann_recall_sweep_clustered_res",  # residual positive control, residual arm (r16)
     "ann_text_embed_ivf_batch",  # batched text-IVF probe, one vocab broadcast (r16)
+    "ann_ivfpq_batch",  # batched compressed-index probe, relational ADC (r16)
 ]
 # bm25_stream_indexed_probe / ann_ivf_stream_indexed left the headline
 # set in r14 (VERDICT r13 #3): their fns rebuild + replay the index

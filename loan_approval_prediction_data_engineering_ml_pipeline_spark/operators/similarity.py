@@ -1681,6 +1681,168 @@ def ivfpq_query_rerank(
     )
 
 
+def ivfpq_batch_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k_results: int = 10,
+    *,
+    n_probe: int = 6,
+    shortlist: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    residual: bool = False,
+) -> DataFrame:
+    """Batch IVF-PQ join: ADC-shortlisted, exact-reranked cosine top-k
+    for EVERY row of ``queries`` as ONE distributed plan — the
+    compressed-index twin of :func:`ivf_batch_topk` (VERDICT r15's
+    amortization theme applied to the PQ family). The single-query
+    probe builds its m×k ADC table DRIVER-side and inlines it as a
+    literal — correct for online lookups, unusable for the
+    million-query retrieval shape, where N driver round-trips and N
+    plan literals serialize N Spark jobs.
+
+    Here the ADC table is a RELATION: the persisted codebook table
+    (m·k tiny rows) broadcast-joins the normalized query frame to
+    produce per-(query, subspace, code) inner products, candidate
+    codes in the probed cells explode to (query, vec, j, code_j) rows
+    (m small ints per candidate — the same per-candidate work the
+    literal aggregate does), and one hash join + sum reassembles
+    ``ADC = Σ_j tab[q, j, code_j]`` with no Python and no driver data
+    path. Residual builds (manifest/sidecar flag wins, as everywhere)
+    add the per-(query, cell) constant ``dot(q, c(cell))`` from one
+    more broadcast join. ADC rounds to 6 dp before ranking and every
+    tie breaks on id, so the whole batch is deterministic given the
+    persisted index and the DuckDB oracle replays it exactly.
+
+    Scale shape: centroid ranking is a broadcast (n_lists rows);
+    probed code partitions are read ONCE no matter how many queries
+    probe them and carry bytes per vector; only the per-query
+    ``shortlist`` ids ever touch raw vectors for the exact rerank.
+    Defaults are the measured ann_recall_sweep_ivfpq operating point
+    (re-sweep when m/k/n_lists change)."""
+    from pyspark.sql import Window
+
+    snap = _ivfpq_snapshot(path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.l2_normalize(V.as_double(vec_col)).alias("qn"),
+    )
+    cent = spark.read.parquet(_join(path, snap["centroids"])).select(
+        F.col("cell").cast("int").alias("cell"), "centroid"
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qn"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    ranked = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qn", "cell", dist.alias("__d"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__d", "cell")
+            ),
+        )
+    )
+    probe = ranked.where(F.col("__rk") <= n_probe).select("query_id", "cell")
+    # per-(query, subspace, code) ADC cells from the PERSISTED codebook
+    # table — the relational form of the single probe's literal table
+    books = spark.read.parquet(_join(path, snap["codebooks"])).select(
+        F.col("subspace").cast("int").alias("__j"),
+        F.col("code").cast("int").alias("__code"),
+        "centroid",
+    )
+    sub = F.size(F.col("centroid"))
+    qsub = F.slice(F.col("qn"), F.col("__j") * sub + 1, sub)
+    ip = F.aggregate(
+        F.zip_with(qsub, F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qtab = (
+        q.join(F.broadcast(books))
+        .select("query_id", "__j", "__code", ip.alias("__ip"))
+    )
+    if snap["version"] == 0:
+        codes = spark.read.parquet(path + "/codes")
+    else:
+        codes = _read_manifest_dirs(
+            spark, path, sorted(set(snap["cells"].values()))
+        )
+    codes = codes.select(
+        F.col(id_col), "codes", F.col("cell").cast("int").alias("cell")
+    )
+    cand = codes.join(probe, "cell")
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col("query_id"))
+    expl = cand.select(
+        "query_id",
+        F.col(id_col),
+        "cell",
+        F.posexplode(F.col("codes")).alias("__j", "__code"),
+    )
+    adc = (
+        expl.join(qtab, ["query_id", "__j", "__code"])
+        .groupBy("query_id", id_col, "cell")
+        .agg(F.sum("__ip").alias("__adc"))
+    )
+    score = F.col("__adc")
+    if snap.get("residual", residual):  # manifest/sidecar wins
+        cdot = F.aggregate(
+            F.zip_with(F.col("qn"), F.col("centroid"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cconst = (
+            q.join(F.broadcast(cent))
+            .select("query_id", "cell", cdot.alias("__cc"))
+        )
+        adc = adc.join(cconst, ["query_id", "cell"])
+        score = score + F.col("__cc")
+    short = (
+        adc.select("query_id", F.col(id_col), F.round(score, 6).alias("pq_score"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("pq_score"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= shortlist)
+        .select("query_id", id_col)
+    )
+    # exact rerank in RAW space (cosine is scale-invariant; raw-vs-raw
+    # is the pairing every existing oracle-proven row uses)
+    emb = embeddings.select(
+        F.col(id_col), V.as_double(vec_col).alias("__v")
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("__qv")
+    )
+    cos = V.cosine(F.col("__v"), F.col("__qv"))
+    return (
+        short.join(emb, id_col)
+        .join(qraw, "query_id")
+        .select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= k_results)
+        .drop("__rk")
+        .orderBy("query_id", F.desc("cosine"), F.asc(id_col))
+    )
+
+
 def _ivfpq_snapshot(path: str) -> dict:
     """The IVF-PQ index's committed view: latest manifest, else the
     flat layout synthesized as version 0 (every cell's code dir, the

@@ -5531,6 +5531,110 @@ def ann_recall_sweep_ivfpqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivfpq_batch",
+    tier="local",
+    # The batched COMPRESSED-index probe (r16): n independent
+    # ivfpq_query_rerank probes fused into one plan with the ADC table
+    # as a RELATION (query ⋈ persisted codebooks) instead of n
+    # driver-built literals. EXACT given the persisted index, per
+    # query; the oracle replays centroid ranking, join-ADC scoring,
+    # per-query shortlist cut, and exact rerank from the same
+    # committed parquet.
+    oracle=lambda: f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    qn AS (
+      SELECT query_id,
+             list_transform(qv, x -> x / sqrt(list_sum(list_transform(qv, y -> y*y)))) AS nv
+      FROM qs
+    ),
+    cent AS (
+      SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT qn.query_id, cent.cell,
+               row_number() OVER (
+                 PARTITION BY qn.query_id
+                 ORDER BY list_distance(cent.centroid, qn.nv), cent.cell
+               ) AS crk
+        FROM cent, qn
+      ) WHERE crk <= 6
+    ),
+    books AS (
+      SELECT CAST(subspace AS INT) AS j, CAST(code AS INT) AS code,
+             CAST(centroid AS DOUBLE[]) AS centroid
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codebooks/*.parquet')
+    ),
+    tab AS (
+      SELECT qn.query_id, b.j, b.code,
+             list_dot_product(b.centroid, qn.nv[b.j*8+1 : b.j*8+8]) AS ip
+      FROM books b, qn
+    ),
+    cvec AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, codes, CAST(cell AS INT) AS cell
+      FROM read_parquet('{_ORACLE_IVFPQ_DIR}/codes/*/*.parquet',
+                        hive_partitioning=1)
+    ),
+    scores AS (
+      SELECT p.query_id, c.vec_id, round(sum(t.ip), 6) AS s
+      FROM probe p
+      JOIN (SELECT vec_id, cell, r.j, codes[r.j+1] AS code
+            FROM cvec, range(8) r(j)) c ON c.cell = p.cell
+      JOIN tab t ON t.query_id = p.query_id AND t.j = c.j AND t.code = c.code
+      WHERE c.vec_id != p.query_id
+      GROUP BY p.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY s DESC, vec_id
+               ) AS rk
+        FROM scores
+      ) WHERE rk <= 500
+    ),
+    rerank AS (
+      SELECT sh.query_id, sh.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+      FROM short sh
+      JOIN embeddings e ON e.vec_id = sh.vec_id
+      JOIN qs q ON q.query_id = sh.query_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS rk
+      FROM rerank
+    ) WHERE rk <= 10
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+    description="Batch IVF-PQ join over the persisted compressed index "
+    "(r16): 3 query vectors get ADC-shortlisted, exact-reranked cosine "
+    "top-10 in ONE distributed plan — the ADC table is a RELATION "
+    "(query frame ⋈ broadcast persisted codebooks), candidate codes in "
+    "the probed cells explode to (query, vec, subspace, code) and one "
+    "hash join + sum reassembles the score, so there are NO per-query "
+    "driver round-trips or plan literals (the single probe builds its "
+    "m×k table driver-side — correct online, unusable at the "
+    "million-query retrieval shape). Probed code partitions are read "
+    "once regardless of fan-in; only shortlist ids touch raw vectors; "
+    "defaults are the measured 6×500 operating point",
+)
+def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ensure_ivfpq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 3), emb,
+        10, n_probe=6, shortlist=500,
+    )
+
+
 def _ensure_ivfpq256(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-missing + staleness-guarded ivfpq8x8x256 — the k=256
     point (8 bits/subspace, FAISS's default PQ precision) the shipped

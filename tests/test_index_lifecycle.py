@@ -473,6 +473,58 @@ def test_large_codebook_encode_path(spark, tmp_path, emb, probe_vec):
     assert abs(top["cosine"] - 1.0) < 1e-6
 
 
+def test_ivfpq_batch_matches_single_probe_and_brute_force(
+    spark, tmp_path, emb, probe_vec
+):
+    """The batched IVF-PQ probe (r16): a 1-row batch must reproduce
+    ivfpq_query_rerank EXACTLY (same centroid ranking, ADC values,
+    shortlist cut, rerank — the relational ADC table is the literal
+    table's join form), and on a RESIDUAL build with every cell probed
+    and the shortlist covering the corpus the batch path must equal
+    brute force — including recovering the residual flag from the flat
+    build's sidecar with no caller flag."""
+    idx = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(emb, idx, n_lists=8, m=8, k=16, seed=42)
+    qdf = emb.where(F.col("vec_id") == 7)
+    qv = [float(x) for x in qdf.first()["embedding"]]
+    single = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.ivfpq_query_rerank(
+            spark, idx, emb, qv, 10, n_probe=3, shortlist=50, exclude_id=7
+        ).collect()
+    ]
+    batch1 = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.ivfpq_batch_topk(
+            spark, idx, qdf, emb, 10, n_probe=3, shortlist=50
+        ).collect()
+    ]
+    assert batch1 == single and len(batch1) == 10
+
+    ridx = str(tmp_path / "ivfpqr")
+    SIM.build_ivfpq_index(emb, ridx, n_lists=8, m=8, k=16, seed=42, residual=True)
+    rb = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.ivfpq_batch_topk(
+            spark, ridx, qdf, emb, 10, n_probe=8, shortlist=10**6
+        ).collect()
+    ]
+    bf = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.brute_force_topk(emb, 7, 10).collect()
+    ]
+    assert rb == bf
+
+    # a 3-query batch returns k rows per query, each query's rows
+    # internally ordered (query_id, cosine desc, id)
+    multi = SIM.ivfpq_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 3), emb, 5,
+        n_probe=3, shortlist=50,
+    ).collect()
+    assert len(multi) == 15
+    assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
+
+
 def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     """Spark KMeans returns FEWER than k centers when a subspace has
     fewer distinct points — real on low-diversity corpora (the
