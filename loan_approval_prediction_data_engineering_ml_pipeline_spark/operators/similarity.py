@@ -1770,9 +1770,18 @@ def ivfpq_batch_topk(
     if snap["version"] == 0:
         codes = spark.read.parquet(path + "/codes")
     else:
-        codes = _read_manifest_dirs(
-            spark, path, sorted(set(snap["cells"].values()))
-        )
+        rels = sorted(set(snap["cells"].values()))
+        if not rels:
+            # manifested snapshot with zero cells (everything deleted):
+            # same empty-but-typed contract the single probe honors via
+            # _empty_topk, with the id types taken from the caller's
+            # frames since the index holds nothing to derive from
+            qt = queries.schema[id_col].dataType.simpleString()
+            it = embeddings.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"query_id {qt}, {id_col} {it}, cosine double"
+            )
+        codes = _read_manifest_dirs(spark, path, rels)
     codes = codes.select(
         F.col(id_col), "codes", F.col("cell").cast("int").alias("cell")
     )

@@ -5735,14 +5735,32 @@ def _ensure_clustered64(spark: SparkSession, sf_dir: str) -> str:
     Sized to the sf tier's embeddings count so the control scales with
     the gate. Seeded stdlib RNG, generated driver-side once and
     persisted — the DuckDB oracle reads the SAME parquet. Layout:
-    ``clustered64/{corpus,raw,res}``."""
+    ``clustered64/{corpus,raw,res}``. The build guard keys on the
+    TIER'S embeddings count, not mere ``_SUCCESS`` presence (ADVICE
+    r16): a regenerated-at-different-size tier must regenerate the
+    control corpus too, or the "sized to the sf tier" contract silently
+    breaks while the raw/res indexes keep rebuilding from stale data. A
+    pre-guard fixture without the count sidecar is adopted in place iff
+    its row count still matches the tier (one cheap metadata count)."""
+    import json
     import os
     import random
 
     root = _index_dir(sf_dir, "clustered64")
     corpus_dir = os.path.join(root, "corpus")
-    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        n = load_table(spark, sf_dir, "embeddings").count()
+    meta_path = os.path.join(root, "corpus_meta.json")
+    n = load_table(spark, sf_dir, "embeddings").count()
+    built = os.path.exists(os.path.join(corpus_dir, "_SUCCESS"))
+    if built:
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                built = int(json.load(fh)["n"]) == n
+        else:
+            built = spark.read.parquet(corpus_dir).count() == n
+            if built:  # adopt the pre-sidecar fixture without a rebuild
+                with open(meta_path, "w") as fh:
+                    json.dump({"n": n}, fh)
+    if not built:
         rnd = random.Random(4242)
         coarse = [
             [rnd.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(16)
@@ -5767,6 +5785,8 @@ def _ensure_clustered64(spark: SparkSession, sf_dir: str) -> str:
         spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(corpus_dir)
+        with open(meta_path, "w") as fh:
+            json.dump({"n": n}, fh)
     corpus = spark.read.parquet(corpus_dir)
     for sub, residual in (("raw", False), ("res", True)):
         idx = os.path.join(root, sub)

@@ -1851,6 +1851,7 @@ def stream_versioned_sink(
     merge_schema: bool = False,
     compact_every: int | None = None,
     compact_target_bytes: int = 128 * 1024 * 1024,
+    compact_escalate_after: int = 3,
 ) -> None:
     """Exactly-once streaming append into a versioned table: each
     micro-batch commits as ONE table version, and idempotence is keyed
@@ -1885,11 +1886,15 @@ def stream_versioned_sink(
     stream accretes (the first operational wall at 100 TB) inside the
     same pipeline, no external maintenance job. The compaction is
     content-identical, snapshot isolated (pinned readers keep their
-    manifest until vacuum), and best-effort: a lost OCC race with a
-    concurrent writer — or ANY compaction failure after the batch
-    itself has already committed — just skips this cadence tick; the
-    next one retries."""
-    compacted = {"n": 0}
+    manifest until vacuum), and best-effort — with a health floor
+    (ADVICE r16): a lost OCC race with a concurrent writer is expected
+    and silently retried next tick; an UNEXPECTED failure (the batch
+    itself is already committed) warns and retries, but
+    ``compact_escalate_after`` consecutive unexpected failures at the
+    same path re-raise as a stream error, so a persistent non-OCC fault
+    (corrupt manifest, permissions) can't hide behind an identical
+    warning forever."""
+    compacted = {"n": 0, "fails": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         prev = latest_version(path)
@@ -1969,12 +1974,34 @@ def stream_versioned_sink(
                         # tick already compacted to target (ADVICE r15)
                         small_file_bytes=compact_target_bytes,
                     )
+                    compacted["fails"] = 0
+                except CommitConflict:
+                    # EXPECTED under concurrent writers (the OCC race
+                    # the lifecycle tests prove): the batch is already
+                    # committed, the next cadence tick retries the same
+                    # debt — not a health signal, so no warning and no
+                    # strike against the escalation counter
+                    pass
                 except Exception as exc:  # best-effort maintenance:
-                    # the BATCH is already committed — a failed or
-                    # OCC-raced compaction must not kill the stream;
-                    # the next cadence tick retries the same debt
+                    # the BATCH is already committed — a transient
+                    # failure must not kill the stream; but a PERSISTENT
+                    # non-OCC failure (corrupt manifest, permissions,
+                    # misconfiguration) repeating an identical warning
+                    # forever is a silent outage (ADVICE r16), so after
+                    # N consecutive failed ticks it surfaces as a stream
+                    # error
+                    compacted["fails"] = compacted.get("fails", 0) + 1
+                    if compacted["fails"] >= compact_escalate_after:
+                        raise RuntimeError(
+                            f"auto-compaction at {path} failed "
+                            f"{compacted['fails']} consecutive ticks — "
+                            f"escalating (last: {exc!r})"
+                        ) from exc
                     warnings.warn(
-                        f"auto-compaction tick skipped at {path}: {exc!r}",
+                        f"auto-compaction tick skipped at {path} "
+                        f"({compacted['fails']}/{compact_escalate_after} "
+                        f"consecutive failures before escalation): "
+                        f"{exc!r}",
                         stacklevel=2,
                     )
 

@@ -84,10 +84,28 @@ def _store_snapshot(spark, store_dir: str, component: str) -> DataFrame | None:
     )
 
 
+def _store_components(store_dir: str, man: dict | None) -> set[str]:
+    """Every component the store actually holds: subdirs with flat
+    ``ingest_batch=N`` partitions on disk, plus components the current
+    fold manifest references (folded-away components may have no flat
+    dirs left). ``objects/`` and the manifest log are infrastructure,
+    not components — they never contain flat batch dirs, so the
+    flat-dir test excludes them naturally."""
+    from ..sources.versioned import log_store_for
+
+    comps = set(man["components"]) if man else set()
+    for d in log_store_for(store_dir).list_subdirs(store_dir):
+        if d in ("objects", "_index_log"):
+            continue
+        if _flat_batch_dirs(store_dir, d):
+            comps.add(d)
+    return comps
+
+
 def fold_ingest_store(
     spark,
     store_dir: str,
-    components: tuple[str, ...] = ("docs", "index"),
+    components: tuple[str, ...] | None = None,
     *,
     target_files: int = 1,
 ) -> int | None:
@@ -112,7 +130,20 @@ def fold_ingest_store(
     rewrites its flat dir, which the snapshot EXCLUDES by id — the
     replay degrades to a harmless orphan write (its content already
     lives in the folded objects). Single maintenance writer, like
-    vacuum. Returns the new fold horizon, or None if nothing to fold."""
+    vacuum. Returns the new fold horizon, or None if nothing to fold.
+
+    ``components=None`` (the default) folds EVERY component the store
+    holds — discovered from the flat ``ingest_batch=`` dirs on disk
+    plus the prior manifest. The fold horizon is GLOBAL (one
+    ``folded_upto`` hides flat dirs for every component), so an
+    explicit ``components`` that misses a component with unfolded flat
+    partitions would silently drop that component's rows from every
+    snapshot read (e.g. a neardup store's ``bands`` fingerprints — the
+    cross-batch LSH probe would re-admit near-duplicates); that case
+    fails fast with ValueError (ADVICE r16). A manifest-referenced
+    component excluded from an explicit fold carries forward BY
+    REFERENCE. Components whose snapshot is empty are omitted from the
+    manifest (never-written object dirs must not be referenced)."""
     from ..operators.index_commit import (
         commit_index_manifest,
         new_object_rel,
@@ -122,6 +153,22 @@ def fold_ingest_store(
 
     man = read_index_manifest(store_dir)
     folded_upto = int(man["folded_upto"]) if man else -1
+    discovered = _store_components(store_dir, man)
+    if components is None:
+        components = tuple(sorted(discovered))
+    else:
+        uncovered = sorted(
+            c
+            for c in discovered - set(components)
+            if any(b > folded_upto for b in _flat_batch_dirs(store_dir, c))
+        )
+        if uncovered:
+            raise ValueError(
+                f"fold at {store_dir} would hide unfolded flat partitions "
+                f"of uncovered component(s) {uncovered} behind the global "
+                f"fold horizon — include them in components= (or pass "
+                f"components=None to fold everything the store holds)"
+            )
     pending = set()
     for comp in components:
         pending.update(
@@ -131,26 +178,29 @@ def fold_ingest_store(
         return None
     upto = max(pending)
     obj = new_object_rel()
+    # manifest-only components not re-folded carry forward by reference
+    new_components = dict(man["components"]) if man else {}
     for comp in components:
         snap = _store_snapshot(spark, store_dir, comp)
         if snap is None:
+            # nothing ever written for this component: an entry would
+            # point at a dir that does not exist (ADVICE r16)
+            new_components.pop(comp, None)
             continue
         snap.coalesce(target_files).write.mode("overwrite").parquet(
             _join(store_dir, obj, comp)
         )
+        new_components[comp] = f"{obj}/{comp}"
     commit_index_manifest(
         store_dir,
         (int(man["version"]) + 1) if man else 1,
-        {
-            "folded_upto": upto,
-            "components": {c: f"{obj}/{c}" for c in components},
-        },
+        {"folded_upto": upto, "components": new_components},
     )
     return upto
 
 
 def reclaim_ingest_store(
-    store_dir: str, components: tuple[str, ...] = ("docs", "index")
+    store_dir: str, components: tuple[str, ...] | None = None
 ) -> list[str]:
     """Physically delete what the latest fold manifest superseded: flat
     ``ingest_batch=N`` dirs at/below ``folded_upto`` and object dirs no
@@ -168,6 +218,10 @@ def reclaim_ingest_store(
         return []
     store = log_store_for(store_dir)
     folded_upto = int(man["folded_upto"])
+    if components is None:
+        # every component on disk: a reclaim that missed one would leave
+        # its superseded flat dirs as permanent dead weight
+        components = tuple(sorted(_store_components(store_dir, man)))
     referenced = {
         rel.split("/", 2)[1]
         for rel in man["components"].values()

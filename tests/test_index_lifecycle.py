@@ -525,6 +525,30 @@ def test_ivfpq_batch_matches_single_probe_and_brute_force(
     assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
 
 
+def test_ivfpq_batch_empty_manifested_snapshot_returns_typed_empty(
+    spark, tmp_path, emb
+):
+    """ADVICE r16: a manifested IVF-PQ snapshot whose cells map is empty
+    (everything deleted) used to crash the batch probe with IndexError
+    while the single probe returned a typed empty frame — the batch path
+    must honor the same contract: zero rows, (query_id, vec_id, cosine)
+    schema with the id types of the caller's frames."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        commit_index_manifest,
+    )
+
+    idx = str(tmp_path / "ivfpq_hollow")
+    SIM.build_ivfpq_index(emb, idx, n_lists=4, m=8, k=16, seed=42)
+    snap = SIM._ivfpq_snapshot(idx)
+    commit_index_manifest(idx, 1, {**snap, "cells": {}})
+    out = SIM.ivfpq_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 2), emb, 5
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "cosine"]
+    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
+
+
 def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     """Spark KMeans returns FEWER than k centers when a subspace has
     fewer distinct points — real on low-diversity corpora (the

@@ -668,6 +668,101 @@ def test_fold_ingest_store_loses_race_atomically(spark, tmp_path, monkeypatch):
     assert sorted(r["doc_id"] for r in read_corpus(spark, store).collect()) == before
 
 
+def test_fold_ingest_store_covers_neardup_bands(spark, tmp_path):
+    """ADVICE r16 (medium): the fold horizon is GLOBAL — one folded_upto
+    hides flat ingest_batch= dirs for EVERY component — so a fold whose
+    component set misses a live component would silently drop its rows
+    from every snapshot (a neardup store's bands fingerprints: near-dups
+    get re-admitted). Contract under test: (1) an explicit component set
+    that misses a component with unfolded flat partitions fails fast;
+    (2) the default derives the set from disk, so bands fold alongside
+    docs; (3) a named-but-never-written component is OMITTED from the
+    manifest instead of referencing a dir that does not exist; (4) after
+    fold+reclaim the cross-batch LSH probe still rejects near-dups of
+    folded keepers."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.index_commit import (
+        read_index_manifest,
+    )
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.streaming.ingest import (
+        _store_snapshot,
+        fold_ingest_store,
+        read_corpus,
+        reclaim_ingest_store,
+        stream_corpus_ingest_neardup,
+    )
+
+    base_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    uniq0 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    uniq1 = "red green blue yellow purple orange pink brown black white gray cyan magenta teal maroon navy olive lime coral indigo"
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    now = _t.time()
+
+    def add_feed(i: int, rows) -> None:
+        staged = os.path.join(src, f"__stage_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"feed_{i}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    store = str(tmp_path / "store")
+
+    def ingest() -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_corpus_ingest_neardup(
+            stream, store, checkpoint=str(tmp_path / "cp")
+        )
+
+    add_feed(0, [(1, f"{base_a} v1"), (2, uniq0)])
+    ingest()
+    assert glob.glob(f"{store}/bands/ingest_batch=*")
+
+    # (1) the pre-fix default ("docs", "index") misses the live bands
+    # component — must fail fast instead of silently dropping it
+    with _pytest.raises(ValueError, match="bands"):
+        fold_ingest_store(spark, store, components=("docs", "index"))
+
+    # (3) naming a never-written component is harmless: folded, found
+    # empty, omitted from the manifest
+    assert fold_ingest_store(
+        spark, store, components=("docs", "bands", "index")
+    ) == 0
+    man = read_index_manifest(store)
+    assert set(man["components"]) == {"docs", "bands"}
+    assert _store_snapshot(spark, store, "index") is None
+
+    # (2)/(4) bands survived the fold: after reclaim, a near-dup of the
+    # folded keeper arriving under a new id is still rejected by the
+    # cross-batch probe
+    reclaim_ingest_store(store)
+    assert glob.glob(f"{store}/bands/ingest_batch=*") == []
+    assert _store_snapshot(spark, store, "bands").count() > 0
+    add_feed(1, [(11, f"{base_a} v2"), (12, uniq1)])
+    ingest()
+    assert {
+        r["doc_id"] for r in read_corpus(spark, store).collect()
+    } == {1, 2, 12}
+
+    # the default fold derives {docs, bands} from disk
+    assert fold_ingest_store(spark, store) == 1
+    assert set(read_index_manifest(store)["components"]) == {"docs", "bands"}
+
+
 def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
     """Streaming MinHash-LSH ingest over a 3-file feed of transitive
     near-dup cliques keeps exactly one document per clique (the first

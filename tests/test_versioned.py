@@ -2117,11 +2117,98 @@ def test_stream_sink_compaction_failure_does_not_kill_stream(
         VS.stream_versioned_sink(
             stream, t, app_id="loader",
             checkpoint=str(tmp_path / "cp"), compact_every=1,
+            # 3 injected failures would trip the default escalation
+            # floor (its own test below); this test proves SURVIVAL
+            compact_escalate_after=10,
         )
     assert any("auto-compaction tick skipped" in str(w.message) for w in caught)
     assert read_version(spark, t).count() == 3
     modes = [h["mode"] for h in table_versions(t)]
     assert modes.count("stream-append") == 3 and "optimize-small" not in modes
+
+
+def test_stream_sink_compaction_escalates_after_consecutive_failures(
+    spark, tmp_path, monkeypatch
+):
+    """The health floor on best-effort compaction (ADVICE r16): a
+    PERSISTENT unexpected failure must not reduce to an identical
+    warning forever — after ``compact_escalate_after`` consecutive
+    failed ticks the sink re-raises, surfacing as a stream error. The
+    batches themselves (committed before each tick) all land."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources import (
+        versioned as VS,
+    )
+
+    src = str(tmp_path / "feed")
+    _os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"r{i}")], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def boom(*a, **k):
+        raise RuntimeError("persistent misconfiguration")
+
+    monkeypatch.setattr(VS, "optimize_table", boom)
+    t = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _pytest.raises(Exception, match="3 consecutive ticks"):
+        VS.stream_versioned_sink(
+            stream, t, app_id="loader",
+            checkpoint=str(tmp_path / "cp"), compact_every=1,
+        )
+    # every batch committed exactly-once before its tick failed
+    assert read_version(spark, t).count() == 3
+
+
+def test_stream_sink_compaction_occ_conflict_is_silent_and_uncounted(
+    spark, tmp_path, monkeypatch
+):
+    """A lost OCC race is the EXPECTED concurrent-writer outcome, not a
+    health signal: no warning, and no strike against the escalation
+    counter — proven by running every tick into CommitConflict with the
+    escalation floor at 1 and observing the stream complete quietly."""
+    import os as _os
+    import warnings as _warnings
+
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.sources import (
+        versioned as VS,
+    )
+
+    src = str(tmp_path / "feed")
+    _os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"r{i}")], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def lost_race(*a, **k):
+        raise VS.CommitConflict("optimize lost the manifest race")
+
+    monkeypatch.setattr(VS, "optimize_table", lost_race)
+    t = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        VS.stream_versioned_sink(
+            stream, t, app_id="loader",
+            checkpoint=str(tmp_path / "cp"), compact_every=1,
+            compact_escalate_after=1,
+        )
+    assert not any("auto-compaction" in str(w.message) for w in caught)
+    assert read_version(spark, t).count() == 3
 
 
 def test_optimize_where_loses_race_to_concurrent_append(spark, tmp_path, monkeypatch):
