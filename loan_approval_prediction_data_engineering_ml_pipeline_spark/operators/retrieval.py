@@ -594,9 +594,22 @@ def _indexed_contrib(
     ``expect_gram`` guards against a mis-wired index mapping (ADVICE
     r9): meta records the ``gram`` the index was built with, and a
     unigram index probed for bigram phrases would silently return
-    empty/wrong rankings — raise instead."""
+    empty/wrong rankings — raise instead.
+
+    Driver traffic is BOUNDED regardless of workload size (VERDICT r16
+    #5 — the r16 relational-ADC argument applied here): the old path
+    collected the workload's whole distinct-term list to build the
+    pruning predicate, which is the wrong shape for a million-query
+    batch. Now (a) directory pruning collects distinct BUCKET ids, a
+    set bounded by ``n_buckets`` however many terms the workload holds
+    (the manifest's bucket->dir map is driver-side by design, exactly
+    like the IVF probe's cell ranking); (b) the term filter probes the
+    first 513 distinct terms — a workload that small gets the literal
+    ``IN`` (pushed into the parquet scan: term-sorted posting files
+    prune at row-group min/max), anything larger keeps the terms as a
+    RELATION broadcast-semi-joined against the bucket-pruned postings,
+    with no driver term list at all."""
     queries = queries.select(F.col("query_id"), F.col("term"))
-    terms = [r["term"] for r in queries.select("term").distinct().collect()]
     snap = _Bm25Snapshot(spark, path)
     stats = snap.meta_df()
     meta_row = stats.first()
@@ -612,28 +625,34 @@ def _indexed_contrib(
     # directory-level pruning first: only the dirs the probe terms hash
     # to are even read — the manifest maps bucket -> dir driver-side
     # (the bucket fn is the same md5 base hash on both sides), so no
-    # listing or extra job happens for cold buckets
-    probe_buckets = sorted({_py_tok_bucket(t, n_buckets) for t in terms})
+    # listing or extra job happens for cold buckets. O(n_buckets) rows.
+    probe_buckets = sorted(
+        int(r["b"])
+        for r in queries.select(
+            _tok_bucket(F.col("term"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
     postings = snap.postings(probe_buckets, n_buckets)
     if postings is None:
         # no referenced dir for any probe bucket: nothing can match
         return spark.createDataFrame(
             [], f"query_id string, id {snap.id_type()}, s double"
         )
-    if len(terms) <= 512:
+    term_rel = queries.select(F.col("term").alias("tok")).distinct()
+    probe = [r["tok"] for r in term_rel.limit(513).collect()]
+    if len(probe) <= 512:
         # literal IN pushes into the parquet scan: only row groups
         # whose tok min/max admit a probe term are read
-        tf = postings.where(F.col("tok").isin(terms))
+        tf = postings.where(F.col("tok").isin(probe))
     else:
-        # degenerate mega-query workloads: a literal IN this wide
-        # bloats the plan (the versioned DV-mask lesson) — fall back to
-        # a broadcast semi-join; row-group pruning is lost but the scan
-        # still prunes to the probe buckets, never the corpus text
-        tf = postings.join(
-            F.broadcast(spark.createDataFrame([(t,) for t in terms], "tok string")),
-            "tok",
-            "left_semi",
-        )
+        # large workloads: the term set STAYS a relation — a literal IN
+        # this wide bloats the plan (the versioned DV-mask lesson) and
+        # the full collect is an unbounded driver round-trip. Row-group
+        # pruning is lost but the scan still prunes to the probe
+        # buckets, never the corpus text.
+        tf = postings.join(F.broadcast(term_rel), "tok", "left_semi")
     dlen = snap.lengths()
     idf = (
         tf.groupBy("tok")

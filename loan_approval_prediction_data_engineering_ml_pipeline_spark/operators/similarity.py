@@ -507,6 +507,139 @@ def default_n_lists(n_rows: int) -> int:
     return max(2, min(int(math.ceil(math.sqrt(max(n_rows, 1)))), 65536))
 
 
+def recommended_probe_params(n_lists: int, k: int, n_vectors: int) -> dict:
+    """The PRIOR (uncalibrated) IVF-PQ operating-point recommendation a
+    build records with the index (VERDICT r16 #1: the measured 100 TB
+    recipe must be what a defaults-following user actually gets, not a
+    BASELINE.md footnote). Derived from the r16/r17 recall sweeps
+    (``ann_recall_sweep_ivfpq*``, grids in SCALE.md/BASELINE.md):
+
+    - ``shortlist``: with k>=64 codebooks (8-ish bits/subspace — the
+      FAISS-default resolution regime) recall@10 >= 0.9 is reached
+      reranking ~5% of the corpus (measured 0.900 at sf0.1 k=256
+      s=100/N=2000 and confirmed at sf1/N=20000); coarser codebooks
+      (k<64) ceiling much lower per candidate, needing ~25% (the
+      measured k=16 point). Floor of 100 keeps tiny fixtures honest.
+    - ``n_probe``: a floor-6 / 15%-of-lists prior ONLY — the r17
+      two-scale sweep measured that the n_probe needed for 0.9 recall
+      is a property of the CORPUS GEOMETRY, not the index shape
+      (scattered jittered sf0.1: 17 of 45 lists; clustered sf1: 1 of
+      142), so :func:`build_ivfpq_index` CALIBRATES n_probe against
+      the corpus's own neighbor-cell-coverage curve at build time and
+      overrides this prior (``calibrated: true`` in the record). The
+      prior survives only for ``calibrate_queries=0`` builds.
+
+    Probes default from the RECORDED values (manifest / pqmeta.json),
+    not from this function, so an index built under an older policy
+    keeps serving its own measured point; ``n_vectors`` is the build's
+    corpus size (upserts drift it slowly — schedule refits, which
+    re-calibrate and re-record)."""
+    import math
+
+    frac = 0.05 if k >= 64 else 0.25
+    return {
+        "n_probe": min(n_lists, max(6, int(math.ceil(0.15 * n_lists)))),
+        "shortlist": max(100, int(math.ceil(frac * n_vectors))),
+        "n_vectors": int(n_vectors),
+        "k": int(k),
+    }
+
+
+def _calibrated_n_probe(
+    spark,
+    assigned: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    *,
+    n_queries: int = 8,
+    target: float = 0.9,
+    truth_depth: int = 10,
+) -> tuple[int, float]:
+    """Build-time n_probe calibration (r17): the min cell-probe count
+    at which >= ``target`` of held-out queries' true top-``truth_depth``
+    neighbors live in the probed cells — the recall CEILING curve that
+    the n_probe x shortlist sweep measures, computed from ONE extra
+    corpus pass at build time. Rationale (measured, BASELINE r17): the
+    required n_probe spans 1..0.4*n_lists across corpus geometries at
+    the SAME index shape, so no static heuristic serves both; FAISS
+    leaves nprobe as a per-deployment tuning knob, and this bakes that
+    tuning into the build where the corpus is already in hand.
+
+    Queries are ``n_queries`` corpus vectors picked by hash order
+    (deterministic, distribution-representative); truth is exact cosine
+    over the normalized corpus (one GEMM-shaped pass — at 10^9+ vectors
+    run the build on/with a corpus sample, which samples this pass too);
+    driver traffic is n_queries + n_queries*truth_depth bounded rows.
+    Returns (n_probe, achieved_coverage)."""
+    import math
+
+    from pyspark.sql import Window
+
+    qs = (
+        assigned.select(id_col, "arr")
+        .orderBy(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)),
+            F.col(id_col),
+        )
+        .limit(n_queries)
+        .collect()
+    )
+    qdf = spark.createDataFrame(
+        qs, assigned.select(id_col, "arr").schema
+    ).select(F.col(id_col).alias("__qid"), F.col("arr").alias("__qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("arr"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    truth_cells = (
+        assigned.join(F.broadcast(qdf))
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            "__qid",
+            F.col("cell").alias("__tcell"),
+            F.round(dot, 6).alias("__d"),
+            F.col(id_col).alias("__tid"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy(
+                    F.desc("__d"), F.asc("__tid")
+                )
+            ),
+        )
+        .where(F.col("__rk") <= truth_depth)
+        .select("__qid", "__tcell")
+    )
+    cdist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    cranks = (
+        qdf.join(F.broadcast(cent))
+        .select("__qid", F.col("cell").alias("__tcell"), cdist.alias("__cd"))
+        .withColumn(
+            "__crk",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy("__cd", "__tcell")
+            ),
+        )
+    )
+    ranks = sorted(
+        int(r["__crk"])
+        for r in truth_cells.join(
+            cranks, ["__qid", "__tcell"]
+        ).select("__crk").collect()
+    )
+    if not ranks:
+        return 1, 1.0
+    idx = int(math.ceil(target * len(ranks))) - 1
+    p = ranks[idx]
+    return p, sum(1 for r in ranks if r <= p) / len(ranks)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -1465,11 +1598,12 @@ def build_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int | None = 8,
+    n_lists: int | None = None,
     m: int = 8,
-    k: int = 16,
+    k: int = 256,
     seed: int = 42,
     residual: bool = False,
+    calibrate_queries: int = 8,
 ) -> None:
     """IVF-PQ composite index (build-once half): the coarse quantizer
     (seeded KMeans over the l2-NORMALIZED corpus) assigns each vector a
@@ -1504,24 +1638,51 @@ def build_ivfpq_index(
     100 TB shape: both fits sample-able at ingest; encode is one
     map-only pass; the probe reads n_probe code partitions (bytes per
     vector), shortlists driver-free, and only `shortlist` float vectors
-    are ever read for rerank."""
+    are ever read for rerank.
+
+    Defaults ARE the measured recipe (VERDICT r16 #1): size-derived
+    ``n_lists`` (sqrt N) and ``k=256`` (8 bits/subspace, the FAISS
+    default), the swept >=0.9-recall@10-at-5%-rerank operating point.
+    Every build also RECORDS its operating point — in the manifest at
+    manifested paths, in the ``pqmeta.json`` sidecar for flat builds —
+    and the probes default from the record, so the measured (n_probe,
+    shortlist) travels with the index instead of living in a doc
+    nobody re-reads. The shortlist comes from the codebook-resolution
+    policy (:func:`recommended_probe_params`); n_probe is CALIBRATED
+    against this corpus's own neighbor-cell-coverage curve
+    (:func:`_calibrated_n_probe` over ``calibrate_queries`` held-out
+    corpus vectors; 0 skips calibration and records the static
+    prior) — the r17 two-scale sweep measured that no static n_probe
+    heuristic serves both scattered and clustered corpora."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     norm = V.l2_normalize(V.as_double(vec_col))
     df = embeddings.select(F.col(id_col), norm.alias("arr"))
     vecs = df.withColumn("feat", array_to_vector(F.col("arr")))
+    n_vectors = vecs.count()
     if n_lists is None:
-        n_lists = default_n_lists(vecs.count())  # sqrt(N) policy
+        n_lists = default_n_lists(n_vectors)  # sqrt(N) policy
+    recommend = recommended_probe_params(n_lists, k, n_vectors)
     km = KMeans(
         k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell"
     ).fit(vecs)
-    assigned = km.transform(vecs).select(id_col, "arr", "cell")
+    assigned = km.transform(vecs).select(id_col, "arr", "cell").persist()
     spark = embeddings.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    if calibrate_queries > 0:
+        p_cal, coverage = _calibrated_n_probe(
+            spark, assigned, cent, id_col, n_queries=calibrate_queries
+        )
+        recommend = {
+            **recommend,
+            "n_probe": min(int(n_lists), int(p_cal)),
+            "coverage": round(float(coverage), 6),
+            "calibrated": True,
+        }
     if residual:
         # encode residuals: subtract the assigned centroid (broadcast of
         # the n_lists-row table), fit + encode on the difference
@@ -1544,6 +1705,7 @@ def build_ivfpq_index(
     prior = read_index_manifest(path)
     if prior is None:
         codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+        assigned.unpersist()
         cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
         _write_pq_codebooks(spark, path, books)
         # persist the encoding flag for FLAT layouts too (ADVICE r15):
@@ -1557,7 +1719,8 @@ def build_ivfpq_index(
         if store.exists(sidecar):
             store.delete(sidecar)
         store.write_exclusive(
-            sidecar, json.dumps({"residual": bool(residual)})
+            sidecar,
+            json.dumps({"residual": bool(residual), "recommend": recommend}),
         )
         return
     # manifested path (upserted): rebuild into a fresh immutable object
@@ -1566,6 +1729,7 @@ def build_ivfpq_index(
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         _join(path, obj, "codes")
     )
+    assigned.unpersist()
     cent.coalesce(1).write.mode("overwrite").parquet(_join(path, obj, "centroids"))
     _write_pq_codebooks(spark, path, books, rel=f"{obj}/codebooks")
     commit_index_manifest(
@@ -1573,6 +1737,7 @@ def build_ivfpq_index(
         int(prior["version"]) + 1,
         {
             "residual": residual,
+            "recommend": recommend,
             "centroids": f"{obj}/centroids",
             "codebooks": f"{obj}/codebooks",
             "cells": bucket_map(path, obj, "codes", "cell"),
@@ -1587,20 +1752,16 @@ def ivfpq_query_rerank(
     query_vec: list[float],
     k_results: int = 10,
     *,
-    # defaults = the measured >=0.9-recall@10 operating point for the
-    # shipped 8-list m=8/k=16 fixture index (ann_recall_sweep_ivfpq,
-    # r15): recall 0.967 at sf0.01 and 0.933 at sf0.1. The shortlist
-    # depth is the honest price of 16-code ADC resolution — recall at
-    # shortlist=100 CEILINGS at 0.60 on the 2000-vector corpus no
-    # matter how many cells are probed, so reaching 0.9 means reranking
-    # ~25% of the corpus. At real scale the fix is finer codebooks, not
-    # deeper rerank — MEASURED in r16 (ann_recall_sweep_ivfpq256):
-    # k=256 (8 bits/subspace, FAISS's default) lifts the same sf0.1
-    # s=100 ceiling to 0.900 at p=6, i.e. >=0.9 at a 5%-of-corpus
-    # rerank, and +residual dominates at tighter shortlists. Re-run
-    # the sweep whenever m/k/n_lists change.
-    n_probe: int = 6,
-    shortlist: int = 500,
+    # None = the BUILD-RECORDED operating point (recommended_probe_params
+    # in the manifest / pqmeta.json — VERDICT r16 #1: the measured
+    # recipe travels with the index). Pre-recipe indexes without a
+    # record fall back to (6, 500), their own measured >=0.9 point
+    # (8-list m=8/k=16: recall 0.967 at sf0.01, 0.933 at sf0.1; the
+    # 25%-of-corpus shortlist is the honest price of 16-code ADC
+    # resolution — k=256 lifts the s=100 ceiling to 0.900 at p=6, the
+    # r16-measured default recipe). Explicit values always win.
+    n_probe: int | None = None,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
@@ -1624,6 +1785,7 @@ def ivfpq_query_rerank(
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
     snap = _ivfpq_snapshot(path)
+    n_probe, shortlist = _resolve_probe_params(snap, n_probe, shortlist)
     centers = spark.read.parquet(_join(path, snap["centroids"])).collect()
     order = sorted(
         centers,
@@ -1688,8 +1850,8 @@ def ivfpq_batch_topk(
     embeddings: DataFrame,
     k_results: int = 10,
     *,
-    n_probe: int = 6,
-    shortlist: int = 500,
+    n_probe: int | None = None,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
@@ -1721,11 +1883,13 @@ def ivfpq_batch_topk(
     probed code partitions are read ONCE no matter how many queries
     probe them and carry bytes per vector; only the per-query
     ``shortlist`` ids ever touch raw vectors for the exact rerank.
-    Defaults are the measured ann_recall_sweep_ivfpq operating point
-    (re-sweep when m/k/n_lists change)."""
+    ``n_probe``/``shortlist`` default from the BUILD-RECORDED
+    recommendation exactly like the single probe (pre-recipe indexes
+    fall back to the legacy 6/500 point; explicit values win)."""
     from pyspark.sql import Window
 
     snap = _ivfpq_snapshot(path)
+    n_probe, shortlist = _resolve_probe_params(snap, n_probe, shortlist)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         V.l2_normalize(V.as_double(vec_col)).alias("qn"),
@@ -1876,8 +2040,111 @@ def _ivfpq_snapshot(path: str) -> dict:
     }
     sidecar = _join(path, "pqmeta.json")
     if store.exists(sidecar):
-        out["residual"] = bool(json.loads(store.read_text(sidecar))["residual"])
+        meta = json.loads(store.read_text(sidecar))
+        out["residual"] = bool(meta["residual"])
+        if "recommend" in meta:
+            out["recommend"] = meta["recommend"]
     return out
+
+
+def _resolve_probe_params(
+    snap: dict, n_probe: int | None, shortlist: int | None
+) -> tuple[int, int]:
+    """Probe operating point: explicit caller values win; otherwise the
+    build-recorded :func:`recommended_probe_params` (manifest /
+    pqmeta.json); otherwise the legacy (6, 500) — the measured point
+    for the pre-recipe 8-list k=16 fixtures, kept so pre-sidecar
+    indexes serve exactly what they always did."""
+    rec = snap.get("recommend", {})
+    if n_probe is None:
+        n_probe = int(rec.get("n_probe", 6))
+    if shortlist is None:
+        shortlist = int(rec.get("shortlist", 500))
+    return n_probe, shortlist
+
+
+def _pq_qerr_expr(books: list[list[list[float]]], sub: int, vec_col: str = "arr"):
+    """Per-row PQ quantization error under the given codebooks:
+    ``Σ_j min_c ||x_j − book[j][c]||²`` — the squared L2 distance
+    between the vector and its codebook reconstruction, i.e. exactly
+    the per-subspace objective :func:`_pq_codes_expr`'s argmin
+    minimizes (computed via the same nested-literal + HOF layout as the
+    k>32 encode path; this is a stats expression, never the encode hot
+    path, so one layout serves every k)."""
+    total = F.lit(0.0)
+    for j, book in enumerate(books):
+        blit = F.lit([[float(x) for x in c] for c in book])
+        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.transform(
+            blit,
+            lambda c: F.aggregate(
+                F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        total = total + F.array_min(dists)
+    return total
+
+
+def ivfpq_quantization_stats(
+    spark,
+    path: str,
+    vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Mean/p95 per-vector QUANTIZATION ERROR of ``vecs`` under the
+    index's PERSISTED codebooks — the PQ-tier drift signal (VERDICT r16
+    #3), the codebook twin of ``ivf_assignment_stats``: as the ingest
+    distribution drifts away from what the frozen codebooks were fit
+    on, the reconstruction error of newly encoded batches rises even
+    while coarse assignment distances stay flat (the quantizer can
+    still place vectors in cells it can no longer DESCRIBE — the
+    compressed tier's own blindness mode). Residual builds measure the
+    error of the cell residual, matching what their codes encode. One
+    broadcast of the (n_lists + m·k)-row tables + one map-only pass +
+    one agg per call."""
+    from .clustering import assign_cells
+
+    snap = _ivfpq_snapshot(path)
+    centers = spark.read.parquet(_join(path, snap["centroids"])).collect()
+    cents_list = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centers
+    ]
+    m, k, sub, cents = _load_codebook(spark, path)
+    books = [
+        [c for c in (cents[j * k + cc] for cc in range(k)) if c is not None]
+        for j in range(m)
+    ]
+    normed = vecs.select(
+        F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("arr")
+    )
+    assigned = normed.join(
+        assign_cells(normed, cents_list, id_col=id_col, vec_col="arr"), id_col
+    )
+    if snap.get("residual", False):
+        cent_df = spark.createDataFrame(
+            cents_list, "cell int, centroid array<double>"
+        )
+        assigned = assigned.withColumn("cell", F.col("cell").cast("int"))
+        assigned = assigned.join(F.broadcast(cent_df), "cell").withColumn(
+            "arr", F.zip_with(F.col("arr"), F.col("centroid"), lambda x, c: x - c)
+        )
+    # HOF-referenced array exprs need their own projection step
+    # (CollapseProject treats HOFs as non-cheap — measured 6x)
+    qe = assigned.select(_pq_qerr_expr(books, sub).alias("__qe"))
+    row = qe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__qe").alias("mean_qerr"),
+        F.percentile_approx("__qe", 0.95).alias("p95_qerr"),
+    ).first()
+    return {
+        "n": int(row["n"]),
+        "mean_qerr": float(row["mean_qerr"] or 0.0),
+        "p95_qerr": float(row["p95_qerr"] or 0.0),
+    }
 
 
 def ivfpq_upsert(
@@ -1968,6 +2235,9 @@ def ivfpq_upsert(
             int(snap["version"]) + 1,
             {
                 "residual": eff_residual,
+                # the build's recorded operating point survives upserts
+                # (refits re-record it for the grown corpus)
+                **({"recommend": snap["recommend"]} if "recommend" in snap else {}),
                 "centroids": snap["centroids"],
                 "codebooks": snap["codebooks"],
                 "cells": {**snap["cells"], **bucket_map(path, obj, "codes", "cell")},

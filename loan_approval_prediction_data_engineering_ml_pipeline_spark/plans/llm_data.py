@@ -5225,6 +5225,7 @@ def _ivfpq_sweep(
     *,
     residual: bool = False,
     corpus: DataFrame | None = None,
+    shortlists: tuple[int, ...] = (10, 25, 50, 100, 250, 500),
 ) -> DataFrame:
     """One-pass operating-point sweep for the COMPOSITE index (VERDICT
     r14 #2: IVF-PQ sat at 0.70 recall at the shipped n_probe=3 x
@@ -5377,7 +5378,7 @@ def _ivfpq_sweep(
         F.col("id").cast("int").alias("n_probe")
     )
     sls = spark.createDataFrame(
-        [(s,) for s in (10, 25, 50, 100, 250, 500)], "shortlist int"
+        [(s,) for s in shortlists], "shortlist int"
     )
     grid = probes.crossJoin(F.broadcast(tt.select("query_id", "tvid", "tcrk")))
     ab = (

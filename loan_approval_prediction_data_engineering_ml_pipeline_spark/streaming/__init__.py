@@ -16,6 +16,7 @@ from .ingest import (  # noqa: F401
     reclaim_ingest_store,
     stream_bm25_index_ingest,
     stream_ivf_index_ingest,
+    stream_ivfpq_ingest,
     stream_corpus_ingest_dedup,
     stream_corpus_ingest_neardup,
     stream_text_ivf_ingest,

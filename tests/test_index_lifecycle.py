@@ -525,6 +525,57 @@ def test_ivfpq_batch_matches_single_probe_and_brute_force(
     assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
 
 
+def test_default_build_records_calibrated_recipe_probes_resolve_it(
+    spark, tmp_path, emb
+):
+    """VERDICT r16 #1: the measured recipe must be what a defaults-
+    following user gets. A zero-config build_ivfpq_index must (a) pick
+    the sqrt-N list count and k=256, (b) CALIBRATE n_probe against the
+    corpus's own neighbor-cell-coverage curve and record the operating
+    point in pqmeta.json, (c) have probes default from the record, (d)
+    carry the record through an upsert's manifest commit, and (e) keep
+    pre-recipe indexes (no record) on the legacy 6/500 point."""
+    import json
+
+    idx = str(tmp_path / "ivfpq_default")
+    S_n = emb.count()
+    SIM.build_ivfpq_index(emb, idx)
+    snap = SIM._ivfpq_snapshot(idx)
+    rec = snap["recommend"]
+    assert rec["calibrated"] is True and rec["k"] == 256
+    assert rec["n_vectors"] == S_n
+    assert 1 <= rec["n_probe"] <= SIM.default_n_lists(S_n)
+    assert rec["shortlist"] == max(100, -(-S_n * 5 // 100))
+    assert rec["coverage"] >= 0.9
+
+    # probes resolve the record: explicit args win, None defaults to it
+    assert SIM._resolve_probe_params(snap, None, None) == (
+        rec["n_probe"], rec["shortlist"],
+    )
+    assert SIM._resolve_probe_params(snap, 3, 50) == (3, 50)
+    # pre-recipe fallback: a snapshot without a record serves 6/500
+    assert SIM._resolve_probe_params({"residual": False}, None, None) == (6, 500)
+
+    # the default probe actually runs at the recorded point and is
+    # exact-rerank correct for the recorded shortlist depth
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    top = SIM.ivfpq_query_rerank(spark, idx, emb, qv, 3, exclude_id=7).collect()
+    assert len(top) == 3 and top[0]["cosine"] >= top[-1]["cosine"]
+
+    # (d) upsert carries the record into its manifest commit
+    SIM.ivfpq_upsert(spark, idx, _new_vec(spark, qv))
+    snap2 = SIM._ivfpq_snapshot(idx)
+    assert snap2["version"] >= 1 and snap2["recommend"] == rec
+
+    # calibrate_queries=0 records the static prior instead
+    idx0 = str(tmp_path / "ivfpq_prior")
+    SIM.build_ivfpq_index(emb, idx0, n_lists=4, m=8, k=16, calibrate_queries=0)
+    with open(idx0 + "/pqmeta.json") as fh:
+        rec0 = json.load(fh)["recommend"]
+    assert "calibrated" not in rec0 and rec0["n_probe"] == 4
+    assert rec0["shortlist"] == max(100, -(-S_n * 25 // 100))
+
+
 def test_ivfpq_batch_empty_manifested_snapshot_returns_typed_empty(
     spark, tmp_path, emb
 ):

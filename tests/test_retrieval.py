@@ -128,6 +128,42 @@ def test_bm25_indexed_equals_direct_and_pushes_term_filter(spark, tmp_path):
     assert "Python" not in plan
 
 
+def test_bm25_indexed_large_workload_keeps_terms_relational(spark, tmp_path):
+    """VERDICT r16 #5: past the 512-term literal-IN bound, the probe
+    must keep the workload's term set as a RELATION (broadcast semi-join
+    against the bucket-pruned postings) with NO driver-side term list —
+    and return exactly the rows the small-workload literal path returns
+    for the same real queries. The 520 noise terms ride under their own
+    query ids and match nothing, so the real queries' rankings are a
+    direct equality check across the two paths."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        build_bm25_index,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 11} beta gamma tok{i % 7}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx)
+    real = [("q1", "tok3"), ("q1", "beta"), ("q2", "tok5")]
+    noise = [(f"zq{i}", f"zzznoise{i:04d}") for i in range(520)]
+    q_small = spark.createDataFrame(real, "query_id string, term string")
+    q_big = spark.createDataFrame(real + noise, "query_id string, term string")
+
+    small = bm25_topk_indexed(spark, idx, q_small, k=7).collect()
+    big_probe = bm25_topk_indexed(spark, idx, q_big, k=7)
+    big = big_probe.collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, small))
+
+    plan = big_probe._jdf.queryExecution().executedPlan().toString()
+    # relational path: semi-join on tok, and no 500-literal IN anywhere
+    assert "LeftSemi" in plan
+    assert "zzznoise0400" not in plan  # no driver literal term list
+    assert "Python" not in plan
+
+
 def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
     """lengths/ is corpus-sized (one row per document) — the build must
     not funnel it through a single task. With n_files>1 the directory
