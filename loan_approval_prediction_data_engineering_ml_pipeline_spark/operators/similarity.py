@@ -51,12 +51,21 @@ from .index_commit import (
 
 def _ivf_manifest_from_flat(path: str) -> dict:
     """Synthesize the version-0 view of a flat-layout index: every cell
-    dir and the centroid table referenced IN PLACE."""
+    dir and the centroid table referenced IN PLACE. The flat build's
+    ``ivfmeta.json`` sidecar supplies the recorded operating point
+    (r17), mirroring the IVF-PQ ``pqmeta.json`` convention."""
+    store = log_store_for(path)
     cells = {}
-    for d in log_store_for(path).list_subdirs(_join(path, "cells")):
+    for d in store.list_subdirs(_join(path, "cells")):
         if d.startswith("cell="):
             cells[d.split("=", 1)[1]] = f"cells/{d}"
-    return {"version": 0, "centroids": "centroids", "cells": cells}
+    out = {"version": 0, "centroids": "centroids", "cells": cells}
+    sidecar = _join(path, "ivfmeta.json")
+    if store.exists(sidecar):
+        meta = json.loads(store.read_text(sidecar))
+        if "recommend" in meta:
+            out["recommend"] = meta["recommend"]
+    return out
 
 
 def _ivf_snapshot(path: str) -> dict:
@@ -587,18 +596,16 @@ def _calibrated_n_probe(
     qdf = spark.createDataFrame(
         qs, assigned.select(id_col, "arr").schema
     ).select(F.col(id_col).alias("__qid"), F.col("arr").alias("__qv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("arr"), F.col("__qv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # cosine, not dot: identical on the l2-normalized arrs the PQ
+    # builds assign, and also correct for the RAW arrs the plain IVF
+    # build partitions (both probes rank exact cosine downstream)
     truth_cells = (
         assigned.join(F.broadcast(qdf))
         .where(F.col(id_col) != F.col("__qid"))
         .select(
             "__qid",
             F.col("cell").alias("__tcell"),
-            F.round(dot, 6).alias("__d"),
+            F.round(V.cosine(F.col("arr"), F.col("__qv")), 6).alias("__d"),
             F.col(id_col).alias("__tid"),
         )
         .withColumn(
@@ -648,10 +655,19 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int | None = 16,
     seed: int = 42,
+    calibrate_queries: int = 8,
 ) -> None:
     """Build-once half of the IVF lifecycle: fit seeded KMeans, write the
     corpus as parquet PARTITIONED BY cell (``<path>/cells``) plus a tiny
     centroid table (``<path>/centroids``).
+
+    Like the IVF-PQ build (r17), every build RECORDS its calibrated
+    n_probe operating point (:func:`_calibrated_n_probe` over
+    ``calibrate_queries`` held-out corpus vectors) — in the manifest at
+    manifested paths, in an ``ivfmeta.json`` sidecar for flat builds —
+    and :func:`ivf_query`/:func:`ivf_batch_topk` default from the
+    record (pre-recipe indexes keep the legacy measured 6; explicit
+    values win).
 
     This is the FAISS-style scale path done right for Spark: the
     expensive clustering+assignment runs once at ingest, and because
@@ -678,34 +694,55 @@ def build_ivf_index(
     vecs = embeddings.select(
         F.col(id_col), V.as_double(vec_col).alias("arr")
     ).withColumn("feat", array_to_vector(F.col("arr")))
+    n_vectors = vecs.count()
     if n_lists is None:
-        # n_lists ~ sqrt(N) (default_n_lists): one count() at build
-        # time buys the measured ~1.7x probe-cost win at equal recall;
-        # the chosen value is recoverable from the centroid table's row
-        # count (flat layout) and recorded in the manifest (upserted
-        # layout).
-        n_lists = default_n_lists(vecs.count())
+        # n_lists ~ sqrt(N) (default_n_lists): buys the measured ~1.7x
+        # probe-cost win at equal recall; the chosen value is
+        # recoverable from the centroid table's row count (flat layout)
+        # and recorded in the manifest (upserted layout).
+        n_lists = default_n_lists(n_vectors)
     model = KMeans(k=n_lists, seed=seed, featuresCol="feat", predictionCol="cell").fit(vecs)
-    assigned = model.transform(vecs).select(id_col, "arr", "cell")
-    cent = embeddings.sparkSession.createDataFrame(
+    assigned = model.transform(vecs).select(id_col, "arr", "cell").persist()
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    recommend = None
+    if calibrate_queries > 0:
+        p_cal, coverage = _calibrated_n_probe(
+            spark, assigned, cent, id_col, n_queries=calibrate_queries
+        )
+        recommend = {
+            "n_probe": min(int(n_lists), int(p_cal)),
+            "n_vectors": int(n_vectors),
+            "coverage": round(float(coverage), 6),
+            "calibrated": True,
+        }
     prior = read_index_manifest(path)
     if prior is None:
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+        assigned.unpersist()
         cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        store = log_store_for(path)
+        sidecar = _join(path, "ivfmeta.json")
+        if store.exists(sidecar):
+            store.delete(sidecar)
+        if recommend is not None:
+            store.write_exclusive(sidecar, json.dumps({"recommend": recommend}))
         return
     obj = new_object_rel()
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         _join(path, obj, "cells")
     )
+    assigned.unpersist()
     cent.coalesce(1).write.mode("overwrite").parquet(_join(path, obj, "centroids"))
     commit_index_manifest(
         path,
         int(prior["version"]) + 1,
         {
             "n_lists": n_lists,
+            **({"recommend": recommend} if recommend is not None else {}),
             "centroids": f"{obj}/centroids",
             "cells": bucket_map(path, obj, "cells", "cell"),
         },
@@ -718,11 +755,12 @@ def ivf_query(
     query_vec: list[float],
     k: int = 10,
     *,
-    # default = the measured operating point for the shipped 8-list
-    # fixture index (ann_recall_sweep, r14): smallest n_probe with
-    # recall@10 >= 0.9 at both sf0.01 (1.0) and sf0.1 (0.933). Size
-    # n_probe with the sweep whenever n_lists changes.
-    n_probe: int = 6,
+    # None = the BUILD-RECORDED calibrated operating point (r17 —
+    # manifest / ivfmeta.json). Pre-recipe indexes without a record
+    # fall back to 6, their own measured point (ann_recall_sweep, r14:
+    # smallest n_probe with recall@10 >= 0.9 at sf0.01 and sf0.1 on
+    # the shipped 8-list fixture). Explicit values always win.
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     exclude_id: int | None = None,
     include_cell: bool = False,
@@ -743,6 +781,8 @@ def ivf_query(
     The probe resolves the index SNAPSHOT once (manifest overlay after
     upserts, flat layout for fresh builds) — see the module's IVF
     snapshot note."""
+    if n_probe is None:
+        n_probe = int(_ivf_snapshot(path).get("recommend", {}).get("n_probe", 6))
     centers = _ivf_centroids(spark, path).collect()
     order = sorted(
         centers,
@@ -1485,10 +1525,10 @@ def ivf_batch_topk(
     queries: DataFrame,
     k: int = 10,
     *,
-    # default = the ann_recall_sweep operating point for the 8-list
-    # fixture index (recall@10 >= 0.9 at sf0.01 and sf0.1); re-sweep
-    # when n_lists changes
-    n_probe: int = 6,
+    # None = the BUILD-RECORDED calibrated operating point (r17); the
+    # pre-recipe fallback 6 is the ann_recall_sweep point for the
+    # 8-list fixture index (recall@10 >= 0.9 at sf0.01 and sf0.1)
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
@@ -1529,6 +1569,8 @@ def ivf_batch_topk(
     is hot from the probe side while its partition is ordinary."""
     from pyspark.sql import Window
 
+    if n_probe is None:
+        n_probe = int(_ivf_snapshot(path).get("recommend", {}).get("n_probe", 6))
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
     )
@@ -2514,6 +2556,9 @@ def ivf_upsert(
             int(snap["version"]) + 1,
             {
                 "centroids": snap["centroids"],
+                # the build's recorded operating point survives upserts
+                # (refits re-calibrate and re-record)
+                **({"recommend": snap["recommend"]} if "recommend" in snap else {}),
                 "cells": {**snap["cells"], **bucket_map(path, obj, "cells", "cell")},
             },
         )

@@ -5995,7 +5995,11 @@ def ann_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     vecs = {i: _query_vec(spark, sf_dir, i) for i in range(3)}
-    ivf10 = S.ivf_batch_topk(spark, ivf, q3, k=10).select("query_id", "vec_id")
+    # n_probe pinned: this row's oracle derives the probe set at 6, so
+    # it must not float with a build-recorded recommendation (r17)
+    ivf10 = S.ivf_batch_topk(
+        spark, ivf, q3, k=10, n_probe=6
+    ).select("query_id", "vec_id")
     lsh10 = reduce(
         DataFrame.unionByName,
         [

@@ -567,6 +567,18 @@ def test_default_build_records_calibrated_recipe_probes_resolve_it(
     snap2 = SIM._ivfpq_snapshot(idx)
     assert snap2["version"] >= 1 and snap2["recommend"] == rec
 
+    # the plain-IVF tier records/resolves the same way (r17): fresh
+    # build -> ivfmeta.json sidecar; default probe resolves it; a
+    # record-less index keeps the legacy 6
+    ividx = str(tmp_path / "ivf_default")
+    SIM.build_ivf_index(emb, ividx, n_lists=4)
+    ivrec = SIM._ivf_snapshot(ividx)["recommend"]
+    assert ivrec["calibrated"] is True and 1 <= ivrec["n_probe"] <= 4
+    top_iv = SIM.ivf_query(spark, ividx, qv, 3, exclude_id=7).collect()
+    assert len(top_iv) == 3
+    SIM.ivf_upsert(spark, ividx, _new_vec(spark, qv))
+    assert SIM._ivf_snapshot(ividx)["recommend"] == ivrec
+
     # calibrate_queries=0 records the static prior instead
     idx0 = str(tmp_path / "ivfpq_prior")
     SIM.build_ivfpq_index(emb, idx0, n_lists=4, m=8, k=16, calibrate_queries=0)
