@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -121,14 +122,15 @@ def decontaminate(
 
 
 def _ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
-    """Spread CPU-heavy map work across all cores when the upstream scan
-    yields fewer partitions than the cluster has slots (small/few files).
-    At real corpus scale the scan already has >= cores partitions and
-    this is a no-op — no extra shuffle lands in the 100 TB plan."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    """Spread CPU-heavy map work across all cores when the leaf scans
+    cannot feed that many tasks (small/few/row-group-bound files). At
+    real corpus scale the scan already has >= cores partitions and this
+    is a no-op — no extra shuffle lands in the 100 TB plan. The decision
+    is metadata-only (see functions/parallel.py — the old
+    ``df.rdd.getNumPartitions()`` probe executed every upstream AQE
+    stage just to read the partition count, 3-7.5 s of discarded work
+    per call on a windowed lineage)."""
+    return ensure_cpu_parallelism(df)
 
 
 def _shingle_set(text_col: str, shingle_n: int) -> Column:

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 
 
 def hashed_token_features(
@@ -49,7 +50,9 @@ def hashed_token_features(
     them is meaningless). One explode + one groupBy(token); the output
     is vocabulary-sized (broadcastable for any real vocabulary)."""
     ne = F.filter(X.tokens(text_col), lambda t: t != "")
-    toks = docs.select(F.col(id_col).alias("__id"), F.explode(ne).alias("tok"))
+    toks = ensure_cpu_parallelism(docs).select(
+        F.col(id_col).alias("__id"), F.explode(ne).alias("tok")
+    )
     n = docs.select(F.count(F.lit(1)).alias("__n"))
     dft = toks.groupBy("tok").agg(F.count_distinct("__id").alias("df"))
     h = X.token_base_hash(F.col("tok"))

@@ -41,6 +41,7 @@ viable beyond fixture scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.parallel import ensure_cpu_parallelism
 
 
 def _content_sample(df: DataFrame, rate: float) -> DataFrame:
@@ -72,7 +73,7 @@ def learn_phrase_merges(
     sample (counts are then sample counts, not corpus counts);
     ``checkpoint_every`` localCheckpoints the working frame every N
     rounds to bound lineage depth for large ``m``."""
-    cur = docs.select(
+    cur = ensure_cpu_parallelism(docs).select(
         F.concat(F.lit(" "), F.trim(F.col(text_col)), F.lit(" ")).alias("w")
     )
     merges: list[tuple[int, str, str, int]] = []

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 
 #: default feature dimension (2^10): plenty for stopword-level quality
 #: signals at test scale; production text filters use 2^20-2^21 and the
@@ -61,7 +62,7 @@ def hashed_bow(
     ``1 + ln(count)``. Map-only explode + one (id, bucket) groupBy —
     partial aggregation keeps the shuffle at O(distinct buckets per
     doc), and no vocabulary is ever materialized."""
-    base = df.select(
+    base = ensure_cpu_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(X.tokens(text_col)).alias("tok")
     ).where(F.col("tok") != "")
     return (

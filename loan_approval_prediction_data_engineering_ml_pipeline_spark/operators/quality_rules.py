@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 
 #: Rule thresholds (single source of truth for Spark AND the oracle).
 #: Gopher's published bounds, with the word-count floor kept at the
@@ -210,6 +211,9 @@ def gopher_report(
     CollapseProject keeps multiply-referenced non-cheap aliases in
     their own projection, so each document pays the O(n log n) pass
     exactly once per scan."""
+    # rule evaluation is CPU-bound map work (tokenize + sort+fold per
+    # doc): spread the scan so it uses every core (no-op at real scale)
+    docs = ensure_cpu_parallelism(docs)
     fractions = docs.select(
         group_col,
         *_base_flags(text_col),

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 from ..sources.versioned import CommitConflict, _join, log_store_for
 from .index_commit import (
     bucket_map as _bucket_map,
@@ -132,6 +133,7 @@ def bm25_topk(
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = queries.select("term").distinct()
 
+    docs = ensure_cpu_parallelism(docs)  # tokenize+explode is CPU-bound map work
     ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
     dlen = docs.select(
         F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")
@@ -966,56 +968,111 @@ def bm25_phrase_topk(
         return _empty_topk(
             spark, id_col, docs.schema[id_col].dataType.simpleString()
         )
-    contribs = []
-    for L, pairs in sorted(by_len.items()):
-        grams = X.word_ngrams(text_col, L)
-        pq = spark.createDataFrame(pairs, "query_id string, g string")
-        dlen = docs.select(F.col(id_col).alias("id"), F.size(grams).alias("dl"))
-        base = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        tf = (
-            base.join(F.broadcast(pq.select("g").distinct()), "g", "left_semi")
-            .groupBy("g", "id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        stats = dlen.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-        )
-        idf = (
-            tf.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .crossJoin(F.broadcast(stats.select("n")))
-            .select(
-                "g",
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ).alias("idf"),
-            )
-        )
-        contribs.append(
-            tf.join(F.broadcast(idf), "g")
-            .join(F.broadcast(pq), "g")
-            .join(dlen, "id")
-            .crossJoin(F.broadcast(stats.select("avgdl")))
-            .select(
-                "query_id",
-                "id",
-                (
-                    F.col("idf")
-                    * (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    docs = ensure_cpu_parallelism(docs)  # n-gram explode per length is CPU-bound
+    # ONE corpus pass for ALL phrase lengths (r17): the per-length loop
+    # used to re-tokenize and re-explode the corpus once per distinct L
+    # (2 scans per length: the dl map pass and the gram explode). Every
+    # length's gram stream now derives from a single tokenization — the
+    # streams explode as (L, g) tagged rows in one pass, and the dl map
+    # pass computes every length's event-space size side by side. An
+    # L-gram string only ever equals an L-word phrase, so tagging by L
+    # keeps each length's (tf, df, dl, avgdl) event space exactly the
+    # per-index one; every per-row formula and the final (query, id)
+    # score sum are unchanged.
+    lens = sorted(by_len)
+    gram_of = {L: X.word_ngrams(text_col, L) for L in lens}
+    pq = spark.createDataFrame(
+        [(q, L, g) for L in lens for q, g in by_len[L]],
+        "query_id string, L int, g string",
+    )
+    dlen = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.size(gram_of[L]).alias(f"__dl{L}") for L in lens],
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            (F.sum(f"__dl{L}") / F.count(F.lit(1))).alias(f"__avgdl{L}")
+            for L in lens
+        ],
+    )
+    dlen_l = dlen.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("L"), F.col(f"__dl{L}").alias("dl")
                     )
-                ).alias("s"),
+                    for L in lens
+                ]
             )
+        ).alias("__x"),
+    ).select("id", "__x.L", "__x.dl")
+    def _tag(L: int):
+        # NB: must return a UNARY lambda — pyspark treats a 2-arg lambda
+        # as (element, index), which would shadow the length tag
+        return lambda g: F.struct(F.lit(L).alias("L"), g.alias("g"))
+
+    units = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.concat(*[F.transform(gram_of[L], _tag(L)) for L in lens])
+        ).alias("__x"),
+    ).select("id", "__x.L", "__x.g")
+    tf = (
+        units.join(
+            F.broadcast(pq.select("L", "g").distinct()), ["L", "g"], "left_semi"
         )
-    allc = contribs[0]
-    for c in contribs[1:]:
-        allc = allc.unionByName(c)
+        .groupBy("L", "g", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("L", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "L",
+            "g",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    avgdl_l = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("L"),
+                        F.col(f"__avgdl{L}").alias("avgdl"),
+                    )
+                    for L in lens
+                ]
+            )
+        ).alias("__x")
+    ).select("__x.L", "__x.avgdl")
+    allc = (
+        tf.join(F.broadcast(idf), ["L", "g"])
+        .join(F.broadcast(pq), ["L", "g"])
+        .join(dlen_l, ["id", "L"])
+        .join(F.broadcast(avgdl_l), "L")
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
     scored = allc.groupBy("query_id", "id").agg(
         F.round(F.sum("s"), decimals).alias("score")
     )

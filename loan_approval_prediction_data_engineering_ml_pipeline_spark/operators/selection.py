@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text as X
+from ..functions.parallel import ensure_cpu_parallelism
 
 N_BUCKETS = 1024
 
@@ -59,7 +60,7 @@ def hashed_ngram_counts(
         ),
         lambda g: g.isNotNull(),
     )
-    base = docs.select(
+    base = ensure_cpu_parallelism(docs).select(
         F.col(id_col).alias("id"), F.explode(F.concat(toks, bigrams)).alias("g")
     ).where(F.col("g") != "")
     return (
@@ -122,6 +123,21 @@ def gumbel_key(id_col: F.Column) -> F.Column:
     return -F.log(-F.log(u))
 
 
+def _ranked_topk_local(
+    docs: DataFrame, top_rows: list, keyed_schema, id_col: str
+) -> DataFrame:
+    """(id_col, logw, key, rank) from the already-collected top-k rows:
+    a local relation + one k-row window. The k rows crossed the driver
+    in the TakeOrdered merge regardless; rebuilding them locally lets
+    the persisted feature relation be unpersisted before returning."""
+    out = docs.sparkSession.createDataFrame(top_rows, keyed_schema)
+    rk = Window.orderBy(F.col("key").desc(), F.col("id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(rk))
+        .select(F.col("id").alias(id_col), "logw", "key", "rank")
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target: DataFrame,
@@ -144,20 +160,27 @@ def dsir_select(
     target_feats = hashed_ngram_counts(
         target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
-    w = importance_weights(raw_feats, target_feats, n_buckets=n_buckets)
-    keyed = w.select(
-        "id",
-        F.round("logw", decimals).alias("logw"),
-        F.round(F.col("logw") + gumbel_key(F.col("id")), decimals).alias("key"),
-    )
-    # the heavy path is TakeOrderedAndProject (per-partition heaps +
-    # driver merge of k) — the global window only ever sees k rows
-    topk = keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)
-    rk = Window.orderBy(F.col("key").desc(), F.col("id").asc())
-    return (
-        topk.withColumn("rank", F.row_number().over(rk))
-        .select(F.col("id").alias(id_col), "logw", "key", "rank")
-    )
+    # raw_feats feeds two consumers (the bucket-total aggregate and the
+    # per-doc weight join): persist it across the two EAGER passes and
+    # unpersist deterministically — one tokenize+hash pass instead of
+    # two, no storage entry outliving the call (r17; same shape as the
+    # flagged variant below)
+    raw_feats = raw_feats.persist()
+    try:
+        w = importance_weights(raw_feats, target_feats, n_buckets=n_buckets)
+        keyed = w.select(
+            "id",
+            F.round("logw", decimals).alias("logw"),
+            F.round(F.col("logw") + gumbel_key(F.col("id")), decimals).alias("key"),
+        )
+        # the heavy path is TakeOrderedAndProject (per-partition heaps +
+        # driver merge of k) — the same k rows any top-k ships anyway
+        top_rows = (
+            keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k).collect()
+        )
+    finally:
+        raw_feats.unpersist()
+    return _ranked_topk_local(docs, top_rows, keyed.schema, id_col)
 
 
 def dsir_select_flagged(
@@ -188,7 +211,7 @@ def dsir_select_flagged(
         ),
         lambda g: g.isNotNull(),
     )
-    base = docs.select(
+    base = ensure_cpu_parallelism(docs).select(
         F.col(id_col).alias("id"),
         target_pred.alias("_t"),
         F.explode(F.concat(toks, bigrams)).alias("g"),
@@ -200,57 +223,67 @@ def dsir_select_flagged(
         .groupBy("id", "_t", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # ONE bucket aggregation yields BOTH smoothed distributions; it is
-    # <= B rows (kilobytes), so materialize it to the driver and
-    # rebuild as a local relation — every downstream consumer (totals,
-    # lambda) reads that instead of re-scanning the corpus, pinning the
-    # whole plan at exactly TWO corpus passes (this one + the
-    # candidate-weight pass below). A .cache() here would do the same
-    # but leak an executor-storage relation per call (the returned
-    # DataFrame is lazy, so the function can never safely unpersist —
-    # ADVICE r8); the collect is bounded at B rows by construction.
-    counts_rows = (
-        feats.groupBy("bucket")
-        .agg(
-            F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
-            F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+    # ONE tokenize+hash pass total (r17): the feature relation is
+    # persisted and BOTH consumers (the B-row distribution aggregate and
+    # the candidate-weight pass) read the materialization instead of
+    # re-running explode+md5 over the corpus — tokenize+hash is the
+    # dominant FLOPs term, so this halves the operator's CPU. Both
+    # passes run EAGERLY inside the scope (the result is the bounded
+    # top-k, so nothing lazy escapes) and the persisted relation is
+    # unpersisted deterministically — no executor-storage entry outlives
+    # the call (the ADVICE-r8 contract, test-pinned). feats is
+    # O(docs × distinct-buckets-per-doc) rows of 4 small ints and spills
+    # to disk if needed; a 100 TB run persists this between stages
+    # (SCALE.md §DSIR), which is the same shape.
+    feats = feats.persist()
+    try:
+        # ONE bucket aggregation yields BOTH smoothed distributions; it
+        # is <= B rows (kilobytes), so materialize it to the driver and
+        # rebuild as a local relation — totals and lambda read that.
+        counts_rows = (
+            feats.groupBy("bucket")
+            .agg(
+                F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+                F.sum(F.when(F.col("_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    counts = docs.sparkSession.createDataFrame(
-        counts_rows, "bucket int, cr bigint, ct bigint"
-    )
-    # totals over ALL buckets (target-only buckets carry target mass);
-    # lambda only over the raw pool's buckets (cr > 0), matching
-    # importance_weights' rc-left-join-tc construction exactly
-    totals = counts.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
-    lam = (
-        counts.where(F.col("cr") > 0)
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("ct") + F.lit(1.0))
-                      / (F.col("tt") + F.lit(float(n_buckets))))
-                - F.log((F.col("cr") + F.lit(1.0))
-                        / (F.col("rt") + F.lit(float(n_buckets))))
-            ).alias("lam"),
+        counts = docs.sparkSession.createDataFrame(
+            counts_rows, "bucket int, cr bigint, ct bigint"
         )
-    )
-    w = (
-        feats.where(~F.col("_t"))
-        .join(F.broadcast(lam), "bucket")
-        .groupBy("id")
-        .agg(F.sum(F.col("n") * F.col("lam")).alias("logw"))
-    )
-    keyed = w.select(
-        "id",
-        F.round("logw", decimals).alias("logw"),
-        F.round(F.col("logw") + gumbel_key(F.col("id")), decimals).alias("key"),
-    )
-    topk = keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)
-    rk = Window.orderBy(F.col("key").desc(), F.col("id").asc())
-    return (
-        topk.withColumn("rank", F.row_number().over(rk))
-        .select(F.col("id").alias(id_col), "logw", "key", "rank")
-    )
+        # totals over ALL buckets (target-only buckets carry target
+        # mass); lambda only over the raw pool's buckets (cr > 0),
+        # matching importance_weights' rc-left-join-tc construction
+        totals = counts.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
+        lam = (
+            counts.where(F.col("cr") > 0)
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "bucket",
+                (
+                    F.log((F.col("ct") + F.lit(1.0))
+                          / (F.col("tt") + F.lit(float(n_buckets))))
+                    - F.log((F.col("cr") + F.lit(1.0))
+                            / (F.col("rt") + F.lit(float(n_buckets))))
+                ).alias("lam"),
+            )
+        )
+        w = (
+            feats.where(~F.col("_t"))
+            .join(F.broadcast(lam), "bucket")
+            .groupBy("id")
+            .agg(F.sum(F.col("n") * F.col("lam")).alias("logw"))
+        )
+        keyed = w.select(
+            "id",
+            F.round("logw", decimals).alias("logw"),
+            F.round(F.col("logw") + gumbel_key(F.col("id")), decimals).alias("key"),
+        )
+        # TakeOrderedAndProject (per-partition heaps + driver merge of
+        # k) — the same k rows any top-k execution ships to the driver
+        top_rows = (
+            keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k).collect()
+        )
+    finally:
+        feats.unpersist()
+    return _ranked_topk_local(docs, top_rows, keyed.schema, id_col)

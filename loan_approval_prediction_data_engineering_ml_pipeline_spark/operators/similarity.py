@@ -1191,6 +1191,22 @@ def _fit_pq_codebooks(
     return books, sub
 
 
+
+def _array2d_lit(rows: list[list[float]]):
+    """A constant array<array<double>> as ONE SQL literal expression —
+    PySpark's ``F.lit(list_of_lists)`` expands to per-element ``lit``
+    py4j calls (2 round trips each; a k=256 codebook is m*k*sub = 16k
+    elements). repr() doubles round-trip bit-exactly through Spark's
+    parser; Catalyst constant-folds the nested array once."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in rows
+        )
+        + ")"
+    )
+
+
 def _pq_codes_expr(
     books: list[list[list[float]]], sub: int, vec_col: str = "arr"
 ):
@@ -1220,7 +1236,7 @@ def _pq_codes_expr(
                 ]
             )
         else:
-            blit = F.lit([[float(x) for x in c] for c in book])
+            blit = _array2d_lit(book)
             sv = F.slice(F.col(vec_col), j * sub + 1, sub)
             dists = F.transform(
                 blit,
@@ -1310,9 +1326,18 @@ def _adc_score(spark, path: str, query_vec: list[float]):
                 # leave 0.0
                 continue
             table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
-    # one array literal (single py4j call) — at k=256 the table is
-    # m*k = 2048 cells and per-element F.lit construction dominates
-    tlit = F.lit([float(x) for x in table])
+    # ONE py4j round trip for the whole table (r17): PySpark's
+    # ``F.lit(list)`` silently expands to ``array(lit(x) for x in ...)``
+    # — 2 py4j calls per element, measured 4.6 s of driver time PER
+    # SWEEP at m*k = 2048 cells x 3 queries. A SQL ``array(...)``
+    # literal ships the table as one string; every element is a foldable
+    # double literal (repr() is the shortest IEEE-754 round-trip form
+    # and Java's parseDouble is correctly rounded, so values are
+    # bit-identical), and Catalyst constant-folds the array once at
+    # optimization time.
+    tlit = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in table) + ")"
+    )
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -2115,7 +2140,7 @@ def _pq_qerr_expr(books: list[list[list[float]]], sub: int, vec_col: str = "arr"
     path, so one layout serves every k)."""
     total = F.lit(0.0)
     for j, book in enumerate(books):
-        blit = F.lit([[float(x) for x in c] for c in book])
+        blit = _array2d_lit(book)
         sv = F.slice(F.col(vec_col), j * sub + 1, sub)
         dists = F.transform(
             blit,

@@ -47,6 +47,7 @@ oracle can re-derive them bit-identically (same discipline as MinHash in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..functions.parallel import ensure_cpu_parallelism
 
 
 def _rebuild(
@@ -97,7 +98,7 @@ def remove_boilerplate_lines(
     single-line corpora to get corpus-stopword removal — the degenerate
     form the parity gate exercises on the synthetic documents table).
     """
-    lines = docs.select(
+    lines = ensure_cpu_parallelism(docs).select(
         id_col,
         F.posexplode(F.split(F.col(text_col), separator, -1)).alias(
             "__pos", "__part"
@@ -141,7 +142,7 @@ def remove_duplicate_spans(
     tokenize→detokenize pass). Documents shorter than ``window`` tokens
     are never touched; a document that was entirely duplicated spans
     comes back empty rather than vanishing."""
-    toks = docs.select(
+    toks = ensure_cpu_parallelism(docs).select(
         id_col,
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+", -1)).alias(
             "__pos", "__part"

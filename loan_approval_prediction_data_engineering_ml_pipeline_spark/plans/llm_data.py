@@ -17,10 +17,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
 from ..functions import vectors as V
+from ..functions.parallel import ensure_cpu_parallelism
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..sources.loaders import load_table
 from .registry import query
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with CPU parallelism ensured — the loader for
+    text-CPU-bound plans (tokenize/md5/regex map work). Metadata-only
+    decision; a no-op at real corpus scale (functions/parallel.py)."""
+    return ensure_cpu_parallelism(load_table(spark, sf_dir, "documents"))
+
 
 # Banding parameters are threshold-tuned (tau ~ (1/b)^(1/r)): the LSH
 # query verifies at jaccard=1.0, so ONE band of all k rows is optimal —
@@ -1057,7 +1066,7 @@ def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio, stopword ratio, composite score — all codegen'd expressions",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -1108,7 +1117,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-scan shape a 100 TB enrichment pass must have",
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -1165,7 +1174,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured 14x slower at sf0.1 and ruinous at corpus scale",
 )
 def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     pred = docs.select(
         "lang", X.lang_id("text").alias("lang_pred"), X.tokens("text").alias("toks")
     )
@@ -1286,7 +1295,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus stats",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     n_docs = docs.count()  # scalar, one cheap job; a literal keeps idf in codegen
     terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -2381,7 +2390,7 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
 
     from ..operators.pii import redact_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     base = docs.withColumn("hsum", _funnel_hsum_expr()).select(
         "doc_id", "lang", "source",
         redact_text(_funnel_aug_expr()).alias("text"),
@@ -2706,7 +2715,7 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="local",
 )
 def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     vocab = docs.select(
         "source", F.explode(X.tokens("text")).alias("tok")
     ).distinct()
@@ -2778,7 +2787,7 @@ def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
     )
@@ -3913,7 +3922,7 @@ def _pii_oracle() -> str:
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pii import pii_counts, redact_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     aug = _pii_aug_expr()
     return (
         docs.select("doc_id", aug.alias("t"))
@@ -4618,9 +4627,14 @@ def _ensure_ivftext(spark: SparkSession, sf_dir: str) -> str:
 )
 def ann_recall_sweep_textivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_ivftext(spark, sf_dir)
+    # materialize the encoder output ONCE (r17): the sweep reads it as
+    # both the query side and the exact-truth corpus side — without
+    # this, each reference re-runs the full tokenize+hash+idf encoder
+    # pipeline (the dominant cost; the relation itself is docs x dim+1
+    # doubles, megabytes)
+    emb = _text_emb(spark, sf_dir).localCheckpoint(eager=True)
     return _recall_sweep(
-        spark, sf_dir, idx,
-        emb=_text_emb(spark, sf_dir), id_col="doc_id", use_dot=True,
+        spark, sf_dir, idx, emb=emb, id_col="doc_id", use_dot=True,
     )
 
 
@@ -6413,7 +6427,10 @@ def ann_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embedding as E
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = E.hashed_tfidf_embed(docs, dim=64)
+    # ONE encoder pass (r17): the query row's .first() and the corpus
+    # scan below otherwise each re-run the full tokenize+hash+idf
+    # encoder lineage; the materialized relation is docs x dim doubles
+    emb = E.hashed_tfidf_embed(docs, dim=64).localCheckpoint(eager=True)
     qrow = emb.where(F.col("doc_id") == 0).first()
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     cos = F.round(V.dot(F.col("embedding"), qlit), 6)
@@ -6505,7 +6522,10 @@ def retrieval_quality_hybrid_textemb(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
     lex = R.bm25_topk(docs, qdf, k=20).select("query_id", "doc_id", "rank")
-    feats = E.hashed_token_features(docs, dim=64)
+    # the vocabulary feature table feeds BOTH the document and the query
+    # encoder: materialize it once (vocab-sized, kilobytes) instead of
+    # re-running the corpus explode+aggregate per consumer (r17)
+    feats = E.hashed_token_features(docs, dim=64).localCheckpoint(eager=True)
     demb = E.hashed_tfidf_embed(docs, dim=64, feats=feats)
     qemb = E.embed_terms(qdf, feats, dim=64)
     cos = F.round(V.dot(F.col("embedding"), F.col("qv")), 6)

@@ -1,0 +1,53 @@
+"""Capture .explain("formatted") for headline queries into plans/r17/.
+
+Usage: python scripts/capture_plans.py <suffix> [name ...]
+
+Writes plans/r17/<query>_<suffix>.txt for each named query (default: every
+bench HEADLINE query). Building a DataFrame triggers any _ensure_* fixture
+construction but explain itself never executes the plan, so this is cheap
+and does not perturb bench timings.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.plans.registry import (  # noqa: E402
+    QUERIES,
+)
+from loan_approval_prediction_data_engineering_ml_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or [n for n in HEADLINE if n in QUERIES]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="capture_plans")
+    for name in names:
+        try:
+            df = QUERIES[name].fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as exc:  # keep going: one bad plan must not stop the sweep
+            text = f"ERROR building plan: {exc!r}\n"
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write(text)
+        print(f"wrote {name}_{suffix}.txt ({len(text)} chars)")
+
+
+if __name__ == "__main__":
+    main()

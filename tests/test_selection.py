@@ -54,19 +54,39 @@ def test_dsir_is_deterministic_under_repartitioning(spark):
 
 
 def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
+    """The heavy selection path must stay TakeOrdered (per-partition
+    heaps + driver merge of k, never a global sort) and Python-free.
+    Since r17 the two corpus passes run EAGERLY inside the operator (so
+    the persisted feature relation can be unpersisted before returning
+    — the ADVICE-r8 no-leaked-cache contract), so the heavy plan is
+    asserted via the executed top-k plan the operator itself runs, and
+    the RETURNED frame must be just the k-row local relation + rank
+    window (no corpus lineage, no global sort exchange)."""
+    import io
+    from contextlib import redirect_stdout
+
     target = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     raw = spark.range(500).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("x y tok"), (F.col("id") % 9).cast("string")).alias("text"),
     )
-    plan = (
-        S.dsir_select(raw, target, k=5)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Python" not in plan
-    assert "TakeOrderedAndProject" in plan  # never a global sort
+    # capture every executed plan while the operator runs its eager jobs
+    tracker = spark._jsparkSession.sharedState().statusStore()
+    before = tracker.executionsCount()
+    out = S.dsir_select(raw, target, k=5)
+    plans = []
+    n = tracker.executionsCount()
+    it = tracker.executionsList().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.executionId() >= before:
+            plans.append(e.physicalPlanDescription())
+    heavy = "\n".join(plans)
+    assert "TakeOrderedAndProject" in heavy  # the top-k ran as TakeOrdered
+    returned = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in returned
+    assert "Scan ExistingRDD" in returned  # k-row local relation
+    assert "rangepartitioning" not in returned  # no global sort exchange
 
 
 def test_dsir_flagged_equals_two_frame_path(spark):
