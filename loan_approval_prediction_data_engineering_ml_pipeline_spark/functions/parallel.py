@@ -68,9 +68,14 @@ def ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
         return df
     if not files:
         # RDD-backed / in-memory lineage (localCheckpoint, createDataFrame):
-        # the partition probe is cheap there — no file scan, no AQE stages.
-        if df.rdd.getNumPartitions() < slots:
-            return df.repartition(slots)
+        # stay a no-op. Probing df.rdd here would execute every AQE stage
+        # ABOVE the RDD leaf (a checkpointed relation with a join/window on
+        # top re-runs those stages just to report a partition count — the
+        # exact failure mode this helper was rewritten to remove), and a
+        # blind repartition would tax large in-memory relations. Engine
+        # checkpoints are written at a deliberate width instead (the
+        # producer repartitions BEFORE checkpointing when downstream map
+        # work is CPU-bound).
         return df
     if len(files) >= slots:
         return df  # >= one task per slot before any stat call

@@ -53,6 +53,15 @@ B = 0.75  #: BM25 length normalization
 # See that module's docstring for the full guarantees.
 
 
+# per-(session, path, resolved meta dir) memo of the 1-row meta
+# relation's collected row — a probe's first eager step is reading
+# (n, avgdl, n_buckets, gram), and a meta dir is immutable once a
+# manifest references it (the _CODEBOOK_CACHE rationale): repeated
+# probes pay zero parquet jobs for it. A new manifest version resolves
+# a fresh object dir and misses naturally.
+_META_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 class _Bm25Snapshot:
     """One resolved, immutable view of an index: manifest-backed when a
     manifest exists, else the legacy flat layout (read-only compat)."""
@@ -65,6 +74,15 @@ class _Bm25Snapshot:
     def meta_df(self) -> DataFrame:
         rel = self.manifest["meta"] if self.manifest else "meta"
         return self.spark.read.parquet(_join(self.path, rel))
+
+    def meta_row(self):
+        """The collected 1-row meta, memoized per resolved meta dir."""
+        rel = self.manifest["meta"] if self.manifest else "meta"
+        key = (self.spark.sparkContext.applicationId, self.path, rel)
+        hit = _META_CACHE.get(key)
+        if hit is None:
+            hit = _META_CACHE[key] = self.meta_df().first()
+        return hit
 
     def id_type(self) -> str:
         return self.lengths().schema["id"].dataType.simpleString()
@@ -370,7 +388,10 @@ def upsert_bm25_index(
             "path or a pre-manifest flat index — rebuild with "
             "build_bm25_index to enable snapshot-atomic upserts"
         )
-    meta = snap.meta_df().first()
+    # memoized per resolved meta dir (a committed version's meta is
+    # immutable; the post-upsert manifest resolves a fresh dir) — saves
+    # one Spark job per streamed micro-batch (r17)
+    meta = snap.meta_row()
     n_buckets = int(meta["n_buckets"])
     n_files = int(meta["n_files"])  # lengths' id-bucket modulus is the build's
     gram = int(meta["gram"]) if "gram" in meta.asDict() else 1
@@ -613,8 +634,7 @@ def _indexed_contrib(
     with no driver term list at all."""
     queries = queries.select(F.col("query_id"), F.col("term"))
     snap = _Bm25Snapshot(spark, path)
-    stats = snap.meta_df()
-    meta_row = stats.first()
+    meta_row = snap.meta_row()  # memoized per resolved meta dir — no job
     if expect_gram is not None:
         built_gram = int(meta_row["gram"]) if "gram" in meta_row.asDict() else 1
         if built_gram != expect_gram:
@@ -656,15 +676,19 @@ def _indexed_contrib(
         # buckets, never the corpus text.
         tf = postings.join(F.broadcast(term_rel), "tok", "left_semi")
     dlen = snap.lengths()
+    # the committed scalars (n, avgdl) inline as literals from the
+    # memoized meta row — two 1-row parquet scans + crossJoins leave
+    # the probe plan (r17); values are the exact committed ones
+    n_lit = F.lit(int(meta_row["n"]))
+    avgdl_lit = F.lit(float(meta_row["avgdl"]))
     idf = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats.select("n")))
         .select(
             "tok",
             F.log(
                 F.lit(1.0)
-                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                + (n_lit - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             ).alias("idf"),
         )
     )
@@ -672,7 +696,7 @@ def _indexed_contrib(
         tf.join(F.broadcast(idf), "tok")
         .join(F.broadcast(queries), F.col("tok") == F.col("term"))
         .join(dlen, "id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn("avgdl", avgdl_lit)
         .select(
             "query_id",
             "id",

@@ -1429,6 +1429,101 @@ def pq_query_rerank(
     )
 
 
+def pq_batch_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k_results: int = 10,
+    *,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch flat-PQ probe (r17): ADC-shortlisted, exact-reranked
+    cosine top-k for EVERY row of ``queries`` as ONE distributed plan —
+    the flat-index twin of :func:`ivfpq_batch_topk`, built for fused
+    multi-query reports (``ann_family_recall``) and batch serving. The
+    ADC table is a RELATION (query frame ⋈ broadcast persisted
+    codebooks → per-(query, subspace, code) inner products), corpus
+    codes posexplode to (id, j, code_j) once regardless of fan-in, and
+    one hash join + sum reassembles every score. Per query the result
+    is EXACTLY :func:`pq_query_rerank`'s: same normalized-subvector
+    table values, same 6-dp rounding before the shortlist cut, same
+    normalized-corpus rerank, same id tie-breaks."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.l2_normalize(V.as_double(vec_col)).alias("qn"),
+    )
+    books = spark.read.parquet(_join(path, _codebook_rel(path))).select(
+        F.col("subspace").cast("int").alias("__j"),
+        F.col("code").cast("int").alias("__code"),
+        "centroid",
+    )
+    sub = F.size(F.col("centroid"))
+    qsub = F.slice(F.col("qn"), F.col("__j") * sub + 1, sub)
+    ip = F.aggregate(
+        F.zip_with(qsub, F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qtab = q.join(F.broadcast(books)).select(
+        "query_id", "__j", "__code", ip.alias("__ip")
+    )
+    expl = _pq_codes_df(spark, path).select(
+        F.col(id_col), F.posexplode(F.col("codes")).alias("__j", "__code")
+    )
+    adc = (
+        expl.join(qtab, ["__j", "__code"])
+        .where(
+            F.col(id_col) != F.col("query_id") if exclude_self else F.lit(True)
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__ip").alias("__adc"))
+    )
+    short = (
+        adc.select(
+            "query_id", F.col(id_col), F.round(F.col("__adc"), 6).alias("pq_score")
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("pq_score"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= shortlist)
+        .select("query_id", id_col)
+    )
+    emb = embeddings.select(
+        F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("__v")
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("__qv")
+    )
+    cos = V.cosine(F.col("__v"), F.col("__qv"))
+    return (
+        short.join(emb, id_col)
+        .join(qraw, "query_id")
+        .select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= k_results)
+        .drop("__rk")
+        .orderBy("query_id", F.desc("cosine"), F.asc(id_col))
+    )
+
+
 def pq_upsert(
     spark,
     path: str,

@@ -2504,7 +2504,17 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contamination lineage per consumer (measured 2.6x at sf0.01; at
     # 100 TB this is the cached-flags relation a production run would
     # persist to storage between stages)
-    f4 = flagged.localCheckpoint(eager=True)
+    # checkpoint at full width (r17): the flagged relation leaves the
+    # contamination broadcast join AQE-coalesced to a handful of
+    # partitions at small SFs; every consumer below (funnel agg, the
+    # DSIR feature explode over the survivors, the packing joins) would
+    # inherit that near-serial layout from the checkpoint. One cheap
+    # round-robin of the flag rows before materializing keeps the
+    # downstream CPU work cluster-wide; at real scale the relation is
+    # already wide and the repartition is the only cost (bounded by the
+    # checkpoint write it precedes).
+    slots = spark.sparkContext.defaultParallelism
+    f4 = flagged.repartition(slots).localCheckpoint(eager=True)
     stages = stage_names
     staged = f4.select(
         "ntok",
@@ -6027,31 +6037,18 @@ def ann_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(3)
         ],
     )
-    pq10 = reduce(
-        DataFrame.unionByName,
-        [
-            tag(
-                S.pq_query_rerank(
-                    spark, pq, emb, vecs[i], 10, shortlist=100, exclude_id=i
-                ),
-                i,
-            )
-            for i in range(3)
-        ],
-    )
-    ivfpq10 = reduce(
-        DataFrame.unionByName,
-        [
-            tag(
-                S.ivfpq_query_rerank(
-                    spark, ivfpq, emb, vecs[i], 10,
-                    n_probe=6, shortlist=500, exclude_id=i,
-                ),
-                i,
-            )
-            for i in range(3)
-        ],
-    )
+    # batch probes for the compressed families (r17): per query the
+    # batch plans return EXACTLY the single probe's rows (test-pinned),
+    # but the 3-query fan-in runs as ONE plan per family — the unioned
+    # single probes re-scanned the code relation per query and built
+    # three driver-side ADC literal tables each (measured 3.5-3.9 s per
+    # family vs 1.3-1.6 s batched at sf0.1)
+    pq10 = S.pq_batch_topk(
+        spark, pq, q3, emb, 10, shortlist=100
+    ).select("query_id", "vec_id")
+    ivfpq10 = S.ivfpq_batch_topk(
+        spark, ivfpq, q3, emb, 10, n_probe=6, shortlist=500
+    ).select("query_id", "vec_id")
     fam = reduce(
         DataFrame.unionByName,
         [

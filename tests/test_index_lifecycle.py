@@ -525,6 +525,37 @@ def test_ivfpq_batch_matches_single_probe_and_brute_force(
     assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
 
 
+def test_pq_batch_matches_single_probe(spark, tmp_path, emb):
+    """The batched flat-PQ probe (r17): a 1-row batch and each arm of a
+    multi-query batch must reproduce pq_query_rerank EXACTLY — same
+    normalized ADC table values, 6-dp shortlist cut, normalized-corpus
+    rerank, and id tie-breaks (the relational ADC table is the literal
+    table's join form)."""
+    idx = str(tmp_path / "pq")
+    SIM.build_pq_index(emb, idx, m=8, k=16, seed=42)
+    for qid in (0, 1, 7):
+        qdf = emb.where(F.col("vec_id") == qid)
+        qv = [float(x) for x in qdf.first()["embedding"]]
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in SIM.pq_query_rerank(
+                spark, idx, emb, qv, 10, shortlist=50, exclude_id=qid
+            ).collect()
+        ]
+        batch1 = [
+            (r["vec_id"], r["cosine"])
+            for r in SIM.pq_batch_topk(
+                spark, idx, qdf, emb, 10, shortlist=50
+            ).collect()
+        ]
+        assert batch1 == single and len(batch1) == 10
+    multi = SIM.pq_batch_topk(
+        spark, idx, emb.where(F.col("vec_id") < 3), emb, 5, shortlist=50
+    ).collect()
+    assert len(multi) == 15
+    assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
+
+
 def test_default_build_records_calibrated_recipe_probes_resolve_it(
     spark, tmp_path, emb
 ):
