@@ -71,17 +71,26 @@ def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
         F.concat(F.lit("x y tok"), (F.col("id") % 9).cast("string")).alias("text"),
     )
     # capture every executed plan while the operator runs its eager jobs
+    import time as _time
+
     tracker = spark._jsparkSession.sharedState().statusStore()
     before = tracker.executionsCount()
     out = S.dsir_select(raw, target, k=5)
-    plans = []
-    n = tracker.executionsCount()
-    it = tracker.executionsList().iterator()
-    while it.hasNext():
-        e = it.next()
-        if e.executionId() >= before:
-            plans.append(e.physicalPlanDescription())
-    heavy = "\n".join(plans)
+    # the SQL status store is fed by an ASYNC listener bus — under full
+    # suite load the execution entries can land after the operator
+    # returns, so poll briefly instead of reading once
+    heavy = ""
+    for _ in range(60):
+        plans = []
+        it = tracker.executionsList().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e.executionId() >= before:
+                plans.append(e.physicalPlanDescription())
+        heavy = "\n".join(plans)
+        if "TakeOrderedAndProject" in heavy:
+            break
+        _time.sleep(0.25)
     assert "TakeOrderedAndProject" in heavy  # the top-k ran as TakeOrdered
     returned = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in returned
