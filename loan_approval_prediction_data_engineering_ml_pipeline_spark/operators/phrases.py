@@ -73,7 +73,10 @@ def learn_phrase_merges(
     sample (counts are then sample counts, not corpus counts);
     ``checkpoint_every`` localCheckpoints the working frame every N
     rounds to bound lineage depth for large ``m``."""
-    cur = ensure_cpu_parallelism(docs).select(
+    # NB: no scan spread (r17): rounds 1..checkpoint_every re-execute the
+    # input lineage per round, so an added exchange is paid per round —
+    # measured +0.95 s over the 6-round loop at sf0.1
+    cur = docs.select(
         F.concat(F.lit(" "), F.trim(F.col(text_col)), F.lit(" ")).alias("w")
     )
     merges: list[tuple[int, str, str, int]] = []

@@ -151,7 +151,11 @@ def bm25_topk(
     queries = queries.select(F.col("query_id"), F.col("term"))
     terms = queries.select("term").distinct()
 
-    docs = ensure_cpu_parallelism(docs)  # tokenize+explode is CPU-bound map work
+    # NB: no scan spread here (r17): the direct-path map work is plain
+    # tokenize+explode feeding a partial-aggregated semi-join — measured
+    # NET-NEGATIVE with a round-robin exchange at sf0.1 (+0.45 s floor);
+    # the md5-heavy lineages are the ones that profit (see
+    # functions/parallel.py)
     ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
     dlen = docs.select(
         F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")

@@ -98,7 +98,10 @@ def remove_boilerplate_lines(
     single-line corpora to get corpus-stopword removal — the degenerate
     form the parity gate exercises on the synthetic documents table).
     """
-    lines = ensure_cpu_parallelism(docs).select(
+    # NB: no scan spread (r17): line split+explode into a partial
+    # aggregation is shuffle-bound, not map-CPU-bound — measured +0.53 s
+    # with the added exchange at sf0.1
+    lines = docs.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), separator, -1)).alias(
             "__pos", "__part"

@@ -1174,7 +1174,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured 14x slower at sf0.1 and ruinous at corpus scale",
 )
 def lang_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")  # spread net-negative here (r17)
     pred = docs.select(
         "lang", X.lang_id("text").alias("lang_pred"), X.tokens("text").alias("toks")
     )
@@ -1295,7 +1295,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus stats",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")  # spread net-negative here (r17)
     n_docs = docs.count()  # scalar, one cheap job; a literal keeps idf in codegen
     terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -2725,7 +2725,7 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="local",
 )
 def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")  # spread net-negative here (r17)
     vocab = docs.select(
         "source", F.explode(X.tokens("text")).alias("tok")
     ).distinct()
@@ -2797,7 +2797,7 @@ def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")  # spread net-negative here (r17)
     toks = docs.select(
         "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
     )
