@@ -801,6 +801,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
+        # per-query MIN floors alongside the medians (VERDICT r17 #6):
+        # the floor is the host-noise-free number — r17's PERF table was
+        # built from medians while 3 of 5 rounds were host-flagged, which
+        # made its per-query comparisons and scaling ratios unusable.
+        # Additions-only: medians, value, min_total all stay.
+        "queries_min": {n: round(t, 2) for n, t in timings_min.items()},
         "sf": sf,
         "min_total": round(min_total, 3),
         "drift": {
@@ -810,7 +816,9 @@ def main() -> None:
         },
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never outgrow the driver's capture window again
+    # keep the line parseable if the driver's capture window is tight
+    # (r17's ~2050-char line parsed fine; stay under ~2x that)
+    if len(line) > 3900:
         compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
     # The line must be the LAST bytes this process writes: the driver keeps

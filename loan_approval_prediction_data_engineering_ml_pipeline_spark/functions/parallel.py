@@ -77,19 +77,30 @@ def ensure_cpu_parallelism(df: DataFrame) -> DataFrame:
         # producer repartitions BEFORE checkpointing when downstream map
         # work is CPU-bound).
         return df
-    if len(files) >= slots:
-        return df  # >= one task per slot before any stat call
     max_split = _byte_conf(
         df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    est_tasks = 0
+    open_cost = _byte_conf(
+        df.sparkSession.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+        default=4194304,
+    )
+    # Mirror Spark's split packing (ADVICE r17): each file is charged
+    # size + openCostInBytes and chunks pack into ~maxPartitionBytes
+    # partitions, so MANY TINY FILES still coalesce into FEW scan tasks
+    # — a raw file-count >= slots early exit would skip the spread in
+    # exactly that serial-map case. est = ceil(Σ charge / maxSplit) is
+    # the packed-partition count (ceil where the old code floored, so a
+    # barely-over-one-split file no longer triggers a repartition).
+    charged = 0
     for f in files:
         try:
-            size = os.path.getsize(_local_path(f))
+            charged += os.path.getsize(_local_path(f)) + open_cost
         except OSError:
             # non-local filesystem: stay conservative, leave the plan alone
             return df
-        est_tasks += max(1, size // max_split)
-        if est_tasks >= slots:
-            return df
+        if charged >= slots * max_split:
+            return df  # >= one full split per slot — scan feeds the cluster
+    est_tasks = -(-charged // max_split)  # ceil
+    if est_tasks >= slots:
+        return df
     return df.repartition(slots)

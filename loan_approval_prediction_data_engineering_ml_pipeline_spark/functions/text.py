@@ -109,18 +109,19 @@ def jaccard(a_set: Column, b_set: Column) -> Column:
     return inter / union
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
+def word_ngrams(col: Column | str, n: int, *, toks: Column | None = None) -> Column:
     """ALL n-gram word shingles (duplicates preserved, positional order)
     via sequence+transform+slice — built-ins only.
 
     Documents shorter than n tokens yield an empty array — without the
     guard, sequence(1, 0) counts DOWN ([1, 0]) and slice(toks, 0, n) is
-    a runtime error."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    a runtime error. ``toks``: optionally a projected :func:`tokens`
+    column to reuse one split across statistics."""
+    t = tokens(col) if toks is None else toks
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -143,10 +144,15 @@ def dup_ngram_fraction(col: Column | str, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def stopword_hits(col: Column | str, words: list[str]) -> Column:
-    """Occurrence count (not distinct) of marker words among tokens."""
+def stopword_hits(
+    col: Column | str, words: list[str], *, toks: Column | None = None
+) -> Column:
+    """Occurrence count (not distinct) of marker words among tokens.
+    Pass ``toks`` (a projected :func:`tokens` column) to reuse one
+    split across several token statistics (the funnel's flag pass)."""
     wl = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(wl, t)))
+    t = tokens(col) if toks is None else toks
+    return F.size(F.filter(t, lambda t_: F.array_contains(wl, t_)))
 
 
 def lang_id(col: Column | str) -> Column:
@@ -167,21 +173,25 @@ def alpha_ratio(col: Column | str) -> Column:
     return F.try_divide(F.length(F.regexp_replace(c, "[^a-zA-Z]", "")), F.length(c))
 
 
-def avg_token_len(col: Column | str) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
-    return F.try_divide(total, F.size(toks))
+def avg_token_len(col: Column | str, *, toks: Column | None = None) -> Column:
+    t = tokens(col) if toks is None else toks
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x)
+    return F.try_divide(total, F.size(t))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, *, toks: Column | None = None) -> Column:
     """Composite document-quality heuristic in [0, ~1]: rewards prose-like
     token length, alphabetic content, and stopword presence; penalizes
-    extreme repetition (low distinct-token ratio)."""
-    toks = tokens(col)
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
-    stop_ratio = stopword_hits(col, STOPWORDS) / F.size(toks)
+    extreme repetition (low distinct-token ratio).
+
+    ``toks``: optionally a projected :func:`tokens` column over the same
+    text — callers fusing several token statistics into one pass hoist
+    the split once (identical values; the formula is unchanged)."""
+    t = tokens(col) if toks is None else toks
+    distinct_ratio = F.size(F.array_distinct(t)) / F.size(t)
+    stop_ratio = stopword_hits(col, STOPWORDS, toks=toks) / F.size(t)
     return (
-        F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0)) * 0.3
+        F.least(avg_token_len(col, toks=toks) / F.lit(8.0), F.lit(1.0)) * 0.3
         + alpha_ratio(col) * 0.3
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
         + distinct_ratio * 0.2

@@ -62,3 +62,15 @@ def quantize_int8(v: Column) -> Column:
 def dequantize(q: Column, scale: Column) -> Column:
     """Inverse of quantize_int8 given scale = 127/max|x|."""
     return F.transform(q, lambda x: x.cast("double") / scale)
+
+
+def l2_normalize_query(v: Column) -> Column:
+    """Unit-norm with the single-probe QUERY guard (``qn or 1.0``,
+    ADVICE r17): a zero query vector normalizes to itself (all zeros →
+    zero dot products/scores) instead of :func:`l2_normalize`'s
+    all-null array, matching the driver-side ``_adc_score`` /
+    ``ivf_query`` convention so batch probes stay row-identical to
+    their single-probe twins on degenerate input."""
+    n = norm(v)
+    d = F.when(n > F.lit(0.0), n).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: x / d)

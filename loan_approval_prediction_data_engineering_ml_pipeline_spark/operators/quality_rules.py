@@ -110,7 +110,7 @@ def dup_line_frac(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_2gram_frac(text: Column | str) -> Column:
+def top_2gram_frac(text: Column | str, *, toks: Column | None = None) -> Column:
     """Mass of the most frequent word 2-gram: ``max count / total
     2-grams`` (0.0 when the doc has fewer than 2 tokens). The mode
     count is one O(n log n) pass — sort the gram array, then a single
@@ -126,9 +126,10 @@ def top_2gram_frac(text: Column | str) -> Column:
     is computed from the token count instead — same value, O(1) given
     the split."""
     c = F.col(text) if isinstance(text, str) else text
-    n2 = F.greatest(F.size(X.tokens(c)) - F.lit(1), F.lit(0))
+    t = X.tokens(c) if toks is None else toks
+    n2 = F.greatest(F.size(t) - F.lit(1), F.lit(0))
     best_run = F.aggregate(
-        F.array_sort(X.word_ngrams(c, 2)),
+        F.array_sort(X.word_ngrams(c, 2, toks=toks)),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -149,16 +150,18 @@ def top_2gram_frac(text: Column | str) -> Column:
     return F.when(n2 > 0, best_run / n2).otherwise(F.lit(0.0))
 
 
-def _base_flags(text: Column | str) -> list[Column]:
+def _base_flags(text: Column | str, *, toks: Column | None = None) -> list[Column]:
     """The five token-statistic ``fail_<rule>`` flags (everything except
     the two repetition-fraction rules, whose inputs callers may want to
-    project once and reuse)."""
+    project once and reuse). ``toks``: optionally a projected
+    :func:`functions.text.tokens` column so one split feeds every
+    rule."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = X.tokens(c)
-    n = F.size(toks)
-    mwl = X.avg_token_len(c)
-    distinct_ratio = F.size(F.array_distinct(toks)) / n
-    stop_hits = X.stopword_hits(c, X.STOPWORDS)
+    t = X.tokens(c) if toks is None else toks
+    n = F.size(t)
+    mwl = X.avg_token_len(c, toks=toks)
+    distinct_ratio = F.size(F.array_distinct(t)) / n
+    stop_hits = X.stopword_hits(c, X.STOPWORDS, toks=toks)
     return [
         ((n < MIN_WORDS) | (n > MAX_WORDS)).alias("fail_word_count"),
         (
@@ -170,26 +173,33 @@ def _base_flags(text: Column | str) -> list[Column]:
     ]
 
 
-def gopher_flags(text: Column | str) -> list[Column]:
+def gopher_flags(
+    text: Column | str, *, toks: Column | None = None
+) -> list[Column]:
     """One ``fail_<rule>`` boolean column per rule (True = doc fails)."""
     c = F.col(text) if isinstance(text, str) else text
     return [
-        *_base_flags(c),
+        *_base_flags(c, toks=toks),
         (dup_line_frac(c) > MAX_DUP_LINE_FRAC).alias("fail_dup_lines"),
-        (top_2gram_frac(c) > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
+        (top_2gram_frac(c, toks=toks) > MAX_TOP_2GRAM_FRAC).alias("fail_top_2gram"),
     ]
 
 
 def gopher_pass(
-    text: Column | str, rules: tuple[str, ...] = RULE_NAMES
+    text: Column | str,
+    rules: tuple[str, ...] = RULE_NAMES,
+    *,
+    toks: Column | None = None,
 ) -> Column:
     """True when the document passes every rule in ``rules`` (default:
     the full table) — one fused map-only expression, the gate form the
-    curation funnel composes into its single flag pass."""
+    curation funnel composes into its single flag pass. ``toks``:
+    optionally a projected token-array column over the same text (the
+    funnel hoists ONE split for every rule; values are unchanged)."""
     unknown = set(rules) - set(RULE_NAMES)
     if unknown:
         raise ValueError(f"unknown gopher rules: {sorted(unknown)}")
-    by_name = dict(zip(RULE_NAMES, gopher_flags(text)))
+    by_name = dict(zip(RULE_NAMES, gopher_flags(text, toks=toks)))
     out = F.lit(True)
     for name in rules:
         out = out & ~by_name[name]

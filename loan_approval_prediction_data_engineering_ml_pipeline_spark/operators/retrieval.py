@@ -58,7 +58,12 @@ B = 0.75  #: BM25 length normalization
 # (n, avgdl, n_buckets, gram), and a meta dir is immutable once a
 # manifest references it (the _CODEBOOK_CACHE rationale): repeated
 # probes pay zero parquet jobs for it. A new manifest version resolves
-# a fresh object dir and misses naturally.
+# a fresh object dir and misses naturally. MANIFEST-BACKED ONLY: a
+# legacy flat layout's meta dir is the constant "meta", so an in-place
+# rebuild at the same path would be served stale — flat snapshots skip
+# the memo (ADVICE r17). Dead-application keys are purged on insert,
+# like _CODEBOOK_CACHE, so entries cannot accumulate across
+# SparkSession restarts within one Python process.
 _META_CACHE: dict[tuple[str, str, str], object] = {}
 
 
@@ -76,11 +81,19 @@ class _Bm25Snapshot:
         return self.spark.read.parquet(_join(self.path, rel))
 
     def meta_row(self):
-        """The collected 1-row meta, memoized per resolved meta dir."""
-        rel = self.manifest["meta"] if self.manifest else "meta"
-        key = (self.spark.sparkContext.applicationId, self.path, rel)
+        """The collected 1-row meta, memoized per resolved meta dir.
+        Legacy flat layouts (no manifest) are NOT memoized: their meta
+        path never changes, so a same-path rebuild within one session
+        would otherwise serve stale (n, avgdl, n_buckets)."""
+        if self.manifest is None:
+            return self.meta_df().first()
+        rel = self.manifest["meta"]
+        app_id = self.spark.sparkContext.applicationId
+        key = (app_id, self.path, rel)
         hit = _META_CACHE.get(key)
         if hit is None:
+            for dead in [c for c in _META_CACHE if c[0] != app_id]:
+                del _META_CACHE[dead]
             hit = _META_CACHE[key] = self.meta_df().first()
         return hit
 
@@ -220,6 +233,118 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def bm25_topk_with_relevance(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    k: int = 10,
+    decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bm25_topk` PLUS the all-terms binary relevance set from
+    ONE shared token stream (VERDICT r17 #4) — the retrieval-quality
+    evaluators used to re-tokenize the corpus once for the ranking's
+    dlen, twice for its stats/tf subtrees, and once more for relevance.
+    Returns ``(ranking, relevance)`` where ``ranking`` is exactly
+    :func:`bm25_topk`'s output and ``relevance`` is exactly the
+    all-terms set (a doc is relevant to a query iff it contains EVERY
+    one of the query's distinct terms): the matched-term tf relation is
+    candidate-volume-sized and materialized ONCE, feeding idf, the
+    score contributions, AND the relevance hit counts; per-doc lengths
+    (zero-token docs included, so N/avgdl are corpus-exact) materialize
+    once as (id, int) rows; the two corpus scalars inline as literals
+    (the same (n, avgdl)-as-literals shape the indexed probe uses).
+    Net: TWO tokenize passes over the corpus for ranking + relevance
+    together, instead of ~6.
+
+    NOTE: EAGER — the tf/length materializations run at build time
+    (``localCheckpoint``), so the returned frames are snapshots of the
+    input corpus, not recomputable lineages (the dsir_select
+    convention, ADVICE r17)."""
+    queries = queries.select(F.col("query_id"), F.col("term"))
+    terms = queries.select("term").distinct()
+    ne_tokens = F.filter(X.tokens(text_col), lambda t: t != "")
+    dlen = docs.select(
+        F.col(id_col).alias("id"), F.size(ne_tokens).alias("dl")
+    ).localCheckpoint(eager=True)
+    srow = dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).first()
+    n_lit = F.lit(int(srow["n"]))
+    avgdl_lit = F.lit(float(srow["avgdl"]))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(ne_tokens).alias("tok")
+    )
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"], "left_semi")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (n_lit - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(queries), F.col("tok") == F.col("term"))
+        .join(dlen, "id")
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_lit)
+                )
+            ).alias("s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "id").agg(
+        F.round(F.sum("s"), decimals).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    ranking = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )
+    # relevance from the SAME tf relation: per (query, doc) the count
+    # of distinct matched terms equals the query's distinct-term count
+    # iff the doc contains every term — zero extra corpus passes
+    hit = (
+        tf.select("id", "tok")
+        .join(F.broadcast(queries), F.col("tok") == F.col("term"))
+        .groupBy("query_id", "id")
+        .agg(F.count_distinct("tok").alias("hit"))
+    )
+    nt = queries.groupBy("query_id").agg(F.count_distinct("term").alias("nt"))
+    relevance = (
+        hit.join(F.broadcast(nt), "query_id")
+        .where(F.col("hit") == F.col("nt"))
+        .select("query_id", F.col("id").alias(id_col))
+    )
+    return ranking, relevance
 
 
 def _tok_bucket(tok, n_buckets: int):
@@ -411,22 +536,39 @@ def upsert_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", _tok_bucket(F.col("tok"), n_buckets))
     )
-    touched_buckets = sorted(
-        r[0] for r in tf.select("bucket").distinct().collect()
+    # ONE driver job per delta (VERDICT r17 #8): touched token buckets,
+    # touched id buckets, and the dup-guard/meta stats all come out of
+    # a single aggregation over the delta — the old shape ran three
+    # separate jobs (two distinct().collect()s plus the stats .first())
+    # per streamed micro-batch. Per-doc distinct token buckets fold as
+    # array expressions (same _tok_bucket hash, so the same buckets).
+    g = (
+        delta_docs.select(
+            F.col(id_col).alias("id"),
+            F.size(units).alias("dl"),
+            F.array_distinct(
+                F.transform(units, lambda u: _tok_bucket(u, n_buckets))
+            ).alias("__bks"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_files))
+            .cast("int")
+            .alias("lb"),
+        )
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("__bks"))).alias("bks"),
+            F.collect_set("lb").alias("lbs"),
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct(F.col("id")).alias("d"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        )
+        .first()
     )
-    dlen_lb = dlen.withColumn(
-        "lb", F.pmod(F.xxhash64("id"), F.lit(n_files)).cast("int")
-    )
-    touched_lbs = sorted(r[0] for r in dlen_lb.select("lb").distinct().collect())
+    touched_buckets = sorted(int(b) for b in (g["bks"] or []))
+    touched_lbs = sorted(int(x) for x in (g["lbs"] or []))
+    delta_stats = g
 
     # ADVICE r10 guard: duplicate ids within one delta would merge in
     # the tf aggregation but DOUBLE as length rows and double-count in
     # (n, sum_dl) — reject loudly, the upsert contract is per-id REPLACE.
-    delta_stats = dlen.agg(
-        F.count(F.lit(1)).alias("c"),
-        F.count_distinct(F.col("id")).alias("d"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-    ).first()
     if int(delta_stats["c"]) != int(delta_stats["d"]):
         raise ValueError(
             f"delta contains duplicate ids ({int(delta_stats['c'])} rows, "

@@ -153,7 +153,13 @@ def dsir_select(
     replacement proportional to the importance weights (the Gumbel
     top-k identity), deterministic end to end. Returns
     ``(id_col, logw, key, rank)`` ranked by the rounded key (ties on
-    id)."""
+    id).
+
+    NOTE (ADVICE r17): EAGER — the feature passes and the bounded
+    top-k collect run at DataFrame-BUILD time (the persisted feature
+    relation must live and die inside this call), so the returned
+    frame is a local snapshot, not a recomputable lineage; plan
+    capture / ad-hoc ``explain`` callers pay the full job cost."""
     raw_feats = hashed_ngram_counts(
         docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
@@ -201,7 +207,10 @@ def dsir_select_flagged(
     distributions as conditional sums, and only the candidate-weight
     pass re-reads the corpus: 2 tokenize passes instead of 3. At 100 TB
     tokenize+hash is the dominant FLOPs term, which makes this the
-    preferred entry point for in-corpus targets."""
+    preferred entry point for in-corpus targets.
+
+    NOTE (ADVICE r17): EAGER at DataFrame-build time, like
+    :func:`dsir_select` — see its note."""
     toks = F.filter(X.tokens(text_col), lambda t: t != "")
     bigrams = F.filter(
         F.zip_with(

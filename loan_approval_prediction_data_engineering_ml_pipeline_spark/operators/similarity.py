@@ -1118,6 +1118,80 @@ def lsh_index_query(
     )
 
 
+def lsh_batch_query(
+    spark,
+    path: str,
+    query_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch hyperplane-LSH probe (VERDICT r17 #7): the union of every
+    query's probed (table, bucket) dirs is read in ONE signature scan,
+    a tiny broadcast (query_id, table_id, bucket) relation re-attaches
+    candidates to the queries that probed them, and per-query dedup +
+    exact-cosine rank reproduce :func:`lsh_index_query` EXACTLY row
+    for row (same probed sets, same 6-dp rounding, same id
+    tie-breaks). ``query_rows`` is bounded driver data [(query_id,
+    vector)] — the same literals the single probes inline.
+
+    ``exclude_self`` drops candidate ``id == query_id`` (the single
+    probes' ``exclude_id=qid`` convention for in-corpus queries)."""
+    from pyspark.sql import Window
+
+    snap = read_index_manifest(path) or _lsh_manifest_from_flat(
+        path, n_planes=n_planes, n_tables=n_tables, dim=dim
+    )
+    n_planes, n_tables, dim = (
+        int(snap["n_planes"]), int(snap["n_tables"]), int(snap["dim"])
+    )
+    pairs = [
+        (int(qid), t, _py_bucket(list(vec), n_planes, dim, seed=42 + 1000 * t))
+        for qid, vec in query_rows
+        for t in range(n_tables)
+    ]
+    keys = sorted({f"{t}/{b}" for _, t, b in pairs if f"{t}/{b}" in snap["banded"]})
+    if not keys:
+        empty = _empty_topk(spark, path, list(snap["banded"].values()), id_col)
+        return empty.select(
+            F.lit(None).cast("long").alias("query_id"), id_col, "cosine"
+        ).where(F.lit(False))
+    cands = _read_manifest_dirs(spark, path, [snap["banded"][key] for key in keys])
+    probe_df = spark.createDataFrame(
+        pairs, "query_id long, table_id int, bucket int"
+    )
+    qv_df = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in query_rows],
+        "query_id long, qv array<double>",
+    )
+    tagged = cands.join(
+        F.broadcast(probe_df),
+        [
+            cands["table_id"].cast("int") == probe_df["table_id"],
+            cands["bucket"].cast("int") == probe_df["bucket"],
+        ],
+    ).select("query_id", F.col(id_col), "v")
+    if exclude_self:
+        tagged = tagged.where(F.col(id_col) != F.col("query_id"))
+    tagged = tagged.dropDuplicates(["query_id", id_col])
+    cos = V.cosine(F.col("v"), F.col("qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        tagged.join(F.broadcast(qv_df), "query_id")
+        .select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+        .orderBy("query_id", F.desc("cosine"), F.asc(id_col))
+    )
+
+
 def build_pq_index(
     embeddings: DataFrame,
     path: str,
@@ -1302,13 +1376,12 @@ def _load_codebook(spark, path: str) -> tuple[int, int, int, list]:
     return m, k, sub, cents
 
 
-def _adc_score(spark, path: str, query_vec: list[float]):
-    """Asymmetric-distance scoring column for a `codes` array column:
-    the m×k inner-product table between the EXACT normalized query
-    subvectors and the codebook centroids is built driver-side (a few
-    KB), inlined as a literal array, and summed by one codegen
-    aggregate — no shuffle, no Python. Shared by flat-PQ and IVF-PQ
-    probes (the memoized codebook makes repeated probes free)."""
+def _adc_table(spark, path: str, query_vec: list[float]) -> list[float]:
+    """The m×k driver-side ADC inner-product table for one query (the
+    EXACT normalized query subvectors × codebook centroids, ``qn or
+    1.0`` zero guard) — shared by the single-probe literal expression
+    (:func:`_adc_score`) and the sweep's multi-query nested literal, so
+    the two forms cannot drift."""
     import math
 
     m, k, sub, cents = _load_codebook(spark, path)
@@ -1326,6 +1399,18 @@ def _adc_score(spark, path: str, query_vec: list[float]):
                 # leave 0.0
                 continue
             table[j * k + c] = sum(q[j * sub + i] * cent[i] for i in range(sub))
+    return table
+
+
+def _adc_score(spark, path: str, query_vec: list[float]):
+    """Asymmetric-distance scoring column for a `codes` array column:
+    the m×k inner-product table between the EXACT normalized query
+    subvectors and the codebook centroids is built driver-side (a few
+    KB), inlined as a literal array, and summed by one codegen
+    aggregate — no shuffle, no Python. Shared by flat-PQ and IVF-PQ
+    probes (the memoized codebook makes repeated probes free)."""
+    m, k, _sub, _cents = _load_codebook(spark, path)
+    table = _adc_table(spark, path, query_vec)
     # ONE py4j round trip for the whole table (r17): PySpark's
     # ``F.lit(list)`` silently expands to ``array(lit(x) for x in ...)``
     # — 2 py4j calls per element, measured 4.6 s of driver time PER
@@ -1456,7 +1541,9 @@ def pq_batch_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        V.l2_normalize(V.as_double(vec_col)).alias("qn"),
+        # query-side guard (ADVICE r17): zero vector → zero scores,
+        # exactly like _adc_score's `qn or 1.0`, not an all-null array
+        V.l2_normalize_query(V.as_double(vec_col)).alias("qn"),
     )
     books = spark.read.parquet(_join(path, _codebook_rel(path))).select(
         F.col("subspace").cast("int").alias("__j"),
@@ -2054,7 +2141,9 @@ def ivfpq_batch_topk(
     n_probe, shortlist = _resolve_probe_params(snap, n_probe, shortlist)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        V.l2_normalize(V.as_double(vec_col)).alias("qn"),
+        # query-side guard (ADVICE r17): zero vector → zero scores,
+        # exactly like _adc_score's `qn or 1.0`, not an all-null array
+        V.l2_normalize_query(V.as_double(vec_col)).alias("qn"),
     )
     cent = spark.read.parquet(_join(path, snap["centroids"])).select(
         F.col("cell").cast("int").alias("cell"), "centroid"

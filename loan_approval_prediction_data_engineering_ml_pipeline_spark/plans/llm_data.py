@@ -2398,16 +2398,43 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
     pool = base.where(F.col("doc_id") % 97 != 0)
     eval_set = base.where(F.col("doc_id") % 97 == 0)
     chk = X.token_base_hash(F.col("doc_id").cast("string"))
-    ntok = X.token_count(F.col("text"))
 
     from ..operators.quality_rules import FUNNEL_RULES, gopher_pass
 
+    # Tokenize ONCE (VERDICT r17 #5): split(trim(text)) used to be
+    # re-evaluated inside every token statistic — quality_score (~6
+    # evaluations/row across its ratios), each Gopher rule, the minhash
+    # shingle set, and the final token count (CSE does not cross
+    # interpreted higher-order functions). Hoist the token array into
+    # its own projection (CollapseProject keeps multiply-referenced
+    # non-cheap aliases separate — the embedding._assemble lesson) and
+    # feed every statistic the SAME projected column. The minhash
+    # signature moves BEFORE the windows (it is map-only on text, so
+    # position is semantics-free) so the token/base-hash arrays are
+    # dropped before anything shuffles — the window exchanges carry the
+    # same columns as before.
+    tk = F.col("__toks")
+    toked = pool.withColumn("__toks", X.tokens("text"))
     f1 = (
-        pool.withColumn("q", F.round(X.quality_score(F.col("text")), 6))
+        toked.withColumn(
+            "q", F.round(X.quality_score(F.col("text"), toks=tk), 6)
+        )
         .withColumn("q_pass", F.col("q") >= 0.55)
         # the Gopher rule gate (VERDICT r9 #5): the funnel's enabled
         # subset, fused into the same flag pass — still map-only
-        .withColumn("g_pass", gopher_pass(F.col("text"), FUNNEL_RULES))
+        .withColumn("g_pass", gopher_pass(F.col("text"), FUNNEL_RULES, toks=tk))
+        .withColumn("ntok", F.size(tk))
+        # minhash base-hash array in its own projection (with_minhash's
+        # one-md5-per-token contract), signature from the shared
+        # _minhash_sig recipe
+        .withColumn(
+            "__tokh",
+            F.transform(F.array_sort(F.array_distinct(tk)), X.token_base_hash),
+        )
+    )
+    f1 = f1.select(
+        "doc_id", "lang", "source", "text", "q", "q_pass", "g_pass", "ntok",
+        D._minhash_sig(MINHASH_K).alias("sig"),
     )
     fp_win = W.partitionBy(X.fingerprint_md5(F.col("text")))
     f2 = f1.withColumn(
@@ -2417,8 +2444,7 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
             F.when(F.col("q_pass") & F.col("g_pass"), F.col("doc_id"))
         ).over(fp_win),
     )
-    f3 = D.with_minhash(f2, text_col="text", k=MINHASH_K)
-    f3 = f3.withColumn(
+    f3 = f2.withColumn(
         "near_keep",
         F.col("doc_id")
         == F.min(
@@ -2462,7 +2488,7 @@ def _curation_flagged(spark: SparkSession, sf_dir: str):
     return (
         f4.select(
             "doc_id", "source", "text",
-            ntok.alias("ntok"), chk.alias("chk"),
+            "ntok", chk.alias("chk"),
             *[cond.alias(f"c{i}") for i, (_n, cond) in enumerate(stages)],
         ),
         [name for name, _c in stages],
@@ -5266,53 +5292,78 @@ def _ivfpq_sweep(
         )
         .select("query_id", "cell", "crk")
     )
-    # per-query ADC over ALL committed code rows: one scan per query —
-    # the sweep is a report, the serving path stays cell-pruned.
-    # 3 bounded rows collected for the driver-side ADC literal tables.
+    # per-query ADC over ALL committed code rows in ONE codes scan
+    # (VERDICT r17 #3): the sweep used to union one full-code scan per
+    # query, each with its own driver-built literal ADC table. The
+    # per-query tables are the SAME driver-side values (shared
+    # _adc_table), shipped together as one nested array literal and
+    # indexed by a 3-row broadcast (query_id, __qi) relation — the
+    # per-row sum keeps the exact j = 0..m-1 order of the single-probe
+    # aggregate, so every score is bit-identical to the union form.
+    # 3 bounded rows collected for the driver-side ADC literal tables;
+    # centroids collected once (n_lists rows — also replaces the
+    # separate cent.count() job below).
     qraw = (
         emb.where(F.col("vec_id") < 3)
         .select("vec_id", V.as_double("embedding").alias("v"))
         .collect()
     )
-    cent_rows = cent.collect() if residual else []
-
-    def _score(qvec: list) -> F.Column:
-        # one ADC expression per query (ADVICE r15: the m*k literal
-        # table is driver-built — construct it once, round per branch)
-        adc = S._adc_score(spark, idx, qvec)
-        if not residual:
-            return F.round(adc, 6)
+    cent_rows = cent.collect()
+    n_lists = len(cent_rows)
+    m_sub, k_codes, _sub, _cents = S._load_codebook(spark, idx)
+    qt = S._array2d_lit(
+        [S._adc_table(spark, idx, list(r["v"])) for r in qraw]
+    )
+    qtag = spark.createDataFrame(
+        [(int(r["vec_id"]), i + 1) for i, r in enumerate(qraw)],
+        "query_id long, __qi int",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(qt, F.col("__qi")),
+            (j * k_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    if not residual:
+        score = F.round(adc, 6)
+    else:
         # residual encoding: ADC approximates dot(q, r̂); add the
-        # per-cell constant dot(q, c(cell)) — tiny map literal over
-        # n_lists cells, exactly what the probe adds
+        # per-cell constant dot(q, c(cell)) — per-query rows of the
+        # same nested-literal form (cells are contiguous 0..n_lists-1),
+        # exactly the values the probe's per-query map literal adds
         import math
 
-        qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
-        qnv = [x / qn for x in qvec]
-        consts = sorted(
-            (
-                int(c["cell"]),
-                sum(qnv[i] * float(c["centroid"][i]) for i in range(len(qnv))),
+        cent_sorted = sorted(cent_rows, key=lambda c: int(c["cell"]))
+        if [int(c["cell"]) for c in cent_sorted] != list(range(n_lists)):
+            raise ValueError(
+                "non-contiguous cell ids in the committed centroid table — "
+                "the positional residual-constant lookup assumes cells "
+                "0..n_lists-1 (every build writes the full KMeans table)"
             )
-            for c in cent_rows
-        )
-        cmap = F.create_map(
-            *[x for cell, v in consts for x in (F.lit(cell), F.lit(float(v)))]
-        )
-        return F.round(F.element_at(cmap, F.col("cell")) + adc, 6)
-
-    cand = reduce(
-        DataFrame.unionByName,
-        [
-            codes.select(
-                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
-                "vec_id",
-                "cell",
-                _score(list(r["v"])).alias("s"),
+        consts2d = []
+        for r in qraw:
+            qvec = list(r["v"])
+            qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+            qnv = [x / qn for x in qvec]
+            consts2d.append(
+                [
+                    sum(qnv[i] * float(c["centroid"][i]) for i in range(len(qnv)))
+                    for c in cent_sorted
+                ]
             )
-            for r in qraw
-        ],
-    ).where(F.col("vec_id") != F.col("query_id"))
+        ct = S._array2d_lit(consts2d)
+        score = F.round(
+            F.element_at(F.element_at(ct, F.col("__qi")), F.col("cell") + 1) + adc,
+            6,
+        )
+    cand = (
+        codes.crossJoin(F.broadcast(qtag))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell", score.alias("s"))
+    )
     candj = cand.join(crk, ["query_id", "cell"])
     tt = exact.join(
         candj.select(
@@ -5338,7 +5389,8 @@ def _ivfpq_sweep(
         .groupBy("query_id", "tvid", "crk")
         .agg(F.count(F.lit(1)).alias("nb"))
     )
-    n_lists = cent.count()
+    # n_lists already known from the collected centroid rows (one fewer
+    # Spark job per sweep than the old cent.count())
     probes = spark.range(1, n_lists + 1).select(
         F.col("id").cast("int").alias("n_probe")
     )
@@ -6013,30 +6065,26 @@ def ann_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
 
-    def tag(df: DataFrame, qid: int) -> DataFrame:
-        return df.select(
-            F.lit(qid).cast("long").alias("query_id"), F.col("vec_id")
-        )
-
-    vecs = {i: _query_vec(spark, sf_dir, i) for i in range(3)}
+    # the 3 bounded query vectors in ONE driver job (r18; _query_vec
+    # per id was 3 separate .first() jobs per rep)
+    vecs = {
+        int(r["vec_id"]): list(r["v"])
+        for r in q3.select(
+            "vec_id", V.as_double("embedding").alias("v")
+        ).collect()
+    }
     # n_probe pinned: this row's oracle derives the probe set at 6, so
     # it must not float with a build-recorded recommendation (r17)
     ivf10 = S.ivf_batch_topk(
         spark, ivf, q3, k=10, n_probe=6
     ).select("query_id", "vec_id")
-    lsh10 = reduce(
-        DataFrame.unionByName,
-        [
-            tag(
-                S.lsh_index_query(
-                    spark, lsh, vecs[i], k=10, n_planes=4, n_tables=4,
-                    exclude_id=i,
-                ),
-                i,
-            )
-            for i in range(3)
-        ],
-    )
+    # batch LSH probe (VERDICT r17 #7): one signature scan for all 3
+    # queries instead of 3 single probes; per query the rows are
+    # test-pinned identical to lsh_index_query
+    lsh10 = S.lsh_batch_query(
+        spark, lsh, [(i, vecs[i]) for i in range(3)], k=10,
+        n_planes=4, n_tables=4,
+    ).select("query_id", "vec_id")
     # batch probes for the compressed families (r17): per query the
     # batch plans return EXACTLY the single probe's rows (test-pinned),
     # but the 3-query fan-in runs as ONE plan per family — the unioned
@@ -6302,10 +6350,12 @@ def retrieval_quality_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
-    ranking = R.bm25_topk(docs, qdf, k=10)
-    return R.retrieval_quality_metrics(
-        ranking, _relevance_all_terms(spark, sf_dir), k=10
-    ).orderBy("query_id")
+    # ranking and relevance from ONE shared token stream (VERDICT r17
+    # #4): the fused operator derives the all-terms relevance set from
+    # the same materialized matched-tf relation the scorer reads —
+    # 2 corpus tokenize passes total instead of ~7
+    ranking, rel = R.bm25_topk_with_relevance(docs, qdf, k=10)
+    return R.retrieval_quality_metrics(ranking, rel, k=10).orderBy("query_id")
 
 
 @query(
@@ -6518,7 +6568,10 @@ def retrieval_quality_hybrid_textemb(spark: SparkSession, sf_dir: str) -> DataFr
 
     docs = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
-    lex = R.bm25_topk(docs, qdf, k=20).select("query_id", "doc_id", "rank")
+    # lexical ranking and the relevance set share ONE token stream
+    # (VERDICT r17 #4) — see retrieval_quality_bm25
+    lex20, rel = R.bm25_topk_with_relevance(docs, qdf, k=20)
+    lex = lex20.select("query_id", "doc_id", "rank")
     # the vocabulary feature table feeds BOTH the document and the query
     # encoder: materialize it once (vocab-sized, kilobytes) instead of
     # re-running the corpus explode+aggregate per consumer (r17)
@@ -6541,9 +6594,7 @@ def retrieval_quality_hybrid_textemb(spark: SparkSession, sf_dir: str) -> DataFr
         .select("query_id", "doc_id", "rank")
     )
     fused = R.rrf_fuse([lex, sem], k=10).select("query_id", "doc_id", "rank")
-    return R.retrieval_quality_metrics(
-        fused, _relevance_all_terms(spark, sf_dir), k=10
-    ).orderBy("query_id")
+    return R.retrieval_quality_metrics(fused, rel, k=10).orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------

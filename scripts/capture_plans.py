@@ -1,11 +1,17 @@
-"""Capture .explain("formatted") for headline queries into plans/r17/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
 
-Writes plans/r17/<query>_<suffix>.txt for each named query (default: every
-bench HEADLINE query). Building a DataFrame triggers any _ensure_* fixture
-construction but explain itself never executes the plan, so this is cheap
-and does not perturb bench timings.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (default round
+r18) for each named query (default: every bench HEADLINE query). Building
+a DataFrame triggers any _ensure_* fixture construction, and a few
+operators are deliberately EAGER at DataFrame-build time (ADVICE r17:
+dsir_select/dsir_select_flagged materialize their feature passes and
+top-k collect when the frame is constructed; queries that localCheckpoint
+a shared relation likewise execute those passes) — so capturing plans
+runs real jobs for those queries and their captured plan shows the
+post-materialization lineage (LogicalRDD leaves). explain itself never
+executes the RETURNED plan.
 """
 
 from __future__ import annotations
@@ -31,7 +37,8 @@ def main() -> None:
     names = sys.argv[2:] or [n for n in HEADLINE if n in QUERIES]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")

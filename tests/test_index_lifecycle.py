@@ -681,3 +681,62 @@ def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     )
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in ref.collect()]
     SIM.ivfpq_upsert(spark, ivfpq, _new_vec(spark, qv, vid=90002))
+
+
+def test_pq_batch_zero_query_vector_matches_single_probe(spark, tmp_path, emb):
+    """ADVICE r17: the single probe guards a zero query norm with
+    ``qn or 1.0`` (zero vector → 0.0 ADC scores), while a try_divide
+    normalize would turn the batch's ADC sums all-NULL and diverge the
+    shortlist. Pin the batch arm to the single probe on the degenerate
+    input."""
+    idx = str(tmp_path / "pqz")
+    SIM.build_pq_index(emb, idx, m=8, k=16, seed=42)
+    dim = len(emb.first()["embedding"])
+    zq = spark.createDataFrame(
+        [(90002, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    single = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.pq_query_rerank(
+            spark, idx, emb, [0.0] * dim, 10, shortlist=50
+        ).collect()
+    ]
+    batch = [
+        (r["vec_id"], r["cosine"])
+        for r in SIM.pq_batch_topk(spark, idx, zq, emb, 10, shortlist=50).collect()
+    ]
+    assert batch == single and len(batch) == 10
+
+
+
+def test_lsh_batch_matches_single_probes(spark, tmp_path, emb):
+    """The batched LSH probe (r18, VERDICT r17 #7): per query the batch
+    plan must reproduce lsh_index_query EXACTLY — same probed (table,
+    bucket) sets, candidate dedup, 6-dp cosine rounding, and id
+    tie-breaks — while reading the union of probed dirs in one scan."""
+    idx = str(tmp_path / "lsh_batch")
+    SIM.build_lsh_index(emb, idx, n_planes=4, n_tables=4, dim=64)
+    qids = [0, 1, 7]
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+    batch = SIM.lsh_batch_query(
+        spark, idx, [(q, rows[q]) for q in qids], k=10,
+        n_planes=4, n_tables=4,
+    ).collect()
+    for q in qids:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in SIM.lsh_index_query(
+                spark, idx, rows[q], k=10, n_planes=4, n_tables=4,
+                exclude_id=q,
+            ).collect()
+        ]
+        arm = [
+            (r["vec_id"], r["cosine"])
+            for r in batch
+            if int(r["query_id"]) == q
+        ]
+        assert arm == single
+

@@ -486,3 +486,28 @@ def test_text_ivf_serving_path_prunes_and_stays_bounded(spark):
     assert in_list, m.group(1)
     n_probed = len([x for x in in_list.group(1).split(",") if x.strip()])
     assert 0 < n_probed <= 9, m.group(1)
+
+
+def test_cpu_spread_sees_through_tiny_file_packing(spark, tmp_path):
+    """ADVICE r17: Spark packs many tiny files into few scan partitions
+    (openCostInBytes), so a raw file-count early exit would skip the
+    spread in exactly the serial-map case it exists for. The packing
+    estimate must fire on many-tiny-files input and stay a no-op when
+    the charged bytes already feed every slot."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.functions.parallel import (
+        ensure_cpu_parallelism,
+    )
+
+    slots = spark.sparkContext.defaultParallelism
+    tiny = str(tmp_path / "tiny")
+    # more files than slots, but kilobytes each: Spark coalesces them
+    # into ~1 scan task, so the helper must still add the spread
+    spark.range(slots + 8).repartition(slots + 8).write.parquet(tiny)
+    df = spark.read.parquet(tiny)
+    assert ensure_cpu_parallelism(df) is not df
+    # charged bytes >= slots full splits -> untouched plan (identity)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        assert ensure_cpu_parallelism(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

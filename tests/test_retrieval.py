@@ -899,3 +899,26 @@ def test_upsert_rejects_mismatched_delta_id_type(spark, tmp_path):
     assert sorted(map(tuple, R.bm25_topk_indexed(spark, idx, q, k=5).collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_flat_layout_meta_not_memoized_across_rebuild(spark, tmp_path):
+    """ADVICE r17: a legacy FLAT index's meta dir is the constant
+    "meta", so memoizing its row would serve stale (n, avgdl,
+    n_buckets) after an in-place rebuild at the same path. Flat
+    snapshots must re-read meta; manifest-backed snapshots may memoize
+    (their meta dir is an immutable per-version object dir)."""
+    from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
+        _Bm25Snapshot,
+    )
+
+    idx = str(tmp_path / "flatmeta")
+    spark.createDataFrame(
+        [(10, 5.0, 4, 2, 1)], "n long, avgdl double, n_buckets int, n_files int, gram int"
+    ).coalesce(1).write.parquet(idx + "/meta")
+    first = _Bm25Snapshot(spark, idx).meta_row()
+    assert int(first["n"]) == 10
+    # in-place rebuild: same path, same "meta" rel, different content
+    spark.createDataFrame(
+        [(99, 7.0, 4, 2, 1)], "n long, avgdl double, n_buckets int, n_files int, gram int"
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    assert int(_Bm25Snapshot(spark, idx).meta_row()["n"]) == 99
