@@ -74,8 +74,76 @@ def _ivf_snapshot(path: str) -> dict:
     return read_index_manifest(path) or _ivf_manifest_from_flat(path)
 
 
+# Lazy parquet-HANDLE memo for index reads (r18): ``spark.read.parquet``
+# re-lists the index's partition directories and re-reads footers for
+# schema on EVERY probe's plan build — measured 0.3-0.5 s of driver time
+# per probe on a 71-cell index (the whole text-IVF serving regression).
+# The cached object is a LAZY DataFrame holding only the resolved file
+# index (driver metadata — the ``loaders._HANDLE_CACHE`` pattern);
+# every execution still scans the underlying files, so no results are
+# memoized. Keys are (applicationId, index path, basePath+rels):
+# manifest object dirs are immutable so a new committed version misses
+# naturally; IN-PLACE flat (re)builds purge their path's keys via
+# :func:`_invalidate_index_handles` (called by every build_*).
+_PARQUET_HANDLE_CACHE: dict[tuple[str, str, tuple[str, ...]], DataFrame] = {}
+# collected centroid ROWS per resolved centroid dir (bounded: n_lists
+# rows of immutable build metadata — the _CODEBOOK_CACHE rationale);
+# saves one Spark job per single-probe call
+_CENTROID_ROWS_CACHE: dict[tuple[str, str, str], list] = {}
+
+
+def _invalidate_index_handles(path: str) -> None:
+    for k in [k for k in _PARQUET_HANDLE_CACHE if k[1] == path]:
+        del _PARQUET_HANDLE_CACHE[k]
+    for k in [k for k in _CENTROID_ROWS_CACHE if k[1] == path]:
+        del _CENTROID_ROWS_CACHE[k]
+
+
+def cached_index_parquet(
+    spark, path: str, rels: list[str], *, base: str | None = None
+) -> DataFrame:
+    """Memoized lazy parquet read of index-relative dirs (see
+    ``_PARQUET_HANDLE_CACHE``). ``base`` sets ``basePath`` so hive
+    partition columns restore for dir-pruned reads."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, (base or "",) + tuple(sorted(rels)))
+    hit = _PARQUET_HANDLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    reader = spark.read
+    if base is not None:
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*[_join(path, r) for r in sorted(rels)])
+    for dead in [k for k in _PARQUET_HANDLE_CACHE if k[0] != app_id]:
+        del _PARQUET_HANDLE_CACHE[dead]
+    _PARQUET_HANDLE_CACHE[key] = df
+    return df
+
+
 def _ivf_centroids(spark, path: str) -> DataFrame:
-    return spark.read.parquet(_join(path, _ivf_snapshot(path)["centroids"]))
+    return cached_index_parquet(
+        spark, path, [_ivf_snapshot(path)["centroids"]]
+    )
+
+
+def _centroid_rows_for(spark, path: str, rel: str) -> list:
+    """The collected centroid table (n_lists bounded rows of immutable
+    build metadata), memoized per resolved centroid dir — one fewer
+    Spark job per single probe. Shared by the IVF and IVF-PQ probes."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, rel)
+    hit = _CENTROID_ROWS_CACHE.get(key)
+    if hit is None:
+        for dead in [k for k in _CENTROID_ROWS_CACHE if k[0] != app_id]:
+            del _CENTROID_ROWS_CACHE[dead]
+        hit = _CENTROID_ROWS_CACHE[key] = cached_index_parquet(
+            spark, path, [rel]
+        ).collect()
+    return hit
+
+
+def _ivf_centroid_rows(spark, path: str) -> list:
+    return _centroid_rows_for(spark, path, _ivf_snapshot(path)["centroids"])
 
 
 def _hive_base(rel: str) -> str:
@@ -114,11 +182,7 @@ def _read_manifest_dirs(spark, path: str, rels: list[str]) -> DataFrame:
     parts = []
     for base, rs in sorted(groups.items()):
         bp = _join(path, base) if base else path
-        parts.append(
-            spark.read.option("basePath", bp).parquet(
-                *[_join(path, r) for r in sorted(rs)]
-            )
-        )
+        parts.append(cached_index_parquet(spark, path, rs, base=bp))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -135,7 +199,7 @@ def _ivf_cells(spark, path: str, probe_cells: list[int] | None = None) -> DataFr
     if snap["version"] == 0:
         # flat layout: one plain hive read; cell IN (...) pruning stays
         # a PartitionFilters entry (plan-asserted on fresh builds)
-        df = spark.read.parquet(_join(path, "cells"))
+        df = cached_index_parquet(spark, path, ["cells"])
         if probe_cells is not None:
             df = df.where(F.col("cell").isin(list(probe_cells)))
         return df
@@ -147,19 +211,15 @@ def _ivf_cells(spark, path: str, probe_cells: list[int] | None = None) -> DataFr
     )
     if not keys:
         any_rel = next(iter(cm.values()))
-        return (
-            spark.read.option("basePath", _join(path, any_rel.rsplit("/", 1)[0]))
-            .parquet(_join(path, any_rel))
-            .where(F.lit(False))
-        )
+        return cached_index_parquet(
+            spark, path, [any_rel], base=_join(path, any_rel.rsplit("/", 1)[0])
+        ).where(F.lit(False))
     groups: dict[str, list[str]] = {}
     for k in keys:
         rel = cm[k]
         groups.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
     parts = [
-        spark.read.option("basePath", _join(path, base)).parquet(
-            *[_join(path, r) for r in rels]
-        )
+        cached_index_parquet(spark, path, rels, base=_join(path, base))
         for base, rels in sorted(groups.items())
     ]
     out = parts[0]
@@ -691,6 +751,7 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    _invalidate_index_handles(path)  # in-place flat (re)build
     vecs = embeddings.select(
         F.col(id_col), V.as_double(vec_col).alias("arr")
     ).withColumn("feat", array_to_vector(F.col("arr")))
@@ -719,9 +780,19 @@ def build_ivf_index(
             "coverage": round(float(coverage), 6),
             "calibrated": True,
         }
+    # Cluster by cell before the partitioned write (guide §6: few,
+    # larger files). The r17 calibration pass materialized `assigned`
+    # at shuffle-width partitions, so partitionBy fanned every cell
+    # into ~one file PER PARTITION — the sf0.1 text index came out as
+    # ~27 tiny files per cell and every probe paid the ~0.3-0.5 s
+    # driver listing of ~2000 files at plan-build time. One hash
+    # exchange at build time writes one file per cell here; at real
+    # scale this is the standard pre-write clustering that keeps
+    # output files in the 128MB-1GB band.
+    clustered = assigned.repartition("cell")
     prior = read_index_manifest(path)
     if prior is None:
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+        clustered.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
         assigned.unpersist()
         cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
         store = log_store_for(path)
@@ -732,7 +803,7 @@ def build_ivf_index(
             store.write_exclusive(sidecar, json.dumps({"recommend": recommend}))
         return
     obj = new_object_rel()
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    clustered.write.mode("overwrite").partitionBy("cell").parquet(
         _join(path, obj, "cells")
     )
     assigned.unpersist()
@@ -783,7 +854,7 @@ def ivf_query(
     snapshot note."""
     if n_probe is None:
         n_probe = int(_ivf_snapshot(path).get("recommend", {}).get("n_probe", 6))
-    centers = _ivf_centroids(spark, path).collect()
+    centers = _ivf_centroid_rows(spark, path)
     order = sorted(
         centers,
         key=lambda r: (
@@ -828,6 +899,7 @@ def build_lsh_index(
     writes into a fresh immutable object dir and commits the
     next-version manifest, so probes see the rebuilt index and prior
     snapshots stay readable."""
+    _invalidate_index_handles(path)  # in-place flat (re)build
     banded = _lsh_banded_rows(
         embeddings, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables, dim=dim,
@@ -901,6 +973,7 @@ def write_lsh_signatures(
     exact behavior by prefix masking — the whole tables x bits recall
     frontier from one table (ann_lsh_band_sweep). ``e1`` (first vector
     component) rides along for the staleness fingerprint."""
+    _invalidate_index_handles(path)  # in-place flat (re)build
     v = V.as_double(vec_col)
     tables = F.array(
         *[
@@ -1215,6 +1288,7 @@ def build_pq_index(
     distance: the QUERY stays exact, only the corpus is quantized —
     Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI 2011)."""
+    _invalidate_index_handles(path)  # in-place flat (re)build
     norm = V.l2_normalize(V.as_double(vec_col))
     df = embeddings.select(F.col(id_col), norm.alias("arr"))
     books, sub = _fit_pq_codebooks(df, m=m, k=k, seed=seed)
@@ -1336,6 +1410,7 @@ def _write_pq_codebooks(
     # a rebuild invalidates any memoized codebook for this path
     for key in [key for key in _CODEBOOK_CACHE if key[1] == path]:
         del _CODEBOOK_CACHE[key]
+    _invalidate_index_handles(path)
 
 
 # per-(session, path, resolved codebook dir) memo of the collected
@@ -1545,7 +1620,7 @@ def pq_batch_topk(
         # exactly like _adc_score's `qn or 1.0`, not an all-null array
         V.l2_normalize_query(V.as_double(vec_col)).alias("qn"),
     )
-    books = spark.read.parquet(_join(path, _codebook_rel(path))).select(
+    books = cached_index_parquet(spark, path, [_codebook_rel(path)]).select(
         F.col("subspace").cast("int").alias("__j"),
         F.col("code").cast("int").alias("__code"),
         "centroid",
@@ -1903,6 +1978,7 @@ def build_ivfpq_index(
     corpus vectors; 0 skips calibration and records the static
     prior) — the r17 two-scale sweep measured that no static n_probe
     heuristic serves both scattered and clustered corpora."""
+    _invalidate_index_handles(path)  # in-place flat (re)build
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -2035,7 +2111,7 @@ def ivfpq_query_rerank(
     q = [x / qn for x in query_vec]
     snap = _ivfpq_snapshot(path)
     n_probe, shortlist = _resolve_probe_params(snap, n_probe, shortlist)
-    centers = spark.read.parquet(_join(path, snap["centroids"])).collect()
+    centers = _centroid_rows_for(spark, path, snap["centroids"])
     order = sorted(
         centers,
         key=lambda r: (
@@ -2045,7 +2121,9 @@ def ivfpq_query_rerank(
     )
     probe = [r["cell"] for r in order[:n_probe]]
     if snap["version"] == 0:
-        codes = spark.read.parquet(path + "/codes").where(F.col("cell").isin(probe))
+        codes = cached_index_parquet(spark, path, ["codes"]).where(
+            F.col("cell").isin(probe)
+        )
     else:
         rels = [snap["cells"][str(c)] for c in probe if str(c) in snap["cells"]]
         if not rels:
@@ -2145,7 +2223,7 @@ def ivfpq_batch_topk(
         # exactly like _adc_score's `qn or 1.0`, not an all-null array
         V.l2_normalize_query(V.as_double(vec_col)).alias("qn"),
     )
-    cent = spark.read.parquet(_join(path, snap["centroids"])).select(
+    cent = cached_index_parquet(spark, path, [snap["centroids"]]).select(
         F.col("cell").cast("int").alias("cell"), "centroid"
     )
     dist = F.aggregate(
@@ -2166,7 +2244,7 @@ def ivfpq_batch_topk(
     probe = ranked.where(F.col("__rk") <= n_probe).select("query_id", "cell")
     # per-(query, subspace, code) ADC cells from the PERSISTED codebook
     # table — the relational form of the single probe's literal table
-    books = spark.read.parquet(_join(path, snap["codebooks"])).select(
+    books = cached_index_parquet(spark, path, [snap["codebooks"]]).select(
         F.col("subspace").cast("int").alias("__j"),
         F.col("code").cast("int").alias("__code"),
         "centroid",
@@ -2183,7 +2261,7 @@ def ivfpq_batch_topk(
         .select("query_id", "__j", "__code", ip.alias("__ip"))
     )
     if snap["version"] == 0:
-        codes = spark.read.parquet(path + "/codes")
+        codes = cached_index_parquet(spark, path, ["codes"])
     else:
         rels = sorted(set(snap["cells"].values()))
         if not rels:

@@ -4733,7 +4733,7 @@ def ann_text_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_ivftext(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    feats = spark.read.parquet(idx + "/feats")
+    feats = S.cached_index_parquet(spark, idx, ["feats"])
     # serving path: embed ONE document with the persisted vocabulary —
     # bounded .first() over a one-row derivation (fixes the r14 watch
     # item where the query vector came from the full corpus lineage)
@@ -4823,7 +4823,7 @@ def ann_text_embed_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_ivftext(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    feats = spark.read.parquet(idx + "/feats")
+    feats = S.cached_index_parquet(spark, idx, ["feats"])
     queries = E.hashed_tfidf_embed(
         docs.where(F.col("doc_id") < 3), dim=64, feats=feats
     )
@@ -4986,7 +4986,7 @@ def ann_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("query_id", "vid")
     )
-    sig = spark.read.parquet(idx).select("vec_id", "table_id", "bucket")
+    sig = S.cached_index_parquet(spark, idx, [""]).select("vec_id", "table_id", "bucket")
     bits = spark.createDataFrame(
         [(b, (1 << b) - 1) for b in range(1, 9)], "n_bits int, mask int"
     )
@@ -5262,9 +5262,9 @@ def _ivfpq_sweep(
         .select("query_id", "vec_id")
     )
     snap = S._ivfpq_snapshot(idx)
-    cent = spark.read.parquet(os.path.join(idx, snap["centroids"]))
+    cent = S.cached_index_parquet(spark, idx, [snap["centroids"]])
     if snap["version"] == 0:
-        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        codes = S.cached_index_parquet(spark, idx, ["codes"])
     else:
         codes = S._read_manifest_dirs(
             spark, idx, sorted(set(snap["cells"].values()))
