@@ -4495,7 +4495,9 @@ def _recall_sweep(
         .select("query_id", "crk")
     )
     cellsz = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
-    n_lists = cent.count()
+    # n_lists from the memoized centroid rows (no Spark job; the old
+    # cent.count() ran one per sweep call)
+    n_lists = len(S._ivf_centroid_rows(spark, idx))
     probes = spark.range(1, n_lists + 1).select(
         F.col("id").cast("int").alias("n_probe")
     )
@@ -5364,7 +5366,16 @@ def _ivfpq_sweep(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "cell", score.alias("s"))
     )
-    candj = cand.join(crk, ["query_id", "cell"])
+    # Materialize the shared relations ONCE (r18): candj fans out to
+    # the truth join, the better-than-truth count, and the candidate
+    # cost counts — un-materialized, every reference re-ran the codes
+    # scan + ADC scoring (the sweep plans carried ~90 parquet scans).
+    # candj is (n_queries x codes) rows of 4 small columns; at real
+    # scale the full-corpus ADC pass is the sweep's documented cost and
+    # one disk-backed materialization beats 3+ recomputations of it.
+    # tt is bounded (n_queries x 10 truth rows). Eager at build time
+    # (the dsir_select convention — see capture_plans note).
+    candj = cand.join(crk, ["query_id", "cell"]).localCheckpoint(eager=True)
     tt = exact.join(
         candj.select(
             "query_id",
@@ -5373,7 +5384,9 @@ def _ivfpq_sweep(
             F.col("crk").alias("tcrk"),
         ),
         ["query_id", "vec_id"],
-    ).select("query_id", F.col("vec_id").alias("tvid"), "ts", "tcrk")
+    ).select(
+        "query_id", F.col("vec_id").alias("tvid"), "ts", "tcrk"
+    ).localCheckpoint(eager=True)
     # better-than-truth count per (truth neighbor, candidate cell rank):
     # the one relation from which EVERY (n_probe, shortlist) point's
     # ADC rank follows by a bounded rank-prefix sum
