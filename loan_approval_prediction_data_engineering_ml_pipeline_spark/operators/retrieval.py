@@ -100,6 +100,18 @@ class _Bm25Snapshot:
     def id_type(self) -> str:
         return self.lengths().schema["id"].dataType.simpleString()
 
+    def _read(self, rels: list[str]) -> DataFrame:
+        """Manifest-referenced dirs through the shared index-read handle
+        memo (r18): a probe's plan build used to re-list the posting/
+        length dirs and re-read footers every call — the same driver
+        overhead the ANN probes paid. Manifest object dirs are
+        immutable, so the lazy handle can never serve stale file lists;
+        legacy flat layouts bypass this (read directly below), exactly
+        like the meta memo."""
+        from .similarity import cached_index_parquet
+
+        return cached_index_parquet(self.spark, self.path, rels)
+
     def postings(self, probe_buckets: list[int] | None, n_buckets: int) -> DataFrame | None:
         """(tok, id, tf) for the given buckets (None = all); returns
         None when no referenced dir matches (no posting can match)."""
@@ -111,9 +123,7 @@ class _Bm25Snapshot:
             )
             if not keys:
                 return None
-            return self.spark.read.parquet(
-                *[_join(self.path, pm[k]) for k in keys]
-            ).select("tok", "id", "tf")
+            return self._read([pm[k] for k in keys]).select("tok", "id", "tf")
         df = self.spark.read.parquet(f"{self.path}/postings")
         if probe_buckets is not None and len(probe_buckets) < n_buckets:
             df = df.where(F.col("bucket").isin(probe_buckets))
@@ -122,9 +132,7 @@ class _Bm25Snapshot:
     def lengths(self) -> DataFrame:
         if self.manifest:
             lm = self.manifest["lengths"]
-            return self.spark.read.parquet(
-                *[_join(self.path, lm[k]) for k in sorted(lm)]
-            ).select("id", "dl")
+            return self._read([lm[k] for k in sorted(lm)]).select("id", "dl")
         return self.spark.read.parquet(f"{self.path}/lengths").select("id", "dl")
 
     def lengths_for(self, lbs: list[int]) -> DataFrame | None:
@@ -132,10 +140,10 @@ class _Bm25Snapshot:
         no referenced dir matches."""
         if self.manifest:
             lm = self.manifest["lengths"]
-            dirs = [_join(self.path, lm[str(b)]) for b in lbs if str(b) in lm]
-            if not dirs:
+            rels = [lm[str(b)] for b in lbs if str(b) in lm]
+            if not rels:
                 return None
-            return self.spark.read.parquet(*dirs).select("id", "dl")
+            return self._read(rels).select("id", "dl")
         return (
             self.spark.read.parquet(f"{self.path}/lengths")
             .where(F.col("lb").isin(list(lbs)))

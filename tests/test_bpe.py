@@ -22,6 +22,7 @@ def _corpus(spark):
     return spark.createDataFrame([(1, text)], "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_learn_bpe_matches_hand_derivation(spark):
     docs = _corpus(spark)
     merges = learn_bpe(docs, m=5)

@@ -25,6 +25,7 @@ def _numpy_pagerank(edges, n, damping=0.85, iters=300):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_numpy(spark):
     edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
     df = spark.createDataFrame(edges, "src int, dst int")
@@ -35,6 +36,7 @@ def test_pagerank_matches_numpy(spark):
         assert abs(got[v] - want[v]) < 1e-4, (v, got[v], want[v])
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_mass_redistributed(spark):
     # vertex 2 has no out-edges: its rank must recirculate, keeping the
     # distribution stochastic instead of leaking mass each round

@@ -110,6 +110,7 @@ def _lifecycle(
     assert IC.index_versions(idx) == [2]
 
 
+@pytest.mark.slow
 def test_lsh_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
     _lifecycle(
         spark, tmp_path, monkeypatch, probe_vec,
@@ -126,6 +127,7 @@ def test_lsh_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, 
     )
 
 
+@pytest.mark.slow
 def test_pq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
     _lifecycle(
         spark, tmp_path, monkeypatch, probe_vec,
@@ -136,6 +138,7 @@ def test_pq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, p
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb, probe_vec):
     _lifecycle(
         spark, tmp_path, monkeypatch, probe_vec,
@@ -152,6 +155,7 @@ def test_ivfpq_index_lifecycle_snapshot_atomic(spark, tmp_path, monkeypatch, emb
     )
 
 
+@pytest.mark.slow
 def test_pq_upsert_migrates_flat_blob_then_touches_buckets_only(
     spark, tmp_path, emb, probe_vec
 ):
@@ -209,6 +213,7 @@ def test_lsh_upsert_uses_committed_params_and_matches_fresh_build(
     assert c == a
 
 
+@pytest.mark.slow
 def test_ivf_upsert_four_writer_race_serializes_via_occ(spark, tmp_path, emb, probe_vec):
     """The BM25 4-writer OCC standard applied to the ANN side: four
     concurrent ivf_upserts of DISJOINT deltas with retries must
@@ -259,6 +264,7 @@ def test_ivf_upsert_four_writer_race_serializes_via_occ(spark, tmp_path, emb, pr
 
 
 @pytest.mark.parametrize("family", ["pq", "lsh"])
+@pytest.mark.slow
 def test_pq_lsh_concurrent_upserts_serialize_via_occ(spark, tmp_path, emb, probe_vec, family):
     """Two concurrent upserts of disjoint deltas with OCC retries must
     serialize through the manifest log for the PQ and LSH families too.
@@ -309,6 +315,7 @@ def test_pq_lsh_concurrent_upserts_serialize_via_occ(spark, tmp_path, emb, probe
     assert ids == want, (ids, got)
 
 
+@pytest.mark.slow
 def test_pq_upsert_rejects_widened_id_type(spark, tmp_path, emb, probe_vec):
     """ADVICE r13 (medium): a delta whose id dtype differs from the
     build's must be rejected loudly — xxhash64 buckets by binary
@@ -333,6 +340,7 @@ def test_pq_upsert_rejects_widened_id_type(spark, tmp_path, emb, probe_vec):
     assert {got[0]["vec_id"], got[1]["vec_id"]} == {90001, 90002}
 
 
+@pytest.mark.slow
 def test_empty_probe_schema_matches_built_id_type(spark, tmp_path, emb, probe_vec):
     """ADVICE r13 (low): an index built with a non-long id column must
     return the SAME schema from the empty-probe early return as from
@@ -365,6 +373,7 @@ def test_empty_probe_schema_matches_built_id_type(spark, tmp_path, emb, probe_ve
     ]
 
 
+@pytest.mark.slow
 def test_size_derived_n_lists_default(spark, tmp_path, emb, probe_vec):
     """n_lists=None sizes the quantizer by the sqrt(N) policy the r14
     two-build sweep measured (~1.7x fewer candidate rows at equal
@@ -399,6 +408,7 @@ def test_size_derived_n_lists_default(spark, tmp_path, emb, probe_vec):
     assert got.count() == 5
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     """Residual IVFADC (codebooks fit on v - c(cell), probe adds the
     per-cell constant dot(q, c)): with every cell probed and the
@@ -442,6 +452,7 @@ def test_residual_ivfpq_invariant_and_upsert(spark, tmp_path, emb, probe_vec):
     assert abs(top[0]["cosine"] - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_large_codebook_encode_path(spark, tmp_path, emb, probe_vec):
     """k > 32 codebooks take the HOF encode path (nested array literal +
     transform/aggregate instead of the m·k·sub codegen unroll — r16, the
@@ -473,6 +484,7 @@ def test_large_codebook_encode_path(spark, tmp_path, emb, probe_vec):
     assert abs(top["cosine"] - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_ivfpq_batch_matches_single_probe_and_brute_force(
     spark, tmp_path, emb, probe_vec
 ):
@@ -525,6 +537,7 @@ def test_ivfpq_batch_matches_single_probe_and_brute_force(
     assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
 
 
+@pytest.mark.slow
 def test_pq_batch_matches_single_probe(spark, tmp_path, emb):
     """The batched flat-PQ probe (r17): a 1-row batch and each arm of a
     multi-query batch must reproduce pq_query_rerank EXACTLY — same
@@ -556,6 +569,7 @@ def test_pq_batch_matches_single_probe(spark, tmp_path, emb):
     assert [r["query_id"] for r in multi] == sorted(r["query_id"] for r in multi)
 
 
+@pytest.mark.slow
 def test_default_build_records_calibrated_recipe_probes_resolve_it(
     spark, tmp_path, emb
 ):
@@ -619,6 +633,7 @@ def test_default_build_records_calibrated_recipe_probes_resolve_it(
     assert rec0["shortlist"] == max(100, -(-S_n * 25 // 100))
 
 
+@pytest.mark.slow
 def test_ivfpq_batch_empty_manifested_snapshot_returns_typed_empty(
     spark, tmp_path, emb
 ):
@@ -643,6 +658,7 @@ def test_ivfpq_batch_empty_manifested_snapshot_returns_typed_empty(
     assert out.schema["vec_id"].dataType.simpleString() == "bigint"
 
 
+@pytest.mark.slow
 def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     """Spark KMeans returns FEWER than k centers when a subspace has
     fewer distinct points — real on low-diversity corpora (the
@@ -683,6 +699,7 @@ def test_pq_families_tolerate_low_diversity_subspaces(spark, tmp_path):
     SIM.ivfpq_upsert(spark, ivfpq, _new_vec(spark, qv, vid=90002))
 
 
+@pytest.mark.slow
 def test_pq_batch_zero_query_vector_matches_single_probe(spark, tmp_path, emb):
     """ADVICE r17: the single probe guards a zero query norm with
     ``qn or 1.0`` (zero vector → 0.0 ADC scores), while a try_divide

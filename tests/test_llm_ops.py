@@ -298,6 +298,7 @@ def test_cosine_pairs_gemm_drops_null_blocks_like_join_path(spark):
     assert expr == gemm == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_minhash_near_approximate_regime_recall_and_candidate_volume(spark):
     # the regime LSH exists for: bands=8 x rows=2, jaccard 0.8, 3-word
     # shingles. Output must equal the exact threshold self-join on the
@@ -352,6 +353,7 @@ def test_cosine_pairs_gemm_tiled_identical_and_bounded(spark):
     assert max_tile <= int(0.75 * block)
 
 
+@pytest.mark.slow
 def test_persisted_ann_indexes_match_inline_paths(spark, tmp_path):
     # build-once / probe-many lifecycle must return exactly what the
     # inline (fit-in-query) paths return for the same parameters
@@ -454,6 +456,7 @@ def test_cosine_pairs_gemm_adaptive_tiling(spark):
     assert tiled == fixed
 
 
+@pytest.mark.slow
 def test_pq_index_and_rerank_pipeline(spark, tmp_path):
     """Product quantization (ann_pq): (a) the codegen ADC aggregate must
     equal a from-scratch Python recomputation over the stored codebooks
@@ -710,6 +713,7 @@ def test_phrase_merges_sampled_path_and_apply_once(spark):
     assert any("@@" in v for v in left.values())
 
 
+@pytest.mark.slow
 def test_prefix_filtered_oracle_equals_all_pairs_truth_set():
     """The dedup_minhash_near ground-truth oracle uses prefix-filtered
     candidate generation (PPJoin-style) so it stays feasible at sf1 —
@@ -776,6 +780,7 @@ def test_prefix_filtered_jaccard_join_equals_brute_force(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivfpq_full_probe_equals_flat_pq(spark, tmp_path):
     """Cell pruning is the ONLY approximation IVF-PQ adds on top of
     flat PQ: with n_probe = n_lists (probe everything) the composite

@@ -134,6 +134,7 @@ def test_unknown_category_encodes_all_zeros(spark, loan_df):
     assert list(vec) == [0.0] * len(vec)  # handle_unknown='ignore' parity
 
 
+@pytest.mark.slow
 def test_train_select_persist_score(spark, loan_df, tmp_path):
     train, test = stratified_split(loan_df, "label", 0.2, seed=42)
     best_name, best_model, results = train_and_select(train, test)
@@ -177,6 +178,7 @@ def test_train_select_persist_score(spark, loan_df, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_engineered_features_and_cv(spark, loan_df):
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.pipeline import (
         ENGINEERED_NUMERIC,
@@ -250,6 +252,7 @@ def test_stratified_split_disjoint_under_repartition(loan_df):
     assert {r[0] for r in tr_base.select(key).collect()} == tr_keys
 
 
+@pytest.mark.slow
 def test_ranking_metrics_auc(spark, loan_df):
     from loan_approval_prediction_data_engineering_ml_pipeline_spark.ml.evaluate import (
         ranking_metrics,
@@ -292,6 +295,7 @@ def test_feature_importances_named_and_normalized(spark, loan_df):
     assert all(n and not n.startswith("f") or "_" in n for n in names)
 
 
+@pytest.mark.slow
 def test_ml_loan_train_eval_seed_pinned(spark):
     """VERDICT r2 #2: the driver's ml_loan_train_eval row is rows-only
     (MLlib training isn't SQL-expressible), so pin it here instead: the

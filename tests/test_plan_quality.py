@@ -68,6 +68,7 @@ def test_whole_stage_codegen_active(spark):
     assert "*(" in plan
 
 
+@pytest.mark.slow
 def test_ann_index_probes_prune_partitions(spark, tmp_path):
     """The persisted ANN indexes must turn probes into partition pruning:
     the scan's PartitionFilters carries the cell/bucket predicate, so

@@ -5,6 +5,8 @@ algebraic properties (idempotence, null-freedom)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -178,6 +180,7 @@ def test_bin_by_quantiles_partitions_any_data(spark, vals, n_bins):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_pagerank_invariants_on_random_chains(spark, vals):
     # interpret consecutive value signs as a small deterministic graph:
     # vertex i -> vertex (i+1) % n, plus i -> 0 when vals[i] > 0

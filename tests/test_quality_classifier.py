@@ -3,6 +3,8 @@ training separation, scoring totality, and artifact round-trip."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -28,6 +30,7 @@ def test_hashed_bow_buckets_and_sublinear_tf(spark):
     assert len(beta_buckets) == 1
 
 
+@pytest.mark.slow
 def test_fit_separates_synthetic_classes_and_scores_everywhere(spark):
     """Cleanly separable toy corpus: the distributed Adagrad fit finds
     it, every doc gets a score (token-free docs score sigmoid(bias)),
@@ -89,6 +92,7 @@ def test_early_stopping_is_deterministic_and_cuts_iterations(spark):
     assert all(v < 0.5 for i, v in scored.items() if i >= 100)
 
 
+@pytest.mark.slow
 def test_minibatch_mode_converges_and_is_deterministic(spark):
     """Hash-sliced mini-batches (pure function of id — retry/AQE/
     partitioning-immune) still separate the toy classes, and two fits

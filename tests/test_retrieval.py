@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators.retrieval import (
@@ -192,6 +194,7 @@ def test_bm25_index_lengths_written_in_parallel(spark, tmp_path):
     assert sorted(map(tuple, indexed)) == sorted(map(tuple, direct))
 
 
+@pytest.mark.slow
 def test_bm25_upsert_equals_fresh_build_and_keeps_cold_buckets(spark, tmp_path):
     """upsert_bm25_index folds a NEW-doc batch in and a probe must
     equal a fresh bm25_topk over the union corpus; only the posting
@@ -354,6 +357,7 @@ def test_bm25_phrase_plan_is_python_free(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_bm25_phrase_indexed_equals_direct_across_lengths(spark, tmp_path):
     """Per-length gram indexes probed and unioned must return the direct
     phrase path's exact rows; each probe prunes to its term buckets and
@@ -427,6 +431,7 @@ _DOC = st.lists(_WORD, min_size=1, max_size=6).map(" ".join)
     delta=st.lists(_DOC, min_size=1, max_size=4),
     terms=st.lists(_WORD, min_size=1, max_size=3, unique=True),
 )
+@pytest.mark.slow
 def test_bm25_index_lifecycle_property(spark, tmp_path, base, delta, terms):
     """For ARBITRARY small corpora, delta batches, and query terms:
     build -> probe == direct, upsert -> probe == direct over the union,
@@ -568,6 +573,7 @@ def test_upsert_preserves_tok_sort_within_buckets(spark, tmp_path):
     assert checked > 0
 
 
+@pytest.mark.slow
 def test_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
     """VERDICT r9 #2: (a) a crash AFTER the object writes but BEFORE the
     manifest commit leaves the index exactly at the previous version —
@@ -654,6 +660,7 @@ def test_upsert_publish_is_snapshot_atomic(spark, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_bm25_catalog_routes_by_manifest_gram(spark, tmp_path):
     """VERDICT r9 #6: the phrase catalog's gram->index routing derives
     from the children's committed manifests, equals the mapping the
@@ -714,6 +721,7 @@ def test_bm25_catalog_routes_by_manifest_gram(spark, tmp_path):
         unique=True,
     ),
 )
+@pytest.mark.slow
 def test_bm25_catalog_lifecycle_property(spark, tmp_path, base, delta, phrases):
     """VERDICT r9 #6 done-criterion: for ARBITRARY corpora, deltas, and
     mixed length-2/3 phrase workloads, catalog build -> routed probe ==
@@ -744,6 +752,7 @@ def test_bm25_catalog_lifecycle_property(spark, tmp_path, base, delta, phrases):
     assert sorted(map(tuple, probe2)) == sorted(map(tuple, direct2))
 
 
+@pytest.mark.slow
 def test_upsert_conflict_retry_rebases_on_new_snapshot(spark, tmp_path, monkeypatch):
     """retries=N turns a lost manifest race into an OCC rebase: the
     upsert re-resolves the WINNER's snapshot and recomputes, so the
@@ -802,6 +811,7 @@ def test_upsert_conflict_retry_rebases_on_new_snapshot(spark, tmp_path, monkeypa
         R.upsert_bm25_index(spark, b1, idx)
 
 
+@pytest.mark.slow
 def test_upsert_four_writer_race_serializes_via_occ(spark, tmp_path):
     """Four concurrent writers, each upserting a DISJOINT delta with
     OCC retries: the manifest log must serialize them (versions
@@ -857,6 +867,7 @@ def test_upsert_four_writer_race_serializes_via_occ(spark, tmp_path):
     assert probed == fresh
 
 
+@pytest.mark.slow
 def test_upsert_rejects_mismatched_delta_id_type(spark, tmp_path):
     """ADVICE r11 / VERDICT r12 #3: a delta whose id TYPE differs from
     the build's must be rejected loudly. xxhash64 buckets by binary

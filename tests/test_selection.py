@@ -3,6 +3,8 @@ behavior, determinism, and plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from loan_approval_prediction_data_engineering_ml_pipeline_spark.operators import (
@@ -53,6 +55,7 @@ def test_dsir_is_deterministic_under_repartitioning(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+@pytest.mark.slow
 def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
     """The heavy selection path must stay TakeOrdered (per-partition
     heaps + driver merge of k, never a global sort) and Python-free.
@@ -86,7 +89,12 @@ def test_dsir_heavy_path_is_take_ordered_and_no_python(spark):
         while it.hasNext():
             e = it.next()
             if e.executionId() >= before:
-                plans.append(e.physicalPlanDescription())
+                # the async store can expose an entry before its plan
+                # description lands — treat None as not-yet-arrived and
+                # keep polling (observed once under full-suite load)
+                d = e.physicalPlanDescription()
+                if d is not None:
+                    plans.append(d)
         heavy = "\n".join(plans)
         if "TakeOrderedAndProject" in heavy:
             break

@@ -258,6 +258,7 @@ def test_read_events_stream_handles_directory_tables(spark, tmp_path):
     assert got == ev.count()  # zero-row silent replay is the failure mode
 
 
+@pytest.mark.slow
 def test_multibatch_replay_matches_batch_prefix(spark):
     """VERDICT r3 #7: the rate-limited replay (time-range files, one per
     micro-batch) must (a) actually run ~n micro-batches, and (b) still
@@ -465,6 +466,7 @@ def _write_ingest_feed(spark, src_dir):
     return docs
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_dedup_matches_batch_twin(spark, tmp_path):
     """Cross-batch corpus dedup with lakehouse-resident state: streaming
     the 3-file feed lands exactly the first-ever arrival of each distinct
@@ -515,6 +517,7 @@ def test_stream_corpus_ingest_dedup_matches_batch_twin(spark, tmp_path):
     assert {r["doc_id"] for r in bloomed.collect()} == want
 
 
+@pytest.mark.slow
 def test_fold_ingest_store_compacts_without_changing_content(spark, tmp_path):
     """VERDICT r15 #5: the per-batch ingest_batch= partition debt of the
     streaming corpus stores gets the same maintenance the versioned
@@ -668,6 +671,7 @@ def test_fold_ingest_store_loses_race_atomically(spark, tmp_path, monkeypatch):
     assert sorted(r["doc_id"] for r in read_corpus(spark, store).collect()) == before
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_ingest_matches_batch_twin_and_flags_codebook_drift(
     spark, tmp_path
 ):
@@ -810,6 +814,7 @@ def test_stream_ivfpq_ingest_matches_batch_twin_and_flags_codebook_drift(
     assert drifted_before["mean_qerr"] > 5 * drifted_after["mean_qerr"]
 
 
+@pytest.mark.slow
 def test_fold_ingest_store_covers_neardup_bands(spark, tmp_path):
     """ADVICE r16 (medium): the fold horizon is GLOBAL — one folded_upto
     hides flat ingest_batch= dirs for EVERY component — so a fold whose
@@ -905,6 +910,7 @@ def test_fold_ingest_store_covers_neardup_bands(spark, tmp_path):
     assert set(read_index_manifest(store)["components"]) == {"docs", "bands"}
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
     """Streaming MinHash-LSH ingest over a 3-file feed of transitive
     near-dup cliques keeps exactly one document per clique (the first
@@ -977,6 +983,7 @@ def test_stream_corpus_ingest_neardup_matches_batch_twin(spark, tmp_path):
     assert read_corpus(spark, str(tmp_path / "store")).count() == len(want)
 
 
+@pytest.mark.slow
 def test_stream_bm25_index_ingest_matches_batch_and_replays_idempotently(
     spark, tmp_path
 ):
@@ -1051,6 +1058,7 @@ def test_stream_bm25_index_ingest_matches_batch_and_replays_idempotently(
     assert again == direct
 
 
+@pytest.mark.slow
 def test_stream_ivf_index_ingest_matches_batch_and_replays_idempotently(
     spark, tmp_path
 ):
@@ -1140,6 +1148,7 @@ def test_stream_ivf_index_ingest_matches_batch_and_replays_idempotently(
     assert c == a, "redelivery must be a per-id REPLACE no-op"
 
 
+@pytest.mark.slow
 def test_stream_ivf_drift_signal_flags_refit_and_refit_commits_atomically(
     spark, tmp_path
 ):
@@ -1234,6 +1243,7 @@ def test_stream_ivf_drift_signal_flags_refit_and_refit_commits_atomically(
     assert sorted(map(tuple, stale_probe.collect())) == stale_expect
 
 
+@pytest.mark.slow
 def test_stream_ivf_drift_log_idempotent_under_redelivery(spark, tmp_path):
     """ADVICE r14: the drift-log write must be idempotent per batch_id,
     like the REPLACE upsert beside it. A full redelivery (fresh
@@ -1291,6 +1301,7 @@ def test_stream_ivf_drift_log_idempotent_under_redelivery(spark, tmp_path):
     assert second == first
 
 
+@pytest.mark.slow
 def test_stream_text_ivf_vocab_drift_flags_refit(spark, tmp_path):
     """VERDICT r15 #4: the TEXT index gets its own drift/refit wiring.
     A documents stream maintains the ivftext layout (persisted frozen

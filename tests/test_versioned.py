@@ -428,6 +428,7 @@ def test_merge_replay_is_content_idempotent(spark, tmp_path):
     assert _rows(read_version(spark, t)) == state1
 
 
+@pytest.mark.slow
 def test_stream_sink_ledger_is_o1_and_app_scoped(spark, tmp_path, monkeypatch):
     """(1) The exactly-once check reads ONE manifest per micro-batch,
     not the retained history; (2) a second stream with its own app_id is
@@ -582,6 +583,7 @@ def test_change_feed_append_only_is_exactly_the_appends(spark, tmp_path):
     assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
 
 
+@pytest.mark.slow
 def test_change_feed_reconstructs_snapshots_through_merge_and_rollback(
     spark, tmp_path
 ):
@@ -1016,6 +1018,7 @@ def test_append_commits_are_delta_records_resolving_identically(spark, tmp_path)
     assert len(snapshot_files(t, where=[("id", ">=", 30)])) == 1
 
 
+@pytest.mark.slow
 def test_checkpoint_bounds_resolution_reads(spark, tmp_path, monkeypatch):
     """A long append chain gets a checkpoint sidecar every
     CHECKPOINT_EVERY delta commits, and snapshot resolution reads O(K)
@@ -1045,6 +1048,7 @@ def test_checkpoint_bounds_resolution_reads(spark, tmp_path, monkeypatch):
     assert calls["n"] <= (n - 1 - V.CHECKPOINT_EVERY) + 3
 
 
+@pytest.mark.slow
 def test_vacuum_pins_mid_chain_horizon_with_checkpoint(spark, tmp_path):
     """Vacuum with the horizon mid-delta-chain publishes a checkpoint at
     the earliest retained version before dropping lower manifests, so
@@ -1312,6 +1316,7 @@ def test_optimize_materializes_and_vacuum_reclaims_dv(spark, tmp_path):
     assert sorted(tuple(r) for r in read_version(spark, t).collect()) == want
 
 
+@pytest.mark.slow
 def test_change_feed_and_rollback_across_deletion_vectors(spark, tmp_path):
     """CDF sees DV commits as row-level deletes, and rolling back across
     a delete emits the resurrected rows as inserts — the multiset
@@ -1352,6 +1357,7 @@ def test_change_feed_and_rollback_across_deletion_vectors(spark, tmp_path):
             assert _apply_changes(base, changes) == want, (lo, hi)
 
 
+@pytest.mark.slow
 def test_dv_survives_checkpoint_and_append_chain(spark, tmp_path):
     """Masks resolve correctly through delta chains and checkpoint
     sidecars: appends after a delete keep the mask, and the checkpoint

@@ -41,6 +41,7 @@ def _drain(spark, t, cp, collected, **options):
         q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_stream_source_replays_appends_then_tails(spark, tmp_path):
     t = str(tmp_path / "t")
     for lo in (0, 10):
@@ -127,6 +128,7 @@ def test_stream_source_schema_evolution_fills_nulls(spark, tmp_path):
     assert sorted(got, key=lambda r: r[0]) == [(1, "a", None), (2, "b", 9.5)]
 
 
+@pytest.mark.slow
 def test_stream_source_change_feed_replays_then_tails(spark, tmp_path):
     """readChangeFeed mode (r8): merge/DV-delete commits stream as
     row-level _change_type rows — the incremental twin of
