@@ -74,3 +74,14 @@ def l2_normalize_query(v: Column) -> Column:
     n = norm(v)
     d = F.when(n > F.lit(0.0), n).otherwise(F.lit(1.0))
     return F.transform(v, lambda x: x / d)
+
+
+def array_lit(values) -> Column:
+    """A constant ``array<double>`` as ONE SQL literal expression (the
+    1-D sibling of the r17 nested-array literal): ``F.array(*[F.lit(x)
+    ...])`` costs 2 py4j round trips per element, so a 64-dim query
+    vector is ~128 driver round trips per plan build — hot on every
+    single-probe path. ``repr()`` is the shortest exact IEEE-754 form
+    and Spark's parser parses it correctly rounded, so values are
+    bit-identical to the per-element literals."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in values) + ")")

@@ -91,7 +91,9 @@ def _assemble(
         lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("int")), F.lit(0.0)),
     )
     if mean_vec is not None:
-        mu = F.array(*[F.lit(float(x)) for x in mean_vec])
+        from ..functions import vectors as _V
+
+        mu = _V.array_lit(mean_vec)
         arr = F.zip_with(arr, mu, lambda x, m_: x - m_)
     # arr and nrm in their OWN projection steps: inlining them into the
     # per-element normalize would re-evaluate the 64-lookup array build

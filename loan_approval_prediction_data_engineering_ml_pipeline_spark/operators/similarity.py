@@ -554,7 +554,7 @@ def ivf_topk(
     probe_cells = dists[:n_probe]
 
     cand = assigned.where(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id))
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = V.array_lit(qv)  # ONE SQL literal, not 2*dim py4j calls
     cos = V.cosine(F.col("arr"), qlit)
     return (
         cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
@@ -866,7 +866,7 @@ def ivf_query(
     cells = _ivf_cells(spark, path, probe)
     if exclude_id is not None:
         cells = cells.where(F.col(id_col) != exclude_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = V.array_lit(query_vec)  # ONE SQL literal, not 2*dim py4j calls
     cos = V.cosine(F.col("arr"), qlit)
     cols = [F.col(id_col), F.round(cos, 6).alias("cosine")]
     if include_cell:
@@ -1182,7 +1182,7 @@ def lsh_index_query(
     if exclude_id is not None:
         cands = cands.where(F.col(id_col) != exclude_id)
     cands = cands.dropDuplicates([id_col])
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = V.array_lit(query_vec)  # ONE SQL literal, not 2*dim py4j calls
     cos = V.cosine(F.col("v"), qlit)
     return (
         cands.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
@@ -1579,7 +1579,7 @@ def pq_query_rerank(
         spark, path, query_vec, shortlist, id_col=id_col, exclude_id=exclude_id
     ).select(id_col)
     emb = embeddings.select(F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("v"))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = V.array_lit(query_vec)  # ONE SQL literal, not 2*dim py4j calls
     cos = V.cosine(F.col("v"), qlit)
     return (
         emb.join(F.broadcast(cands), id_col, "left_semi")
@@ -2160,7 +2160,7 @@ def ivfpq_query_rerank(
     emb = embeddings.select(
         F.col(id_col), V.l2_normalize(V.as_double(vec_col)).alias("v")
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = V.array_lit(query_vec)  # ONE SQL literal, not 2*dim py4j calls
     cos = V.cosine(F.col("v"), qlit)
     return (
         emb.join(F.broadcast(cands), id_col, "left_semi")
@@ -2643,7 +2643,7 @@ def _bucket_expr(v, n_planes: int, dim: int, seed: int):
     planes = _hyperplanes(n_planes, dim, seed)
     bits = [
         F.when(
-            V.dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << p)
+            V.dot(v, V.array_lit(plane)) >= 0, F.lit(1 << p)
         ).otherwise(F.lit(0))
         for p, plane in enumerate(planes)
     ]

@@ -6492,7 +6492,7 @@ def ann_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoder lineage; the materialized relation is docs x dim doubles
     emb = E.hashed_tfidf_embed(docs, dim=64).localCheckpoint(eager=True)
     qrow = emb.where(F.col("doc_id") == 0).first()
-    qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    qlit = V.array_lit(qrow["embedding"])  # ONE SQL literal
     cos = F.round(V.dot(F.col("embedding"), qlit), 6)
     return (
         emb.where(F.col("doc_id") != 0)
